@@ -1,0 +1,638 @@
+"""S2 region types (Cell, Cap, LatLngRect) for the covering engine.
+
+These are scalar (per-region) helpers used by the RegionCoverer and by
+query-side covering computation.  The data-plane hot path (per-row point
+encode, joins, distance filters) never touches these classes — it runs
+through the vectorized kernels in `cellid`/`coords`.  Semantics follow the
+reference library:
+
+- S2Cell geometry: s2cell.cc:80-300, s2cell.h:106-192
+- S2Cap predicates: s2cap.cc:64-300
+- S2LatLngRect / S1Interval: s2latlng_rect.h, s1interval.h
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import cellid, coords, metrics
+
+DBL_EPSILON = 2.220446049250313e-16
+
+
+# ---------------------------------------------------------------------------
+# small vector helpers (unit-sphere points as 3-tuples of float)
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _norm2(a):
+    return _dot(a, a)
+
+
+def _normalize(a):
+    n = math.sqrt(_norm2(a))
+    return (a[0] / n, a[1] / n, a[2] / n)
+
+
+def _neg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def chord2(a, b) -> float:
+    """Squared chord length |a-b|^2 — the S1ChordAngle representation."""
+    dx, dy, dz = a[0] - b[0], a[1] - b[1], a[2] - b[2]
+    return dx * dx + dy * dy + dz * dz
+
+
+def chord2_to_angle(c2: float) -> float:
+    """chord^2 -> angle radians (s1chord_angle: 2*asin(0.5*sqrt(len2)))."""
+    return 2.0 * math.asin(0.5 * math.sqrt(min(c2, 4.0)))
+
+
+def angle_to_chord2(rad: float) -> float:
+    """angle radians -> chord^2 (4*sin^2(angle/2)), saturating at 4."""
+    if rad < 0:
+        return -1.0
+    s = math.sin(0.5 * min(rad, math.pi))
+    return 4.0 * s * s
+
+
+def _face_uv_to_xyz(face: int, u: float, v: float):
+    if face == 0:
+        return (1.0, u, v)
+    if face == 1:
+        return (-u, 1.0, v)
+    if face == 2:
+        return (-u, -v, 1.0)
+    if face == 3:
+        return (-1.0, -v, -u)
+    if face == 4:
+        return (v, -1.0, -u)
+    return (v, u, -1.0)
+
+
+def _get_u_norm(face: int, u: float):
+    """Normal of the plane through the u=const great circle (s2coords.h:426-435)."""
+    return [(u, -1.0, 0.0), (1.0, u, 0.0), (1.0, 0.0, u),
+            (-u, 0.0, 1.0), (0.0, -u, 1.0), (0.0, -1.0, -u)][face]
+
+
+def _get_v_norm(face: int, v: float):
+    return [(-v, 0.0, 1.0), (0.0, -v, 1.0), (0.0, -1.0, -v),
+            (v, -1.0, 0.0), (1.0, v, 0.0), (1.0, 0.0, v)][face]
+
+
+# face u/v/w axes (s2coords.cc:68-99)
+_FACE_UVW_AXES = (
+    (((0, 1, 0), (0, 0, 1), (1, 0, 0))),
+    (((-1, 0, 0), (0, 0, 1), (0, 1, 0))),
+    (((-1, 0, 0), (0, -1, 0), (0, 0, 1))),
+    (((0, 0, -1), (0, -1, 0), (-1, 0, 0))),
+    (((0, 0, -1), (1, 0, 0), (0, -1, 0))),
+    (((0, 1, 0), (1, 0, 0), (0, 0, -1))),
+)
+
+
+def get_u_axis(face: int):
+    return _FACE_UVW_AXES[face][0]
+
+
+def get_v_axis(face: int):
+    return _FACE_UVW_AXES[face][1]
+
+
+def get_norm(face: int):
+    return _FACE_UVW_AXES[face][2]
+
+
+def _latitude(p) -> float:
+    return math.atan2(p[2] + 0.0, math.sqrt(p[0] * p[0] + p[1] * p[1]))
+
+
+def _longitude(p) -> float:
+    return math.atan2(p[1] + 0.0, p[0] + 0.0)
+
+
+def latlng_to_point(lat_rad: float, lng_rad: float):
+    cos_phi = math.cos(lat_rad)
+    return (math.cos(lng_rad) * cos_phi, math.sin(lng_rad) * cos_phi,
+            math.sin(lat_rad))
+
+
+# ---------------------------------------------------------------------------
+# S2Cell (geometry derived on the fly from the id; s2cell.cc)
+# ---------------------------------------------------------------------------
+
+class Cell:
+    __slots__ = ("id", "face", "level", "u_lo", "u_hi", "v_lo", "v_hi")
+
+    def __init__(self, cid: int):
+        self.id = int(cid)
+        arr = np.array([cid], dtype=np.uint64)
+        f, i, j = cellid.to_face_ij_orientation(arr)
+        lev = int(cellid.level(arr)[0])
+        self.face = int(f[0])
+        self.level = lev
+        # IJLevelToBoundUV (s2cell_id.cc:407-417)
+        cell_size = 1 << (cellid.MAX_LEVEL - lev)
+        i_lo = int(i[0]) & -cell_size
+        j_lo = int(j[0]) & -cell_size
+        lim = float(coords.LIMIT_IJ)
+        self.u_lo = _st_to_uv(i_lo / lim)
+        self.u_hi = _st_to_uv((i_lo + cell_size) / lim)
+        self.v_lo = _st_to_uv(j_lo / lim)
+        self.v_hi = _st_to_uv((j_lo + cell_size) / lim)
+
+    def get_vertex_raw(self, k: int):
+        # CCW order: (lo,lo), (hi,lo), (hi,hi), (lo,hi)
+        u = self.u_lo if k in (0, 3) else self.u_hi
+        v = self.v_lo if k in (0, 1) else self.v_hi
+        return _face_uv_to_xyz(self.face, u, v)
+
+    def get_vertex(self, k: int):
+        return _normalize(self.get_vertex_raw(k))
+
+    def get_edge_raw(self, k: int):
+        k &= 3
+        if k == 0:
+            return _get_v_norm(self.face, self.v_lo)       # bottom
+        if k == 1:
+            return _get_u_norm(self.face, self.u_hi)       # right
+        if k == 2:
+            return _neg(_get_v_norm(self.face, self.v_hi))  # top
+        return _neg(_get_u_norm(self.face, self.u_lo))      # left
+
+    def get_center(self):
+        x, y, z = cellid.to_point(np.array([self.id], dtype=np.uint64))
+        return (float(x[0]), float(y[0]), float(z[0]))
+
+    def contains_point(self, p) -> bool:
+        """Closed-cell containment (s2cell.cc:283-300)."""
+        face = self.face
+        if face < 3:
+            if p[face] <= 0:
+                return False
+        else:
+            if p[face - 3] >= 0:
+                return False
+        # ValidFaceXYZtoUV
+        u, v = _valid_face_xyz_to_uv(face, p)
+        # Expand the (u,v) bound by the max error in the projection
+        err = DBL_EPSILON
+        return (u >= self.u_lo - err and u <= self.u_hi + err and
+                v >= self.v_lo - err and v <= self.v_hi + err)
+
+    def get_rect_bound(self) -> "LatLngRect":
+        """Conservative lat/lng bound (s2cell.cc:185-270)."""
+        if self.level > 0:
+            u = self.u_lo + self.u_hi
+            v = self.v_lo + self.v_hi
+            i = (u < 0) if get_u_axis(self.face)[2] == 0 else (u > 0)
+            j = (v < 0) if get_v_axis(self.face)[2] == 0 else (v > 0)
+            i, j = int(i), int(j)
+            lat = R1Interval.from_point_pair(self._get_latitude(i, j),
+                                             self._get_latitude(1 - i, 1 - j))
+            lng = S1Interval.from_point_pair(self._get_longitude(i, 1 - j),
+                                             self._get_longitude(1 - i, j))
+            return (LatLngRect(lat, lng)
+                    .expanded(2 * DBL_EPSILON, 2 * DBL_EPSILON)
+                    .polar_closure())
+        pole_min_lat = math.asin(math.sqrt(1.0 / 3)) - 0.5 * DBL_EPSILON
+        pi_4 = math.pi / 4
+        if self.face == 0:
+            r = LatLngRect(R1Interval(-pi_4, pi_4), S1Interval(-pi_4, pi_4))
+        elif self.face == 1:
+            r = LatLngRect(R1Interval(-pi_4, pi_4), S1Interval(pi_4, 3 * pi_4))
+        elif self.face == 2:
+            r = LatLngRect(R1Interval(pole_min_lat, math.pi / 2),
+                           S1Interval.full())
+        elif self.face == 3:
+            r = LatLngRect(R1Interval(-pi_4, pi_4),
+                           S1Interval(3 * pi_4, -3 * pi_4))
+        elif self.face == 4:
+            r = LatLngRect(R1Interval(-pi_4, pi_4),
+                           S1Interval(-3 * pi_4, -pi_4))
+        else:
+            r = LatLngRect(R1Interval(-math.pi / 2, -pole_min_lat),
+                           S1Interval.full())
+        return r.expanded(DBL_EPSILON, 0.0)
+
+    def _get_latitude(self, i: int, j: int) -> float:
+        p = _face_uv_to_xyz(self.face, self.u_lo if i == 0 else self.u_hi,
+                            self.v_lo if j == 0 else self.v_hi)
+        return _latitude(p)
+
+    def _get_longitude(self, i: int, j: int) -> float:
+        p = _face_uv_to_xyz(self.face, self.u_lo if i == 0 else self.u_hi,
+                            self.v_lo if j == 0 else self.v_hi)
+        return _longitude(p)
+
+
+def _st_to_uv(s: float) -> float:
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4 * s * s - 1)
+    return (1.0 / 3.0) * (1 - 4 * (1 - s) * (1 - s))
+
+
+def _valid_face_xyz_to_uv(face: int, p):
+    if face == 0:
+        return p[1] / p[0], p[2] / p[0]
+    if face == 1:
+        return -p[0] / p[1], p[2] / p[1]
+    if face == 2:
+        return -p[0] / p[2], -p[1] / p[2]
+    if face == 3:
+        return p[2] / p[0], p[1] / p[0]
+    if face == 4:
+        return p[2] / p[1], -p[0] / p[1]
+    return -p[1] / p[2], -p[0] / p[2]
+
+
+# ---------------------------------------------------------------------------
+# intervals (r1interval.h / s1interval.h semantics)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class R1Interval:
+    lo: float
+    hi: float
+
+    @staticmethod
+    def empty() -> "R1Interval":
+        return R1Interval(1.0, 0.0)
+
+    @staticmethod
+    def from_point_pair(p1: float, p2: float) -> "R1Interval":
+        return R1Interval(min(p1, p2), max(p1, p2))
+
+    def is_empty(self) -> bool:
+        return self.lo > self.hi
+
+    def contains(self, p: float) -> bool:
+        return self.lo <= p <= self.hi
+
+    def contains_interval(self, o: "R1Interval") -> bool:
+        if o.is_empty():
+            return True
+        return self.lo <= o.lo and o.hi <= self.hi
+
+    def intersects(self, o: "R1Interval") -> bool:
+        if self.lo <= o.lo:
+            return o.lo <= self.hi and o.lo <= o.hi
+        return self.lo <= o.hi and self.lo <= self.hi
+
+    def expanded(self, margin: float) -> "R1Interval":
+        if self.is_empty():
+            return R1Interval(self.lo, self.hi)
+        return R1Interval(self.lo - margin, self.hi + margin)
+
+    def union(self, o: "R1Interval") -> "R1Interval":
+        if self.is_empty():
+            return R1Interval(o.lo, o.hi)
+        if o.is_empty():
+            return R1Interval(self.lo, self.hi)
+        return R1Interval(min(self.lo, o.lo), max(self.hi, o.hi))
+
+
+@dataclass
+class S1Interval:
+    """Longitude interval on the circle [-pi, pi], possibly inverted
+    (wrapping through pi).  Semantics per s1interval.h."""
+    lo: float
+    hi: float
+
+    @staticmethod
+    def empty() -> "S1Interval":
+        return S1Interval(math.pi, -math.pi)
+
+    @staticmethod
+    def full() -> "S1Interval":
+        return S1Interval(-math.pi, math.pi)
+
+    @staticmethod
+    def from_point_pair(p1: float, p2: float) -> "S1Interval":
+        if p1 == -math.pi:
+            p1 = math.pi
+        if p2 == -math.pi:
+            p2 = math.pi
+        if S1Interval._positive_distance(p1, p2) <= math.pi:
+            return S1Interval(p1, p2)
+        return S1Interval(p2, p1)
+
+    @staticmethod
+    def _positive_distance(a: float, b: float) -> float:
+        d = b - a
+        if d >= 0:
+            return d
+        return (b + math.pi) - (a - math.pi)
+
+    def is_full(self) -> bool:
+        return self.lo == -math.pi and self.hi == math.pi
+
+    def is_empty(self) -> bool:
+        return self.lo == math.pi and self.hi == -math.pi
+
+    def is_inverted(self) -> bool:
+        return self.lo > self.hi
+
+    def get_length(self) -> float:
+        length = self.hi - self.lo
+        if length >= 0:
+            return length
+        length += 2 * math.pi
+        return length if length > 0 else -1.0
+
+    def contains(self, p: float) -> bool:
+        if p == -math.pi:
+            p = math.pi
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def interior_contains(self, p: float) -> bool:
+        if p == -math.pi:
+            p = math.pi
+        if self.is_inverted():
+            return p > self.lo or p < self.hi
+        return (self.lo < p < self.hi) or self.is_full()
+
+    def contains_interval(self, o: "S1Interval") -> bool:
+        if self.is_inverted():
+            if o.is_inverted():
+                return o.lo >= self.lo and o.hi <= self.hi
+            return (o.lo >= self.lo or o.hi <= self.hi) and not self.is_empty()
+        if o.is_inverted():
+            return self.is_full() or o.is_empty()
+        return o.lo >= self.lo and o.hi <= self.hi
+
+    def intersects(self, o: "S1Interval") -> bool:
+        if self.is_empty() or o.is_empty():
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo <= self.hi or o.hi >= self.lo
+        if o.is_inverted():
+            return o.lo <= self.hi or o.hi >= self.lo
+        return o.lo <= self.hi and o.hi >= self.lo
+
+    def expanded(self, margin: float) -> "S1Interval":
+        if margin >= 0:
+            if self.is_empty():
+                return self
+            if self.get_length() + 2 * margin + 2 * DBL_EPSILON >= 2 * math.pi:
+                return S1Interval.full()
+        else:
+            if self.is_full():
+                return self
+            if self.get_length() + 2 * margin - 2 * DBL_EPSILON <= 0:
+                return S1Interval.empty()
+        lo = math.remainder(self.lo - margin, 2 * math.pi)
+        hi = math.remainder(self.hi + margin, 2 * math.pi)
+        if lo <= -math.pi:
+            lo = math.pi
+        return S1Interval(lo, hi)
+
+    def union(self, o: "S1Interval") -> "S1Interval":
+        if o.is_empty():
+            return self
+        if self.is_empty():
+            return o
+        if self.contains_interval(o):
+            return self
+        if o.contains_interval(self):
+            return o
+        # general case: extend toward the closer side
+        if self.intersects(o):
+            if o.contains(self.lo) and o.contains(self.hi):
+                return S1Interval.full()
+            lo = o.lo if o.contains(self.lo) else self.lo
+            hi = o.hi if o.contains(self.hi) else self.hi
+            return S1Interval(lo, hi)
+        dlo = S1Interval._positive_distance(o.hi, self.lo)
+        dhi = S1Interval._positive_distance(self.hi, o.lo)
+        if dlo < dhi:
+            return S1Interval(o.lo, self.hi)
+        return S1Interval(self.lo, o.hi)
+
+
+# ---------------------------------------------------------------------------
+# S2LatLngRect region
+# ---------------------------------------------------------------------------
+
+class LatLngRect:
+    __slots__ = ("lat", "lng")
+
+    def __init__(self, lat: R1Interval, lng: S1Interval):
+        self.lat = lat
+        self.lng = lng
+
+    @staticmethod
+    def from_degrees(lat_lo: float, lng_lo: float, lat_hi: float,
+                     lng_hi: float) -> "LatLngRect":
+        return LatLngRect(
+            R1Interval(math.radians(lat_lo), math.radians(lat_hi)),
+            S1Interval(math.radians(lng_lo), math.radians(lng_hi)))
+
+    @staticmethod
+    def empty() -> "LatLngRect":
+        return LatLngRect(R1Interval.empty(), S1Interval.empty())
+
+    @staticmethod
+    def full() -> "LatLngRect":
+        return LatLngRect(R1Interval(-math.pi / 2, math.pi / 2),
+                          S1Interval.full())
+
+    def is_empty(self) -> bool:
+        return self.lat.is_empty()
+
+    def contains_latlng(self, lat_rad: float, lng_rad: float) -> bool:
+        return self.lat.contains(lat_rad) and self.lng.contains(lng_rad)
+
+    def contains_point(self, p) -> bool:
+        return self.contains_latlng(_latitude(p), _longitude(p))
+
+    def contains_rect(self, o: "LatLngRect") -> bool:
+        return (self.lat.contains_interval(o.lat)
+                and self.lng.contains_interval(o.lng))
+
+    def intersects_rect(self, o: "LatLngRect") -> bool:
+        return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
+
+    def expanded(self, lat_margin: float, lng_margin: float) -> "LatLngRect":
+        lat = self.lat.expanded(lat_margin)
+        lng = self.lng.expanded(lng_margin)
+        if lat.is_empty() or lng.is_empty():
+            return LatLngRect.empty()
+        lat = R1Interval(max(lat.lo, -math.pi / 2), min(lat.hi, math.pi / 2))
+        return LatLngRect(lat, lng)
+
+    def polar_closure(self) -> "LatLngRect":
+        if self.lat.lo == -math.pi / 2 or self.lat.hi == math.pi / 2:
+            return LatLngRect(self.lat, S1Interval.full())
+        return self
+
+    # --- S2Region interface for the coverer ---
+    def contains_cell(self, cell: Cell) -> bool:
+        return self.contains_rect(cell.get_rect_bound())
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return self.intersects_rect(cell.get_rect_bound())
+
+    def get_cap_bound(self) -> "Cap":
+        """Conservative bounding cap (s2latlng_rect.cc GetCapBound)."""
+        if self.is_empty():
+            return Cap.empty()
+        # pole-centered cap
+        if self.lat.lo + self.lat.hi < 0:
+            pole_z, pole_angle = -1.0, math.pi / 2 + self.lat.hi
+        else:
+            pole_z, pole_angle = 1.0, math.pi / 2 - self.lat.lo
+        pole_cap = Cap.from_point_angle((0.0, 0.0, pole_z), pole_angle)
+        if self.lng.get_length() < 2 * math.pi:
+            mid_lng = self.lng.lo + 0.5 * S1Interval._positive_distance(
+                self.lng.lo, self.lng.hi)
+            mid_lat = 0.5 * (self.lat.lo + self.lat.hi)
+            mid_cap = Cap.from_point_angle(
+                latlng_to_point(mid_lat, math.remainder(mid_lng, 2 * math.pi)),
+                0.0)
+            for k in range(4):
+                lat = self.lat.lo if k in (0, 1) else self.lat.hi
+                lng = self.lng.lo if k in (0, 3) else self.lng.hi
+                mid_cap = mid_cap.add_point(latlng_to_point(lat, lng))
+            if mid_cap.radius2 < pole_cap.radius2:
+                return mid_cap
+        return pole_cap
+
+    def get_cell_union_bound(self) -> list:
+        return self.get_cap_bound().get_cell_union_bound()
+
+
+# ---------------------------------------------------------------------------
+# S2Cap region (center point + chord^2 radius; s2cap.cc)
+# ---------------------------------------------------------------------------
+
+class Cap:
+    __slots__ = ("center", "radius2")
+
+    def __init__(self, center, radius2: float):
+        self.center = center
+        self.radius2 = radius2  # squared chord length, in [-1(empty), 4(full)]
+
+    @staticmethod
+    def empty() -> "Cap":
+        return Cap((1.0, 0.0, 0.0), -1.0)
+
+    @staticmethod
+    def full() -> "Cap":
+        return Cap((1.0, 0.0, 0.0), 4.0)
+
+    @staticmethod
+    def from_point(p) -> "Cap":
+        return Cap(p, 0.0)
+
+    @staticmethod
+    def from_point_angle(p, angle_rad: float) -> "Cap":
+        return Cap(p, angle_to_chord2(angle_rad))
+
+    @staticmethod
+    def from_latlng_radius(lat_deg: float, lng_deg: float,
+                           radius_rad: float) -> "Cap":
+        p = latlng_to_point(math.radians(lat_deg), math.radians(lng_deg))
+        return Cap(p, angle_to_chord2(radius_rad))
+
+    def is_empty(self) -> bool:
+        return self.radius2 < 0
+
+    def is_full(self) -> bool:
+        return self.radius2 >= 4.0
+
+    def get_radius_rad(self) -> float:
+        return -1.0 if self.is_empty() else chord2_to_angle(self.radius2)
+
+    def complement(self) -> "Cap":
+        if self.is_full():
+            return Cap.empty()
+        if self.is_empty():
+            return Cap.full()
+        return Cap(_neg(self.center), 4.0 - self.radius2)
+
+    def add_point(self, p) -> "Cap":
+        if self.is_empty():
+            return Cap(p, 0.0)
+        return Cap(self.center, max(self.radius2, chord2(self.center, p)))
+
+    def expanded(self, extra_rad: float) -> "Cap":
+        if self.is_empty():
+            return Cap.empty()
+        return Cap(self.center,
+                   angle_to_chord2(self.get_radius_rad() + extra_rad))
+
+    def contains_point(self, p) -> bool:
+        return chord2(self.center, p) <= self.radius2
+
+    def _sin2(self) -> float:
+        # sin^2(radius) = r2 * (1 - r2/4) for chord^2 r2
+        return self.radius2 * (1.0 - 0.25 * self.radius2)
+
+    def _intersects(self, cell: Cell, vertices) -> bool:
+        """Cap intersects cell excluding its vertices (s2cap.cc:224-268)."""
+        if self.radius2 >= 2.0:  # >= 90 degrees: chord^2 of Right() is 2
+            return False
+        if self.is_empty():
+            return False
+        if cell.contains_point(self.center):
+            return True
+        sin2_angle = self._sin2()
+        for k in range(4):
+            edge = cell.get_edge_raw(k)
+            dot = _dot(self.center, edge)
+            if dot > 0:
+                continue
+            if dot * dot > sin2_angle * _norm2(edge):
+                return False
+            direction = _cross(edge, self.center)
+            if (_dot(direction, vertices[k]) < 0
+                    and _dot(direction, vertices[(k + 1) & 3]) > 0):
+                return True
+        return False
+
+    # --- S2Region interface ---
+    def contains_cell(self, cell: Cell) -> bool:
+        vertices = [cell.get_vertex(k) for k in range(4)]
+        for v in vertices:
+            if not self.contains_point(v):
+                return False
+        return not self.complement()._intersects(cell, vertices)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        vertices = [cell.get_vertex(k) for k in range(4)]
+        for v in vertices:
+            if self.contains_point(v):
+                return True
+        return self._intersects(cell, vertices)
+
+    def get_cap_bound(self) -> "Cap":
+        return self
+
+    def get_cell_union_bound(self) -> list:
+        """<=6-cell bound (s2cap.cc:198-222); returns python ints."""
+        lev = metrics.MIN_WIDTH.get_level_for_min_value(
+            self.get_radius_rad()) - 1
+        if lev < 0:
+            return [int(cellid.from_face(np.array([f]))[0]) for f in range(6)]
+        center_id = cellid.from_xyz(np.array([self.center[0]]),
+                                    np.array([self.center[1]]),
+                                    np.array([self.center[2]]))
+        return [int(v) for v in
+                cellid.append_vertex_neighbors(center_id, lev)[0]]
