@@ -1,0 +1,195 @@
+"""Spark column functions for S2 cell ids.
+
+Two tiers, chosen by what keeps the 100 TB hot path fastest:
+
+1. **Pure Spark SQL expressions** (this module's `*_col` builders): all
+   cell-id hierarchy math (level/parent/range/contains) is closed-form
+   bit arithmetic on int64 — expressed with shifts/masks so Catalyst
+   folds it into whole-stage codegen.  Even the Hilbert encode
+   (face,i,j) -> cell id runs JVM-side: the 1024-entry nibble lookup
+   table becomes a literal array + `element_at`, unrolled 8 rounds.
+   No Python, no Arrow transfer, fully vectorized by Tungsten.
+
+2. **Arrow-batched pandas UDFs** for paths that need doubles + trig
+   (lat/lng -> cell id, cell center), backed by the bit-exact NumPy
+   kernels in s2spark.kernels.cellid.
+
+Cell ids are stored as int64 (two's-complement view of the reference's
+uint64; all bit identities hold).  See SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .kernels import cellid
+
+MAX_LEVEL = cellid.MAX_LEVEL
+
+
+# ---------------------------------------------------------------------------
+# tier 1: pure SQL bit math (JVM codegen, no UDF)
+# ---------------------------------------------------------------------------
+
+def lsb_for_level(level: int) -> int:
+    return 1 << (2 * (MAX_LEVEL - level))
+
+
+def parent_col(cell: Column, level: int) -> Column:
+    """Ancestor at a fixed level: (id & -lsb) | lsb — pure bit math
+    (s2cell_id.h:650-658)."""
+    lsb = lsb_for_level(level)
+    return (cell.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+
+
+def lsb_col(cell: Column) -> Column:
+    return cell.bitwiseAND(-cell)
+
+
+def level_col(cell: Column) -> Column:
+    """level = 30 - ctz(id)/2, ctz via bit_count(lsb-1)."""
+    return (F.lit(MAX_LEVEL)
+            - F.bit_count(lsb_col(cell) - F.lit(1)).cast("long") / F.lit(2)
+            ).cast("long")
+
+
+def range_min_col(cell: Column) -> Column:
+    return cell - (lsb_col(cell) - F.lit(1))
+
+
+def range_max_col(cell: Column) -> Column:
+    return cell + (lsb_col(cell) - F.lit(1))
+
+
+def contains_cond(ancestor: Column, descendant: Column) -> Column:
+    """Join/filter condition: ancestor contains descendant.
+
+    Sign-safe for int64 storage: a cell's range never crosses the
+    signed/unsigned boundary because range endpoints share the cell's
+    face bits."""
+    return descendant.between(range_min_col(ancestor),
+                              range_max_col(ancestor))
+
+
+_LOOKUP_POS_SQL = "array(" + ",".join(
+    str(int(v)) + "L" for v in cellid.LOOKUP_POS) + ")"
+
+
+def from_face_ij_col(face: Column, i: Column, j: Column) -> Column:
+    """Hilbert encode (face,i,j)->leaf id in pure Spark SQL.
+
+    Mirrors the kernel's 8 lookup rounds (s2cell_id.cc:271-313) with the
+    nibble table inlined as a literal array; Java long arithmetic wraps
+    exactly like the reference's uint64 (two's complement)."""
+    f = face.cast("long")
+    i = i.cast("long")
+    j = j.cast("long")
+    n = F.shiftleft(f, 60)
+    bits = f.bitwiseAND(F.lit(1))
+    lookup = F.expr(_LOOKUP_POS_SQL)
+    for k in range(7, -1, -1):
+        idx = (bits
+               + F.shiftleft(F.shiftrightunsigned(i, 4 * k)
+                             .bitwiseAND(F.lit(15)), 6)
+               + F.shiftleft(F.shiftrightunsigned(j, 4 * k)
+                             .bitwiseAND(F.lit(15)), 2))
+        val = F.element_at(lookup, (idx + F.lit(1)).cast("int"))
+        n = n.bitwiseOR(F.shiftleft(F.shiftrightunsigned(val, 2), 8 * k))
+        bits = val.bitwiseAND(F.lit(3))
+    # id = n*2 + 1 wraps into the sign bit for faces 4-5; spell out the
+    # two's-complement wrap so the expression is ANSI-mode safe
+    half = F.lit(1 << 62)
+    return F.when(n >= half, (n - half - half) * F.lit(2) + F.lit(1)) \
+        .otherwise(n * F.lit(2) + F.lit(1))
+
+
+def face_col(cell: Column) -> Column:
+    return F.shiftrightunsigned(cell, 61)
+
+
+# ---------------------------------------------------------------------------
+# tier 2: Arrow-batched pandas UDFs over the NumPy kernels
+# ---------------------------------------------------------------------------
+
+@pandas_udf("long")
+def s2_cellid_from_latlng(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    ids = cellid.from_latlng(lat.to_numpy(np.float64),
+                             lng.to_numpy(np.float64))
+    return pd.Series(cellid.as_i64(ids))
+
+
+@pandas_udf("string")
+def s2_token(cell: pd.Series) -> pd.Series:
+    return pd.Series(cellid.to_token(cell.to_numpy(np.int64)))
+
+
+@pandas_udf("long")
+def s2_from_token(token: pd.Series) -> pd.Series:
+    return pd.Series(cellid.as_i64(cellid.from_token(token.tolist())))
+
+
+@pandas_udf("struct<lat:double,lng:double>")
+def s2_cell_center(cell: pd.Series) -> pd.DataFrame:
+    lat, lng = cellid.to_latlng(cell.to_numpy(np.int64))
+    return pd.DataFrame({"lat": lat, "lng": lng})
+
+
+@pandas_udf("struct<x:double,y:double,z:double>")
+def s2_cell_center_xyz(cell: pd.Series) -> pd.DataFrame:
+    x, y, z = cellid.to_point(cell.to_numpy(np.int64))
+    return pd.DataFrame({"x": x, "y": y, "z": z})
+
+
+@pandas_udf("array<long>")
+def s2_all_neighbors(cell: pd.Series, level: pd.Series) -> pd.Series:
+    arrs = cellid.append_all_neighbors(cell.to_numpy(np.int64),
+                                       level.to_numpy(np.int64))
+    return pd.Series([cellid.as_i64(a).tolist() for a in arrs])
+
+
+@pandas_udf("struct<x:double,y:double,z:double>")
+def s2_xyz_from_latlng(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+    from .kernels import coords
+    x, y, z = coords.latlng_to_xyz(lat.to_numpy(np.float64),
+                                   lng.to_numpy(np.float64))
+    return pd.DataFrame({"x": x, "y": y, "z": z})
+
+
+def make_covering_udf(max_cells: int = 8, min_level: int = 0,
+                      max_level: int = MAX_LEVEL, level_mod: int = 1,
+                      interior: bool = False):
+    """Per-row cap covering: (lat, lng, radius_rad) -> array<long>.
+
+    The coverer recursion is bounded (max_cells * levels), so each row is
+    O(1); rows stream through Arrow batches."""
+
+    @pandas_udf("array<long>")
+    def s2_cap_covering(lat: pd.Series, lng: pd.Series,
+                        radius: pd.Series) -> pd.Series:
+        from .kernels.coverer import RegionCoverer
+        from .kernels.region import Cap
+        rc = RegionCoverer(max_cells=max_cells, min_level=min_level,
+                           max_level=max_level, level_mod=level_mod)
+        out = []
+        for la, ln, r in zip(lat.to_numpy(np.float64),
+                             lng.to_numpy(np.float64),
+                             radius.to_numpy(np.float64)):
+            cap = Cap.from_latlng_radius(la, ln, r)
+            cells = (rc.get_interior_covering(cap) if interior
+                     else rc.get_covering(cap))
+            out.append(cellid.as_i64(cells).tolist())
+        return pd.Series(out)
+
+    return s2_cap_covering
+
+
+def chord2_col(x1: Column, y1: Column, z1: Column,
+               x2: Column, y2: Column, z2: Column) -> Column:
+    """Squared chord distance |a-b|^2 — the S1ChordAngle proxy; pure SQL
+    so kNN / disc filters stay in codegen."""
+    dx, dy, dz = x1 - x2, y1 - y2, z1 - z2
+    return dx * dx + dy * dy + dz * dz
