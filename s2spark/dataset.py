@@ -1,0 +1,71 @@
+"""Table loading + deterministic geotagging for the engine's inputs.
+
+The driver's synthetic tables (TPC-H-ish star schema, see TESTDATA.md)
+carry no coordinates.  Every spatial operator therefore runs over a
+*geotagged view*: a deterministic, oracle-reproducible derivation of
+(leaf cell id, unit xyz) from an integer key — the same role the
+north-star's phash-seeded coordinates play for the image table
+(BASELINE.json `input_hint`).  The derivation (s2spark.sources.geo) is
+bit-exact across NumPy / Spark SQL / DuckDB, which makes every join,
+tile assignment, and kNN ordering value-checkable by the DuckDB oracle.
+
+Scale notes: geotagging is a pure projection (no shuffle); the derived
+`cell_id` column is the engine's partitioning/sort key.  On a real
+deployment the leaf cell id would be computed once at ingest and stored
+(Iceberg sort order + bucket(cell_id)), so every downstream join starts
+from a cell-clustered table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import functions as s2f
+from .sources import geo
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# Key-space offsets so two tables never share a derived location
+# (customer 42 must not sit exactly on event 42).  Kept < 2^31 so every
+# intermediate in the LCG mix stays BIGINT-exact in all three dialects.
+OFFSETS = {"events": 0, "customer": 1_000_000_007, "supplier": 2_000_000_011,
+           "orders": 3_000_000_019, "part": 4_000_000_007}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def geotag(df: DataFrame, key_col: str, table: str,
+           mode: str = "udf") -> DataFrame:
+    """Attach (cell_id, x, y, z) derived from an integer key column.
+
+    mode="udf" (default): one Arrow-batched struct UDF over the bit-exact
+    NumPy kernels — tiny plan, vectorized execution.
+    mode="sql": pure Spark SQL bit math (whole-stage codegen, zero
+    Python) — same values; pays ~10 s Catalyst analysis for the inlined
+    Hilbert lookup table, so reserve it for long-running cluster jobs.
+    `cell_id` is the level-30 leaf id in both modes.
+    """
+    key = F.col(key_col) + F.lit(OFFSETS.get(table, 0))
+    if mode == "sql":
+        x, y, z = geo.xyz_cols(key)
+        return (df.withColumn("cell_id", geo.cell_col(key))
+                  .withColumn("x", x).withColumn("y", y).withColumn("z", z))
+    g = geo.geo_struct_udf()(key).alias("_g")
+    return df.select("*", g).select(*df.columns, "_g.*")
+
+
+def geo_key_sql(key_col: str, table: str) -> str:
+    """DuckDB expression for the offset key (oracle side)."""
+    return f"(({key_col}) + {OFFSETS.get(table, 0)})"
+
+
+def geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geotag(load(spark, sf_dir, "events"), "event_id", "events")
+
+
+def geotagged_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geotag(load(spark, sf_dir, "customer"), "c_custkey", "customer")

@@ -25,6 +25,14 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                               StringType, StructField, StructType)
+
+_LATLNG = StructType([StructField("lat", DoubleType()),
+                      StructField("lng", DoubleType())])
+_XYZ = StructType([StructField("x", DoubleType()),
+                   StructField("y", DoubleType()),
+                   StructField("z", DoubleType())])
 
 from .kernels import cellid
 
@@ -44,6 +52,14 @@ def parent_col(cell: Column, level: int) -> Column:
     (s2cell_id.h:650-658)."""
     lsb = lsb_for_level(level)
     return (cell.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+
+
+def parent_dyn_col(cell: Column, level: Column) -> Column:
+    """Ancestor at a per-row level column — lsb via a 31-entry literal
+    lookup (shiftleft takes no Column shift), then the same bit math."""
+    lut = F.array(*[F.lit(1 << (2 * (30 - lv))) for lv in range(31)])
+    lsb = F.element_at(lut, (level + F.lit(1)).cast("int"))
+    return cell.bitwiseAND(-lsb).bitwiseOR(lsb)
 
 
 def lsb_col(cell: Column) -> Column:
@@ -115,43 +131,43 @@ def face_col(cell: Column) -> Column:
 # tier 2: Arrow-batched pandas UDFs over the NumPy kernels
 # ---------------------------------------------------------------------------
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def s2_cellid_from_latlng(lat: pd.Series, lng: pd.Series) -> pd.Series:
     ids = cellid.from_latlng(lat.to_numpy(np.float64),
                              lng.to_numpy(np.float64))
     return pd.Series(cellid.as_i64(ids))
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def s2_token(cell: pd.Series) -> pd.Series:
     return pd.Series(cellid.to_token(cell.to_numpy(np.int64)))
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def s2_from_token(token: pd.Series) -> pd.Series:
     return pd.Series(cellid.as_i64(cellid.from_token(token.tolist())))
 
 
-@pandas_udf("struct<lat:double,lng:double>")
+@pandas_udf(_LATLNG)
 def s2_cell_center(cell: pd.Series) -> pd.DataFrame:
     lat, lng = cellid.to_latlng(cell.to_numpy(np.int64))
     return pd.DataFrame({"lat": lat, "lng": lng})
 
 
-@pandas_udf("struct<x:double,y:double,z:double>")
+@pandas_udf(_XYZ)
 def s2_cell_center_xyz(cell: pd.Series) -> pd.DataFrame:
     x, y, z = cellid.to_point(cell.to_numpy(np.int64))
     return pd.DataFrame({"x": x, "y": y, "z": z})
 
 
-@pandas_udf("array<long>")
+@pandas_udf(ArrayType(LongType()))
 def s2_all_neighbors(cell: pd.Series, level: pd.Series) -> pd.Series:
     arrs = cellid.append_all_neighbors(cell.to_numpy(np.int64),
                                        level.to_numpy(np.int64))
     return pd.Series([cellid.as_i64(a).tolist() for a in arrs])
 
 
-@pandas_udf("struct<x:double,y:double,z:double>")
+@pandas_udf(_XYZ)
 def s2_xyz_from_latlng(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
     from .kernels import coords
     x, y, z = coords.latlng_to_xyz(lat.to_numpy(np.float64),
@@ -167,7 +183,7 @@ def make_covering_udf(max_cells: int = 8, min_level: int = 0,
     The coverer recursion is bounded (max_cells * levels), so each row is
     O(1); rows stream through Arrow batches."""
 
-    @pandas_udf("array<long>")
+    @pandas_udf(ArrayType(LongType()))
     def s2_cap_covering(lat: pd.Series, lng: pd.Series,
                         radius: pd.Series) -> pd.Series:
         from .kernels.coverer import RegionCoverer
@@ -185,6 +201,65 @@ def make_covering_udf(max_cells: int = 8, min_level: int = 0,
         return pd.Series(out)
 
     return s2_cap_covering
+
+
+def make_cap_covering_xyz_udf(max_cells: int = 8, min_level: int = 0,
+                              max_level: int = MAX_LEVEL, level_mod: int = 1,
+                              interior: bool = False):
+    """Per-row cap covering from a unit axis: (x,y,z,radius2) -> array<long>.
+
+    radius2 is the squared-chord radius (the S1ChordAngle proxy used by
+    every distance filter), so covering + exact filter share one unit.
+    """
+
+    @pandas_udf(ArrayType(LongType()))
+    def s2_cap_covering_xyz(x: pd.Series, y: pd.Series, z: pd.Series,
+                            radius2: pd.Series) -> pd.Series:
+        from .kernels.coverer import RegionCoverer
+        from .kernels.region import Cap
+        rc = RegionCoverer(max_cells=max_cells, min_level=min_level,
+                           max_level=max_level, level_mod=level_mod)
+        out = []
+        for xx, yy, zz, r2 in zip(x.to_numpy(np.float64),
+                                  y.to_numpy(np.float64),
+                                  z.to_numpy(np.float64),
+                                  radius2.to_numpy(np.float64)):
+            cap = Cap((xx, yy, zz), r2)
+            cells = (rc.get_interior_covering(cap) if interior
+                     else rc.get_covering(cap))
+            out.append(cellid.as_i64(cells).tolist())
+        return pd.Series(out)
+
+    return s2_cap_covering_xyz
+
+
+@pandas_udf(ArrayType(LongType()))
+def s2_disk_cells(cell: pd.Series, level: pd.Series,
+                  rings: pd.Series) -> pd.Series:
+    """All cells at `level` within `rings` neighbor-rings of the cell's
+    ancestor — the kNN candidate frontier (SURVEY.md §3.3).
+
+    ring r ∪= AppendAllNeighbors(ring r-1); cross-face wrap handled by
+    the kernel (s2cell_id.cc:569-610).  Bounded: (2r+1)^2 cells/row.
+    """
+    out = []
+    lv = level.to_numpy(np.int64)
+    rg = rings.to_numpy(np.int64)
+    ids = cellid.parent(cell.to_numpy(np.int64), lv)
+    for k in range(len(ids)):
+        frontier = np.array([ids[k]], dtype=np.uint64)
+        seen = {int(ids[k])}
+        for _ in range(int(rg[k])):
+            nbrs = cellid.append_all_neighbors(
+                frontier, np.full(len(frontier), lv[k], dtype=np.int64))
+            new = {int(v) for arr in nbrs for v in arr} - seen
+            if not new:
+                break
+            seen |= new
+            frontier = np.array(sorted(new), dtype=np.uint64)
+        out.append(cellid.as_i64(
+            np.array(sorted(seen), dtype=np.uint64)).tolist())
+    return pd.Series(out)
 
 
 def chord2_col(x1: Column, y1: Column, z1: Column,

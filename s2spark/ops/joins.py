@@ -1,0 +1,181 @@
+"""Distributed spatial joins (SURVEY.md §2.3) — the heart of the graft.
+
+Four join shapes, all reduced to relational primitives Catalyst can
+optimize (equi-joins it can broadcast / shuffle-hash / sort-merge, with
+AQE skew splitting), never nested-loop:
+
+1. `cell_equi_join`     — both sides normalized to one level: plain
+   hash equi-join (S2CellIteratorJoin option A, s2cell_iterator_join.h).
+2. `containment_range_join` — Hilbert-interval containment expressed as
+   BETWEEN range join (range_min/range_max, s2cell_id.h:630-648); for
+   small region sets only (broadcast), since Spark has no range-join
+   index — large region sets go through `term_join` instead.
+3. `term_join`          — the S2RegionTermIndexer scheme
+   (s2region_term_indexer.cc:132-289): points emit ancestor "terms" at
+   each level in [min_level, max_level]; regions emit covering cells
+   clamped to the same level range; candidates = equi-join on the term.
+   Mixed-size regions and points meet in one shuffle.
+4. `disc_join`          — tolerant join (pairs within chord radius):
+   cap coverings on the query side + term join + exact chord^2 filter
+   (the refine step, same triage→exact shape as the reference's
+   TolerantJoin, s2cell_iterator_join.h:148-186).
+
+Skew: `salt_hot_cells` computes a cheap per-cell histogram, replicates
+the build side `factor` ways for hot cells, and splits the probe side
+by a deterministic hash — explicit handling per the north rule, with
+AQE skew-join as the backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import functions as s2f
+
+# Term-indexer defaults (s2region_term_indexer.h:140-189)
+MIN_TERM_LEVEL = 4
+MAX_TERM_LEVEL = 16
+
+
+def cell_equi_join(left: DataFrame, right: DataFrame, level: int,
+                   cell_left: str = "cell_id", cell_right: str = "cell_id",
+                   how: str = "inner") -> DataFrame:
+    """Normalize both sides to `level` and hash-equi-join.
+
+    The join key is pure bit math, so it folds into the scan projection;
+    Catalyst/AQE pick broadcast vs shuffle by size.
+    """
+    lk = s2f.parent_col(F.col(cell_left), level).alias("_jcell")
+    rk = s2f.parent_col(F.col(cell_right), level).alias("_jcell")
+    return (left.withColumn("_jcell", lk)
+                .join(right.withColumn("_jcell", rk), "_jcell", how)
+                .drop("_jcell"))
+
+
+def containment_range_join(points: DataFrame, regions: DataFrame,
+                           point_cell: str = "cell_id",
+                           region_cell: str = "rcell",
+                           broadcast_regions: bool = True) -> DataFrame:
+    """All (point, region-cell) pairs where the region cell is an
+    ancestor of the point's leaf cell — Hilbert interval containment.
+
+    BETWEEN joins have no hash strategy; only safe when the region side
+    broadcasts (coverings are small: <= max_cells per region).
+    """
+    r = F.broadcast(regions) if broadcast_regions else regions
+    rc = F.col(region_cell)
+    cond = F.col(point_cell).between(s2f.range_min_col(rc),
+                                     s2f.range_max_col(rc))
+    return points.join(r, cond)
+
+
+def point_terms(points: DataFrame, cell_col: str = "cell_id",
+                min_level: int = MIN_TERM_LEVEL,
+                max_level: int = MAX_TERM_LEVEL) -> DataFrame:
+    """Explode each point into ancestor terms at every level in range
+    (the "ancestor terms" fast path, s2region_term_indexer.cc:148-151).
+
+    Pure SQL: explode(levels) + dynamic-parent bit math — stays in
+    whole-stage codegen; fan-out = max_level - min_level + 1.
+    """
+    lv = F.explode(F.array(*[F.lit(x) for x
+                             in range(min_level, max_level + 1)]))
+    return (points.withColumn("_lv", lv)
+            .withColumn("term", s2f.parent_dyn_col(F.col(cell_col),
+                                                   F.col("_lv")))
+            .drop("_lv"))
+
+
+def term_join(points: DataFrame, region_cells: DataFrame,
+              point_cell: str = "cell_id", region_cell: str = "rcell",
+              min_level: int = MIN_TERM_LEVEL,
+              max_level: int = MAX_TERM_LEVEL) -> DataFrame:
+    """Candidate pairs: point ⋈ region-covering on the shared term.
+
+    `region_cells` must hold one row per covering cell with levels
+    within [min_level, max_level] (the coverer enforces this).  The
+    guarantee mirrors s2region_term_indexer.h:18-95: every point inside
+    any covering cell is matched, because the point emits that cell's id
+    as an ancestor term.  Output may contain duplicates when coverings
+    overlap — callers dedupe on their pair key after the exact filter.
+    """
+    pts = point_terms(points, point_cell, min_level, max_level)
+    return pts.join(region_cells.withColumnRenamed(region_cell, "term"),
+                    "term").drop("term")
+
+
+def disc_level(radius_rad: float) -> int:
+    """Coarsest level whose min cell width covers the radius, so a 3x3
+    neighbor ring around the query's cell contains the whole disc
+    (kMinWidth inversion, s2metrics.h:181-192)."""
+    from ..kernels import metrics
+    lv = metrics.MIN_WIDTH.get_level_for_min_value(radius_rad)
+    return max(0, min(lv, 30))
+
+
+def disc_join(points: DataFrame, queries: DataFrame, radius_rad: float,
+              query_id: str, point_id: str,
+              level: int | None = None) -> DataFrame:
+    """Exact tolerant join: all (query, point) pairs with chord^2 <= r2.
+
+    points:  (point_id, cell_id, x, y, z, ...)
+    queries: (query_id, cell_id, x, y, z, ...)
+
+    Plan: candidates = 3x3 neighbor ring of level-ℓ cells per query
+    (ℓ from the radius via kMinWidth — ring covers the disc; tiny
+    pandas-UDF only on the query side) equi-joined against
+    parent(point_cell, ℓ); then the exact chord^2 filter.  Each point
+    lives in exactly one level-ℓ cell and ring cells are distinct, so
+    pairs are already unique — no dedup shuffle.  Correctness rests on
+    the exact filter alone (same doubles as the DuckDB oracle); the
+    ring is only a candidate superset (TolerantJoin analogue,
+    s2cell_iterator_join.h:148-186).
+    """
+    import math
+    r2 = (2.0 * math.sin(0.5 * min(radius_rad, math.pi))) ** 2
+    lv = disc_level(radius_rad) if level is None else level
+    q = (queries.select(query_id,
+                        F.col("x").alias("_qx"), F.col("y").alias("_qy"),
+                        F.col("z").alias("_qz"),
+                        F.explode(s2f.s2_disk_cells(
+                            F.col("cell_id"), F.lit(lv),
+                            F.lit(1))).alias("_jc")))
+    p = points.withColumn("_jc", s2f.parent_col(F.col("cell_id"), lv))
+    d2 = s2f.chord2_col(F.col("_qx"), F.col("_qy"), F.col("_qz"),
+                        F.col("x"), F.col("y"), F.col("z"))
+    return (p.join(q, "_jc")
+             .where(d2 <= F.lit(r2))
+             .select(query_id, point_id, d2.alias("dist2")))
+
+
+def salt_hot_cells(probe: DataFrame, build: DataFrame, key: str,
+                   probe_uid: str, factor: int = 8,
+                   hot_threshold: int = 100_000
+                   ) -> tuple[DataFrame, DataFrame, list]:
+    """Explicit hot-key salting for cell equi-joins (north rule).
+
+    A cheap pre-pass histograms the probe side per cell (map-side
+    combine makes this one small shuffle); cells above `hot_threshold`
+    get split `factor` ways: probe rows pick a deterministic salt from
+    their uid hash, build rows replicate across all salts.  Returns the
+    salted frames joined on (key, _salt) plus the hot-cell list for
+    metrics.  Mirrors S2RegionSharder's weight-balanced assignment
+    (s2region_sharder.cc:114-136) in spirit; AQE skew-join remains on as
+    backstop for moderate skew.
+    """
+    hot = [r[0] for r in (probe.groupBy(key).count()
+                          .where(F.col("count") > hot_threshold)
+                          .select(key).collect())]
+    if not hot:
+        z = F.lit(0)
+        return probe.withColumn("_salt", z), build.withColumn("_salt", z), []
+    hot_col = F.col(key).isin(hot)
+    p = probe.withColumn(
+        "_salt", F.when(hot_col, F.pmod(F.xxhash64(F.col(probe_uid)),
+                                        F.lit(factor)).cast("int"))
+                  .otherwise(F.lit(0)))
+    salts = F.when(hot_col, F.array(*[F.lit(i) for i in range(factor)])) \
+             .otherwise(F.array(F.lit(0)))
+    b = build.withColumn("_salt", F.explode(salts))
+    return p, b, hot

@@ -1,0 +1,113 @@
+"""Distributed kNN via expanding cell-neighbor rings (SURVEY.md §3.3).
+
+The reference's S2ClosestPointQuery runs a driver-local best-first
+priority-queue search (s2closest_point_query_base.h:550-769) — that
+doesn't distribute.  The BSP equivalent: every query joins the point
+table on the cells within r neighbor-rings of its own cell at level ℓ;
+queries whose k-th candidate distance is provably inside the covered
+region are done; the rest re-join with r+1.  The stop bound is the
+metric argument the reference itself uses: escaping a ring-r disk of
+level-ℓ cells crosses >= r full cells, each at least kMinWidth(ℓ) wide
+(s2metrics.cc:39-124), so any point outside is at angle >= r·minWidth.
+
+Ordering/tie-break matches the reference Result order (distance, then
+id) (s2closest_point_query_base.h:200-206) — chord^2 compared as
+doubles, bit-identical to the DuckDB oracle.
+
+Scale: each round is one equi-join on the ring-cell key (shuffle or
+broadcast by size) + a windowed top-k.  The candidate fan-out is
+(2r+1)^2 per query; unsatisfied queries shrink geometrically per round
+(uniformly ~0 after round 1 when ℓ is chosen from the measured density),
+so the loop is 2-3 rounds in practice, with a brute-force fallback for
+the stragglers — the same brute-force-below-threshold strategy the
+reference applies (s2closest_point_query_base.h:534-537).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import functions as s2f
+from ..kernels import metrics
+
+
+def pick_level(n_points: int, k: int, target_per_ring: int | None = None
+               ) -> int:
+    """Level where one 3x3 ring is expected to hold ~4k candidates."""
+    want = target_per_ring or max(4 * k, 32)
+    lv = 0
+    while lv < 30 and n_points / (6.0 * 4.0 ** (lv + 1)) * 9.0 >= want:
+        lv += 1
+    return lv
+
+
+def _covered_chord2(level: int, rings: int) -> float:
+    ang = min(metrics.MIN_WIDTH.get_value(level) * rings, math.pi)
+    return (2.0 * math.sin(0.5 * ang)) ** 2
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int,
+             query_id: str, point_id: str, level: int,
+             max_rounds: int = 3) -> DataFrame:
+    """k nearest points per query -> (query_id, point_id, dist2, rank).
+
+    points:  (point_id, cell_id, x, y, z); queries: (query_id, cell_id,
+    x, y, z).  `level` = ring cell level (use pick_level()).
+    """
+    pts = points.select(
+        point_id, F.col("x").alias("_px"), F.col("y").alias("_py"),
+        F.col("z").alias("_pz"),
+        s2f.parent_col(F.col("cell_id"), level).alias("_pcell"))
+    remaining = queries.select(query_id, "cell_id", "x", "y", "z")
+    done = []
+    rings = 1
+    for _ in range(max_rounds):
+        cand_cells = remaining.withColumn(
+            "_cells", s2f.s2_disk_cells(F.col("cell_id"), F.lit(level),
+                                        F.lit(rings)))
+        cand = (cand_cells
+                .select(query_id, "cell_id", "x", "y", "z",
+                        F.explode("_cells").alias("_pcell"))
+                .join(pts, "_pcell"))
+        d2 = s2f.chord2_col(F.col("x"), F.col("y"), F.col("z"),
+                            F.col("_px"), F.col("_py"), F.col("_pz"))
+        w = Window.partitionBy(query_id).orderBy(F.col("dist2"),
+                                                 F.col(point_id))
+        topk = (cand.withColumn("dist2", d2)
+                    .withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k))
+        bound = _covered_chord2(level, rings)
+        stats = (topk.groupBy(query_id)
+                     .agg(F.max("dist2").alias("_kth"),
+                          F.count(F.lit(1)).alias("_n")))
+        ok_ids = stats.where((F.col("_n") == k) & (F.col("_kth") < bound)) \
+                      .select(query_id)
+        done.append(topk.join(ok_ids, query_id, "left_semi")
+                        .select(query_id, point_id, "dist2", "rank"))
+        remaining = remaining.join(ok_ids, query_id, "left_anti")
+        remaining.cache()
+        if remaining.isEmpty():
+            remaining.unpersist()
+            remaining = None
+            break
+        rings *= 2
+    if remaining is not None:
+        # brute-force stragglers (rare): cross join + window top-k
+        d2 = s2f.chord2_col(F.col("x"), F.col("y"), F.col("z"),
+                            F.col("_px"), F.col("_py"), F.col("_pz"))
+        w = Window.partitionBy(query_id).orderBy(F.col("dist2"),
+                                                 F.col(point_id))
+        bf = (remaining.crossJoin(pts)
+              .withColumn("dist2", d2)
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select(query_id, point_id, "dist2", "rank"))
+        done.append(bf)
+        remaining.unpersist()
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

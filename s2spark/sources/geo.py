@@ -69,6 +69,44 @@ def xyz_np(key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Arrow-batched dialect (the default hot path)
+#
+# The pure-SQL encode below is correct and JVM-resident, but its 8x1024
+# literal lookup array costs ~10 s of Catalyst *analysis* per derived
+# DataFrame — fine amortized over a 10^12-row cluster job, dominant in
+# short benchmark queries.  The pandas-UDF form keeps the plan tiny and
+# runs the identical NumPy kernel arithmetic (bit-exact), vectorized
+# over Arrow batches — the north-star's stated execution model.
+# ---------------------------------------------------------------------------
+
+_GEO_STRUCT = None
+
+
+def geo_struct_udf():
+    """key:int64 -> struct<cell_id:long, x:double, y:double, z:double>."""
+    global _GEO_STRUCT
+    if _GEO_STRUCT is None:
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        ret = StructType([StructField("cell_id", LongType()),
+                          StructField("x", DoubleType()),
+                          StructField("y", DoubleType()),
+                          StructField("z", DoubleType())])
+
+        @pandas_udf(ret)
+        def _geo(key):
+            k = key.to_numpy(np.int64)
+            cell = cell_np(k)
+            x, y, z = xyz_np(k)
+            return pd.DataFrame({"cell_id": cell, "x": x, "y": y, "z": z})
+
+        _GEO_STRUCT = _geo
+    return _GEO_STRUCT
+
+
+# ---------------------------------------------------------------------------
 # Spark SQL dialect (pure Column expressions -> whole-stage codegen)
 # ---------------------------------------------------------------------------
 
@@ -203,3 +241,56 @@ def parent_sql(cell: str, level: int) -> str:
     """DuckDB: ancestor at level (bit math, sign-safe)."""
     lsb = 1 << (2 * (30 - level))
     return f"((({cell}) & {-lsb}) | {lsb})"
+
+
+def geo_table_sql(table: str, key_sql: str, keep: list[str],
+                  with_xyz: bool = True) -> str:
+    """Compact oracle emitter: a derived-table SQL string computing
+    (keep..., cell[, x, y, z]) for every row of `table`.
+
+    Unlike the single-expression emitters above (which expand the
+    Hilbert `bits` recurrence exponentially — MBs of SQL), this chains
+    nested SELECTs so every intermediate is referenced *by column name*:
+    the 1024-entry lookup table literal appears exactly once and each of
+    the 8 encode rounds is ~300 chars.  Arithmetic is identical, so
+    results stay bit-exact with the NumPy/Spark dialects.
+    """
+    k = ", ".join(keep)
+    face, i, j = geo_sql(key_sql)
+    cur = (f"SELECT {k}, {face} AS face, {i} AS i, {j} AS j, "
+           f"{_LOOKUP_POS_LIST} AS lt FROM {table}")
+    cur = (f"SELECT {k}, face, i, j, lt, (face::BIGINT << 60) AS n, "
+           f"(face & 1)::BIGINT AS bits FROM ({cur})")
+    for r in range(7, -1, -1):
+        idx = (f"(bits + (((i >> {4 * r}) & 15) << 6)"
+               f" + (((j >> {4 * r}) & 15) << 2))")
+        val = f"((lt[{idx} + 1])::BIGINT)"
+        cur = (f"SELECT {k}, face, i, j, lt, "
+               f"(n | (({val} >> 2) << {8 * r})) AS n, "
+               f"({val} & 3) AS bits FROM ({cur})")
+    half = 1 << 62
+    cell = (f"(CASE WHEN n >= {half} THEN (n - {half} - {half}) * 2 + 1 "
+            f"ELSE n * 2 + 1 END)")
+    if not with_xyz:
+        return f"(SELECT {k}, {cell} AS cell FROM ({cur}))"
+    lim = float(1 << 30)
+    cur = (f"SELECT {k}, face, {cell} AS cell, "
+           f"((i + 0.5) / {lim}) AS s, ((j + 0.5) / {lim}) AS t "
+           f"FROM ({cur})")
+    cur = (f"SELECT {k}, face, cell, {_st_to_uv_sql('s')} AS u, "
+           f"{_st_to_uv_sql('t')} AS v FROM ({cur})")
+    fx = ("(CASE WHEN face=0 THEN 1.0 WHEN face=1 THEN -u "
+          "WHEN face=2 THEN -u WHEN face=3 THEN -1.0 "
+          "WHEN face=4 THEN v ELSE v END)")
+    fy = ("(CASE WHEN face=0 THEN u WHEN face=1 THEN 1.0 "
+          "WHEN face=2 THEN -v WHEN face=3 THEN -v "
+          "WHEN face=4 THEN -1.0 ELSE u END)")
+    fz = ("(CASE WHEN face=0 THEN v WHEN face=1 THEN v "
+          "WHEN face=2 THEN 1.0 WHEN face=3 THEN -u "
+          "WHEN face=4 THEN -u ELSE -1.0 END)")
+    cur = (f"SELECT {k}, cell, {fx} AS fx, {fy} AS fy, {fz} AS fz "
+           f"FROM ({cur})")
+    cur = (f"SELECT {k}, cell, fx, fy, fz, "
+           f"sqrt(fx*fx + fy*fy + fz*fz) AS nrm FROM ({cur})")
+    return (f"(SELECT {k}, cell, fx/nrm AS x, fy/nrm AS y, fz/nrm AS z "
+            f"FROM ({cur}))")

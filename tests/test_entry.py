@@ -1,0 +1,40 @@
+"""Driver-mirror: every queries() entry must value-match its oracle_sql()
+on the same parquet tables (the driver does this at sf0.01; we use
+sf0.001 for speed).  Doubles are compared bit-exactly — the engine's
+geo derivation is specified to be IEEE-identical across dialects."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    got = _canon(q(spark, SF_DIR).toPandas())
+    if sql is None:
+        assert len(got) >= 0  # rows-only check (driver does the same)
+        return
+    want = _canon(duck.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind == "f":
+            assert np.array_equal(g, w), f"{name}.{c} float mismatch"
+        else:
+            assert (g == w).all(), f"{name}.{c} mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
