@@ -76,7 +76,7 @@ def q_containment_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "cell_id")
     cu = dataset.geotagged_customers(spark, sf_dir).select(
         "c_custkey", s2f.parent_col(F.col("cell_id"), 5).alias("rcell"))
-    j = joins.containment_range_join(ev, cu)
+    j = joins.containment_join(ev, cu)
     return (j.groupBy("c_custkey")
              .agg(F.count(F.lit(1)).alias("n_events")))
 

@@ -63,6 +63,33 @@ def geo_key_sql(key_col: str, table: str) -> str:
     return f"(({key_col}) + {OFFSETS.get(table, 0)})"
 
 
+def synth_images(spark: SparkSession, n_rows: int,
+                 partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic image-metadata table per BASELINE.json
+    `input_hint`: (image_id, w, h, fmt, caption, phash) + phash-seeded
+    geo columns (cell_id, x, y, z).  No external data; the same rows
+    come out at any parallelism, so scaling runs compare identical
+    inputs.  `bytes` is intentionally absent here — payload codecs are
+    exercised by the small-scale image tests, not the throughput job.
+    """
+    base = spark.range(0, n_rows, numPartitions=partitions or
+                       spark.sparkContext.defaultParallelism * 4)
+    m1 = geo.mix_col(F.col("id"), 11)
+    m2 = geo.mix_col(F.col("id"), 12)
+    df = base.select(
+        F.format_string("img%012d", F.col("id")).alias("image_id"),
+        (F.lit(256) + (geo.mix_col(F.col("id"), 13) % 768))
+        .cast("int").alias("w"),
+        (F.lit(256) + (geo.mix_col(F.col("id"), 14) % 768))
+        .cast("int").alias("h"),
+        F.when(geo.mix_col(F.col("id"), 15) % 2 == 0, "png")
+        .otherwise("jpeg").alias("fmt"),
+        F.format_string("synthetic caption %d", F.col("id"))
+        .alias("caption"),
+        (m1 * F.lit(2147483647) + m2).alias("phash"))
+    return geotag(df, "phash", "images")
+
+
 def geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geotag(load(spark, sf_dir, "events"), "event_id", "events")
 

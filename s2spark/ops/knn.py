@@ -60,25 +60,31 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     pts = points.select(
         point_id, F.col("x").alias("_px"), F.col("y").alias("_py"),
         F.col("z").alias("_pz"),
-        s2f.parent_col(F.col("cell_id"), level).alias("_pcell"))
+        s2f.prefix_col(F.col("cell_id"), level).alias("_pcell")).cache()
     remaining = queries.select(query_id, "cell_id", "x", "y", "z")
     done = []
     rings = 1
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         cand_cells = remaining.withColumn(
             "_cells", s2f.s2_disk_cells(F.col("cell_id"), F.lit(level),
                                         F.lit(rings)))
         cand = (cand_cells
                 .select(query_id, "cell_id", "x", "y", "z",
-                        F.explode("_cells").alias("_pcell"))
+                        F.explode("_cells").alias("_rc"))
+                .select(query_id, "cell_id", "x", "y", "z",
+                        s2f.prefix_col(F.col("_rc"), level).alias("_pcell"))
                 .join(pts, "_pcell"))
         d2 = s2f.chord2_col(F.col("x"), F.col("y"), F.col("z"),
                             F.col("_px"), F.col("_py"), F.col("_pz"))
         w = Window.partitionBy(query_id).orderBy(F.col("dist2"),
                                                  F.col(point_id))
+        # Materialize the per-round top-k (tiny: |queries| * k rows) so
+        # later rounds and the final union never recompute this round's
+        # candidate join — without this the union replays every round.
         topk = (cand.withColumn("dist2", d2)
                     .withColumn("rank", F.row_number().over(w))
-                    .where(F.col("rank") <= k))
+                    .where(F.col("rank") <= k)
+                    .localCheckpoint(eager=True))
         bound = _covered_chord2(level, rings)
         stats = (topk.groupBy(query_id)
                      .agg(F.max("dist2").alias("_kth"),
@@ -87,10 +93,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                       .select(query_id)
         done.append(topk.join(ok_ids, query_id, "left_semi")
                         .select(query_id, point_id, "dist2", "rank"))
-        remaining = remaining.join(ok_ids, query_id, "left_anti")
-        remaining.cache()
+        remaining = (remaining.join(ok_ids, query_id, "left_anti")
+                     .localCheckpoint(eager=True))
         if remaining.isEmpty():
-            remaining.unpersist()
             remaining = None
             break
         rings *= 2
@@ -106,7 +111,6 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
               .where(F.col("rank") <= k)
               .select(query_id, point_id, "dist2", "rank"))
         done.append(bf)
-        remaining.unpersist()
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)

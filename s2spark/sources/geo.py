@@ -32,19 +32,62 @@ def _lcg_np(x: np.ndarray) -> np.ndarray:
     return (x % P) * M % P
 
 
+def _mod_p_inplace(h: np.ndarray, t: np.ndarray) -> None:
+    """h %= P in place, for 0 <= h < 2^62, without integer division:
+    P = 2^31 - 1 is Mersenne, so 2^31 ≡ 1 (mod P) and folding the high
+    bits onto the low bits preserves the residue.  Two folds bring h
+    below 2^31 + 1; one conditional subtract lands in [0, P)."""
+    np.right_shift(h, 31, out=t)
+    np.bitwise_and(h, P, out=h)
+    np.add(h, t, out=h)
+    np.right_shift(h, 31, out=t)
+    np.bitwise_and(h, P, out=h)
+    np.add(h, t, out=h)
+    np.subtract(h, P, out=h, where=h >= P)
+
+
 def mix_np(key: np.ndarray, salt: int) -> np.ndarray:
+    """Semantically  lcg(xor-fold(lcg(key + c1))) + salt  with
+    lcg(x) = (x % P) * M % P — identical values to the Spark/DuckDB
+    dialects, computed divisionless (Mersenne fold) and in place."""
     k = np.asarray(key, dtype=np.int64)
-    h = _lcg_np(k + (salt * 1000003 + 12345))
-    h = h ^ (h >> 13)
-    return _lcg_np(h + salt)
+    neg = k.min() < 0 if k.size else False
+    h = k + (salt * 1000003 + 12345)
+    t = np.empty_like(h)
+    if neg:  # rare: fall back to true division semantics for negatives
+        np.mod(h, P, out=h)
+    else:
+        _mod_p_inplace(h, t)
+    np.multiply(h, M, out=h)
+    _mod_p_inplace(h, t)
+    np.right_shift(h, 13, out=t)
+    np.bitwise_xor(h, t, out=h)
+    np.add(h, salt, out=h)
+    _mod_p_inplace(h, t)
+    np.multiply(h, M, out=h)
+    _mod_p_inplace(h, t)
+    return h
 
 
 def geo_np(key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """key -> (face, i, j) with i,j uniform in [0, 2^30)."""
+    """key -> (face, i, j) with i,j uniform in [0, 2^30).
+
+    % 32768 == & 32767 and *32768 == <<15 for the nonneg mix outputs —
+    same values as the Spark/DuckDB dialects, no integer division."""
     k = np.asarray(key, dtype=np.int64)
     face = mix_np(k, 1) % 6
-    i = (mix_np(k, 2) % 32768) * 32768 + (mix_np(k, 3) % 32768)
-    j = (mix_np(k, 4) % 32768) * 32768 + (mix_np(k, 5) % 32768)
+    i = mix_np(k, 2)
+    np.bitwise_and(i, 32767, out=i)
+    np.left_shift(i, 15, out=i)
+    i3 = mix_np(k, 3)
+    np.bitwise_and(i3, 32767, out=i3)
+    np.add(i, i3, out=i)
+    j = mix_np(k, 4)
+    np.bitwise_and(j, 32767, out=j)
+    np.left_shift(j, 15, out=j)
+    j5 = mix_np(k, 5)
+    np.bitwise_and(j5, 32767, out=j5)
+    np.add(j, j5, out=j)
     return face, i, j
 
 
