@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from s2spark import dataset
 from s2spark import functions as s2f
-from s2spark.ops import joins, knn, tiles
+from s2spark.ops import ann, joins, knn, measures, text, tiles
 from s2spark.sources import geo
 
 DISC_RADIUS_RAD = 0.05          # ~318 km query discs
@@ -105,6 +105,83 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return dataset.load(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir)) \
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("len_chars").cast("long").alias("len_chars"),
+                "chars_per_token")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir)) \
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "ttr", "quality")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(_docs(spark, sf_dir)) \
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                "min_hash", "max_hash")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lsh_candidate_pairs(_docs(spark, sf_dir)) \
+        .select("doc_a", "doc_b",
+                F.col("sig_matches").cast("long").alias("sig_matches"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.simhash(_docs(spark, sf_dir))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = dataset.load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 20 == 0) \
+            .select(F.col("vec_id").alias("qid"), "embedding")
+    return ann.cosine_topk(emb.select("vec_id", "embedding"), qs, k=5)
+
+
+def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = dataset.load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 20 == 0) \
+            .select(F.col("vec_id").alias("qid"), "embedding")
+    return ann.lsh_ann(emb.select("vec_id", "embedding"), qs, k=5)
+
+
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = dataset.geotagged_customers(spark, sf_dir) \
+        .select("c_custkey", "x", "y", "z")
+    su = dataset.geotag(dataset.load(spark, sf_dir, "supplier"),
+                        "s_suppkey", "supplier") \
+        .select("s_suppkey", "x", "y", "z")
+    return measures.hausdorff2(cu, su, "c_custkey")
+
+
+def q_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    return measures.track_segments(ev, "user_id", ["ts", "event_id"]) \
+        .select("user_id", F.col("seq").cast("int").alias("seq"), "dist2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: disc join (tolerant spatial join) at sf0.001."""
     return q_disc_join(spark, "/root/testdata/sf0.001")
@@ -118,6 +195,154 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_range_join": q_containment_range_join,
         "disc_join": q_disc_join,
         "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_ann": q_embedding_lsh_ann,
+        "hausdorff": q_hausdorff,
+        "track_segments": q_track_segments,
+    }
+
+
+def _shingle_code_sql(s: str) -> str:
+    """Mirror of text._shingle_hash: 5 x 7-bit ascii positional code."""
+    parts = [f"CAST(ascii(substring({s}, 1, 1)) AS BIGINT)"]
+    for k in range(1, text.SHINGLE):
+        parts.append(f"CAST(ascii(substring({s}, {k + 1}, 1)) AS BIGINT)"
+                     f" * {128 ** k}")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _text_oracles() -> dict[str, str]:
+    from s2spark.ops.ann import N_PLANES, plane_weights
+    mh = text.MINHASH_SALT
+    shingle_expr = f"substring(text, pos, {text.SHINGLE})"
+    codes_cte = (
+        f"codes AS (SELECT doc_id, {_shingle_code_sql(shingle_expr)} "
+        f"AS code FROM (SELECT doc_id, text, "
+        f"unnest(generate_series(1, length(text) - {text.SHINGLE - 1}))"
+        f" AS pos FROM documents WHERE length(text) >= {text.SHINGLE}))")
+    sig_cols = ", ".join(
+        f"MIN({geo.mix_sql('code', mh + j)}) AS m{j}"
+        for j in range(text.N_HASHES))
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"a.m{b * text.ROWS_PER_BAND + r} = b.m{b * text.ROWS_PER_BAND + r}"
+            for r in range(text.ROWS_PER_BAND)) + ")"
+        for b in range(text.BANDS))
+    sig_matches = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END"
+        for j in range(text.N_HASHES))
+
+    # lang_id: mirror the iterative argmax exactly (first-wins on ties)
+    langs = list(text.LANG_MARKERS)
+    occ_terms = {}
+    for lang, words in text.LANG_MARKERS.items():
+        terms = []
+        for w in words:
+            tok = f" {w} "
+            p = "(' ' || text || ' ')"
+            terms.append(
+                f"CAST((length({p}) - length(replace({p}, '{tok}', '')))"
+                f" / {len(tok)} AS BIGINT)")
+        occ_terms[lang] = "(" + " + ".join(terms) + ")"
+    pred_sql, best_sql = f"'{langs[0]}'", f"score_{langs[0]}"
+    for lang in langs[1:]:
+        s = f"score_{lang}"
+        pred_sql = (f"CASE WHEN {s} > {best_sql} THEN '{lang}' "
+                    f"ELSE {pred_sql} END")
+        best_sql = (f"CASE WHEN {s} > {best_sql} THEN {s} "
+                    f"ELSE {best_sql} END")
+
+    # simhash: 16 vote sums then bit reassembly
+    tok_code = _shingle_code_sql(f"rpad(tok, {text.SHINGLE}, ' ')")
+    h_sql = geo.mix_sql(tok_code, text.SIMHASH_SALT)
+    vote_cols = ", ".join(
+        f"SUM((((h >> {b}) & 1) * 2 - 1)) AS s{b}"
+        for b in range(text.SIMHASH_BITS))
+    sim_expr = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(text.SIMHASH_BITS))
+
+    # embeddings: doubles-fold dot products (bit-exact with Spark's
+    # aggregate(zip_with) — verified)
+    emb_cte = ("v AS (SELECT vec_id, list_transform(embedding, "
+               "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+               "n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 "
+               "FROM v)")
+    bucket_terms = []
+    for p in range(N_PLANES):
+        w = ", ".join("%.1f" % float(x) for x in plane_weights(p))
+        bucket_terms.append(f"(CASE WHEN list_dot_product(e, [{w}]) > 0 "
+                            f"THEN {1 << p} ELSE 0 END)")
+    bucket_sql = "(" + " + ".join(bucket_terms) + ")"
+
+    return {
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS "
+            "n_docs, MIN(doc_id) AS keep_doc_id FROM documents GROUP BY 1"),
+        "token_stats": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_tokens, CAST(length(text) AS BIGINT) AS len_chars, "
+            "CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) "
+            "AS chars_per_token FROM documents"),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+            "tok FROM documents), a AS (SELECT doc_id, CAST(COUNT(*) AS "
+            "BIGINT) AS n_tokens, CAST(COUNT(DISTINCT tok) AS BIGINT) AS "
+            "n_distinct FROM t GROUP BY 1) SELECT doc_id, n_tokens, "
+            "n_distinct, CAST(n_distinct AS DOUBLE) / n_tokens AS ttr, "
+            "CASE WHEN n_tokens >= 32 AND CAST(n_distinct AS DOUBLE) / "
+            "n_tokens >= 0.25 THEN 'high' WHEN n_tokens >= 16 THEN "
+            "'medium' ELSE 'low' END AS quality FROM a"),
+        "lang_id": (
+            "WITH s AS (SELECT doc_id, "
+            + ", ".join(f"{occ_terms[lg]} AS score_{lg}" for lg in langs)
+            + " FROM documents) SELECT doc_id, "
+            + ", ".join(f"score_{lg}" for lg in langs)
+            + f", {pred_sql} AS pred_lang FROM s"),
+        "doc_fingerprint": (
+            f"WITH {codes_cte}, hv AS (SELECT doc_id, "
+            f"{geo.mix_sql('code', mh)} AS h FROM codes) "
+            f"SELECT doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS "
+            f"n_shingles, MIN(h) AS min_hash, MAX(h) AS max_hash "
+            f"FROM hv GROUP BY doc_id"),
+        "minhash_lsh": (
+            f"WITH {codes_cte}, sig AS (SELECT doc_id, {sig_cols} "
+            f"FROM codes GROUP BY doc_id) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"CAST({sig_matches} AS BIGINT) AS sig_matches "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            f"AND ({band_conds})"),
+        "simhash": (
+            f"WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            f"AS tok FROM documents), hv AS (SELECT doc_id, {h_sql} AS h "
+            f"FROM toks), pb AS (SELECT doc_id, {vote_cols} FROM hv "
+            f"GROUP BY doc_id) SELECT doc_id, CAST({sim_expr} AS BIGINT) "
+            f"AS simhash FROM pb"),
+        "embedding_topk": (
+            f"WITH {emb_cte}, q AS (SELECT vec_id AS qid, e AS qe, n2 AS "
+            f"qn FROM n WHERE vec_id % 20 = 0), s AS (SELECT q.qid, "
+            f"p.vec_id, list_dot_product(qe, p.e) / (sqrt(qn) * "
+            f"sqrt(p.n2)) AS cos_sim FROM n p, q WHERE q.qid != p.vec_id),"
+            f" r AS (SELECT qid, vec_id, cos_sim, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INTEGER)"
+            f" AS rank FROM s) SELECT * FROM r WHERE rank <= 5"),
+        "embedding_lsh_ann": (
+            f"WITH {emb_cte}, bk AS (SELECT vec_id, e, n2, {bucket_sql} "
+            f"AS bkt FROM n), q AS (SELECT vec_id AS qid, e AS qe, n2 AS "
+            f"qn, bkt FROM bk WHERE vec_id % 20 = 0), s AS (SELECT q.qid, "
+            f"p.vec_id, list_dot_product(qe, p.e) / (sqrt(qn) * "
+            f"sqrt(p.n2)) AS cos_sim FROM bk p JOIN q USING (bkt) "
+            f"WHERE q.qid != p.vec_id), r AS (SELECT qid, vec_id, cos_sim,"
+            f" CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim "
+            f"DESC, vec_id) AS INTEGER) AS rank FROM s) "
+            f"SELECT * FROM r WHERE rank <= 5"),
     }
 
 
@@ -134,8 +359,33 @@ def oracle_sql() -> dict[str, str]:
     cu_cells = _geo_view("customer", "c_custkey", with_xyz=False)
     ev_geo = _geo_view("events", "event_id")
     cu_geo = _geo_view("customer", "c_custkey")
+    su_geo = geo.geo_table_sql(
+        "supplier", dataset.geo_key_sql("s_suppkey", "supplier"),
+        ["s_suppkey"])
+    ev_track = geo.geo_table_sql(
+        "events", dataset.geo_key_sql("event_id", "events"),
+        ["event_id", "user_id", "ts"])
 
-    return {
+    d2cs = ("(c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) "
+            "+ (c.z-s.z)*(c.z-s.z)")
+    lag2 = ("(x - LAG(x) OVER win)*(x - LAG(x) OVER win) "
+            "+ (y - LAG(y) OVER win)*(y - LAG(y) OVER win) "
+            "+ (z - LAG(z) OVER win)*(z - LAG(z) OVER win)")
+
+    extra = _text_oracles()
+    extra.update({
+        "hausdorff": (
+            f"WITH m AS (SELECT c.c_custkey, MIN({d2cs}) AS md "
+            f"FROM {cu_geo} c, {su_geo} s GROUP BY 1) "
+            f"SELECT MAX(md) AS hausdorff2 FROM m"),
+        "track_segments": (
+            f"SELECT user_id, CAST(ROW_NUMBER() OVER win AS INTEGER) AS "
+            f"seq, {lag2} AS dist2 FROM {ev_track} "
+            f"WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            f"QUALIFY dist2 IS NOT NULL"),
+    })
+
+    return extra | {
         "tile_counts": (
             f"SELECT {geo.parent_sql('cell', 8)} AS tile, "
             f"CAST(COUNT(*) AS BIGINT) AS n FROM {ev_cells} GROUP BY 1"),

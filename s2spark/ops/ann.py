@@ -1,0 +1,116 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Two paths, both value-exact against the DuckDB oracle because the dot
+product is a deterministic left fold over doubles (verified
+bit-identical between Spark's `aggregate(zip_with(...))` and DuckDB's
+`list_dot_product` on DOUBLE[]):
+
+- cosine_topk : brute-force exact top-k (the baseline / oracle path).
+  Scale: queries broadcast; candidates stream; per-query heap = window
+  rank.  O(|Q|·|P|) — correct reference, not the scale path.
+- lsh_ann     : 8 deterministic integer hyperplanes (tri-dialect LCG
+  weights) -> 256 sign buckets -> candidates share the query's bucket
+  -> exact cosine rerank.  The scale path: one equi-join on bucket id;
+  per-bucket skew handled like any hot cell (ops.joins.salt_hot_cells).
+
+Weights are *integer-valued* doubles (mix(p*64+d) - (P-1)/2), so
+embedding*weight products round identically everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..sources import geo
+
+N_PLANES = 8
+PLANE_SALT = 31
+DIM = 64
+_CENTER = (geo.P - 1) // 2
+
+
+def plane_weights(p: int, dim: int = DIM) -> list[int]:
+    """Deterministic integer weights of hyperplane p (NumPy dialect of
+    the same mix the Spark/DuckDB expressions use)."""
+    import numpy as np
+    d = np.arange(dim, dtype=np.int64)
+    return [int(v) - _CENTER for v in geo.mix_np(p * dim + d, PLANE_SALT)]
+
+
+def _dot_expr(vec_col, weights: list[int]):
+    """Sequential left fold of emb[d]*w[d] in doubles — bit-exact with
+    DuckDB list_dot_product on the same operand order."""
+    arr = F.array(*[F.lit(float(w)) for w in weights])
+    prods = F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dot_cols(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm2(df: DataFrame, vec: str = "embedding",
+               out: str = "norm2") -> DataFrame:
+    return df.withColumn(out, _dot_cols(F.col(vec), F.col(vec)))
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                query_id: str = "qid", point_id: str = "vec_id"
+                ) -> DataFrame:
+    """Exact top-k by cosine: (qid, vec_id, cos_sim, rank).
+
+    vectors: (vec_id, embedding); queries: (qid, embedding).
+    cos = dot/(sqrt(n_a)*sqrt(n_b)); rank ties broken by point id —
+    all doubles bit-exact vs the oracle.
+    """
+    q = with_norm2(queries.withColumnRenamed("embedding", "_qe"),
+                   "_qe", "_qn")
+    p = with_norm2(vectors.withColumnRenamed("embedding", "_pe"),
+                   "_pe", "_pn")
+    sim = (_dot_cols(F.col("_qe"), F.col("_pe"))
+           / (F.sqrt("_qn") * F.sqrt("_pn")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"),
+                                             F.col(point_id))
+    return (p.crossJoin(F.broadcast(q))
+            .where(F.col(query_id) != F.col(point_id))
+            .withColumn("cos_sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id, point_id, "cos_sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def bucket_col(vec_col):
+    """LSH bucket id: bit p = [dot(emb, plane_p) > 0]."""
+    out = None
+    for p in range(N_PLANES):
+        bit = (F.when(_dot_expr(vec_col, plane_weights(p)) > 0, 1)
+               .otherwise(0))
+        term = bit * F.lit(1 << p)
+        out = term if out is None else out + term
+    return out
+
+
+def lsh_ann(vectors: DataFrame, queries: DataFrame, k: int,
+            query_id: str = "qid", point_id: str = "vec_id") -> DataFrame:
+    """Approximate top-k: candidates from the query's sign bucket,
+    exact cosine rerank.  Same plan in the oracle -> identical output
+    (approximation error is deterministic, not random)."""
+    q = (with_norm2(queries.withColumnRenamed("embedding", "_qe"),
+                    "_qe", "_qn")
+         .withColumn("_bkt", bucket_col(F.col("_qe"))))
+    p = (with_norm2(vectors.withColumnRenamed("embedding", "_pe"),
+                    "_pe", "_pn")
+         .withColumn("_bkt", bucket_col(F.col("_pe"))))
+    sim = (_dot_cols(F.col("_qe"), F.col("_pe"))
+           / (F.sqrt("_qn") * F.sqrt("_pn")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"),
+                                             F.col(point_id))
+    return (p.join(F.broadcast(q), "_bkt")
+            .where(F.col(query_id) != F.col(point_id))
+            .withColumn("cos_sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id, point_id, "cos_sim",
+                    F.col("rank").cast("int").alias("rank")))

@@ -1,0 +1,198 @@
+"""Training-data text operators over the `documents` table.
+
+Deduplication + text analysis as first-class engine ops, each a pure
+DataFrame plan (no UDFs — everything stays in whole-stage codegen) with
+a value-exact DuckDB oracle in __spark_entry__:
+
+- exact_dedup        md5 hash-groupBy with representative selection
+- token_stats        whitespace tokenization counts/ratios
+- quality_score      type-token ratio + length heuristics
+- lang_id            vocabulary-overlap scoring (NB: the synthetic
+                     corpus draws `lang` independently of text, so this
+                     demonstrates the operator, not label recovery)
+- doc_fingerprint    shingle-set fingerprint (distinct/min/max hash)
+- minhash_signatures 12-perm MinHash over 5-gram shingles
+- lsh_candidate_pairs  banded LSH (4 bands x 3 rows) self-join
+- simhash            16-bit SimHash over tokens
+
+Hashing is the engine's tri-dialect LCG mix (s2spark.sources.geo) over
+small-integer encodings of shingles/tokens (5 x 7-bit ascii), so Spark
+and DuckDB compute identical signatures — no engine-specific hash().
+
+Scale: shingling explodes ~|text| rows per doc; signatures reduce back
+to one row per doc with a single map-side-combined aggregation.  The
+LSH self-join keys are (band, 3 x minhash) — bounded bucket sizes by
+construction; for skewed corpora the salting helper from ops.joins
+applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources import geo
+
+SHINGLE = 5
+N_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+MINHASH_SALT = 100
+SIMHASH_SALT = 7
+SIMHASH_BITS = 16
+
+LANG_MARKERS = {
+    "en": ["the", "a", "fast"],
+    "de": ["agg", "sort", "merge"],
+    "fr": ["window", "query", "line"],
+    "es": ["data", "stream", "row"],
+    "zh": ["join", "batch", "big"],
+}
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy dedup: one row per distinct text with the kept
+    representative (min doc_id) and the duplicate count."""
+    return (docs
+            .withColumn("text_hash", F.md5(F.encode(F.col("text"), "UTF-8")))
+            .groupBy("text_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id", n.alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        (F.length("text").cast("double") / n).alias("chars_per_token"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/diversity heuristics: type-token ratio + bucket."""
+    toks = docs.select("doc_id",
+                       F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"))
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct", ttr.alias("ttr"),
+        F.when((F.col("n_tokens") >= 32) & (ttr >= 0.25), "high")
+         .when(F.col("n_tokens") >= 16, "medium")
+         .otherwise("low").alias("quality"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Vocabulary-overlap language scorer (deterministic argmax)."""
+    cols = [F.col("doc_id")]
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    for lang, words in LANG_MARKERS.items():
+        score = None
+        for w in words:
+            token = f" {w} "
+            occ = ((F.length(padded)
+                    - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+                   / len(token)).cast("long")
+            score = occ if score is None else score + occ
+        cols.append(score.alias(f"score_{lang}"))
+    scored = docs.select(*cols)
+    pred = None
+    best = None
+    for lang in LANG_MARKERS:  # deterministic argmax, first-wins on ties
+        s = F.col(f"score_{lang}")
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return scored.select("doc_id", *[f"score_{lg}" for lg in LANG_MARKERS],
+                         pred.alias("pred_lang"))
+
+
+def _shingle_hash(col) -> F.Column:
+    """5-gram -> int < 2^35 via 7-bit ascii positional code, then the
+    tri-dialect LCG mix.  Identical arithmetic in the DuckDB oracle."""
+    code = None
+    for k in range(SHINGLE):
+        a = F.ascii(F.substring(col, k + 1, 1)).cast("long")
+        code = a if code is None else code + a * F.lit(128 ** k)
+    return code
+
+
+def _shingle_codes(docs: DataFrame) -> DataFrame:
+    """(doc_id, code) — one row per 5-char shingle, stride 1."""
+    pos = F.explode(F.sequence(F.lit(1), F.length("text") - (SHINGLE - 1)))
+    g = (docs.where(F.length("text") >= SHINGLE)
+         .select("doc_id", F.col("text"), pos.alias("pos")))
+    return g.select(
+        "doc_id",
+        _shingle_hash(F.expr(f"substring(text, pos, {SHINGLE})"))
+        .alias("code"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    codes = _shingle_codes(docs)
+    h = geo.mix_col(F.col("code"), MINHASH_SALT)
+    return (codes.select("doc_id", h.alias("h"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("h").alias("n_shingles"),
+                 F.min("h").alias("min_hash"),
+                 F.max("h").alias("max_hash")))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m11): minhash_j = min over shingles of
+    mix(code, MINHASH_SALT + j)."""
+    codes = _shingle_codes(docs)
+    aggs = [F.min(geo.mix_col(F.col("code"), MINHASH_SALT + j))
+            .alias(f"m{j}") for j in range(N_HASHES)]
+    return codes.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate candidates: docs agreeing on all rows of any
+    band, plus the signature-match fraction (integer arithmetic, so
+    value-exact vs the oracle).  doc_a < doc_b."""
+    sig = minhash_signatures(docs).cache()
+    pairs = None
+    for b in range(BANDS):
+        ks = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        left = sig.select(F.col("doc_id").alias("doc_a"),
+                          *[F.col(k) for k in ks],
+                          *[F.col(f"m{j}").alias(f"a{j}")
+                            for j in range(N_HASHES)])
+        right = sig.select(F.col("doc_id").alias("doc_b"),
+                           *[F.col(k) for k in ks],
+                           *[F.col(f"m{j}").alias(f"b{j}")
+                             for j in range(N_HASHES)])
+        p = (left.join(right, ks)
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     sum((F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+                         for j in range(N_HASHES)).alias("sig_matches")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.max("sig_matches").alias("sig_matches"))
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (token -> 5-char rpad ->
+    7-bit code -> mix; bit b votes +/-1).
+
+    The 16 per-bit vote sums are 16 aggregate expressions in ONE
+    map-side-combined groupBy (no bit explode: 16x less shuffle)."""
+    toks = docs.select("doc_id",
+                       F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    code = _shingle_hash(F.rpad(F.col("tok"), SHINGLE, " "))
+    h = geo.mix_col(code, SIMHASH_SALT)
+    hv = toks.select("doc_id", h.alias("h"))
+    aggs = [F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1)
+                  * 2 - 1).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)]
+    per_doc = hv.groupBy("doc_id").agg(*aggs)
+    out = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return per_doc.select("doc_id", out.cast("long").alias("simhash"))
