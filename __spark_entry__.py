@@ -182,6 +182,49 @@ def q_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("seq").cast("int").alias("seq"), "dist2")
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint image table synthesized from orders keys: per-tile
+    metadata stats — every column tri-dialect reproducible."""
+    orders = dataset.load(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("id"))
+    img = dataset.synth_images_from(orders, "id")
+    return (img.groupBy(s2f.parent_col(F.col("cell_id"), 6).alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("w").alias("sum_w"),
+                 F.sum("h").alias("sum_h"),
+                 F.sum((F.col("fmt") == "png").cast("long"))
+                 .alias("n_png")))
+
+
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal path: synth PNG bytes -> real decode -> block
+    feature grid + perceptual hash -> tile rollup.  Rows-only check
+    (binary payloads aren't SQL-expressible); pixel invariants are
+    pinned by tests/test_image.py."""
+    from s2spark.image import ops as imops
+    img = dataset.synth_images_with_bytes(spark, 200)
+    feats = imops.image_features(img)
+    tiles_df = img.select("image_id",
+                          s2f.parent_col(F.col("cell_id"), 4)
+                          .alias("tile"))
+    return (feats.join(tiles_df, "image_id")
+            .groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum(F.bit_count(F.col("phash64"))).alias("sum_bits")))
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join vs 25 synthetic loops.  No SQL oracle —
+    spherical crossing-parity is not ANSI-SQL-expressible; correctness
+    is pinned by tests/test_pip.py against the brute-force kernel (the
+    reference's own validation strategy, s2loop_test.cc:488-493)."""
+    from s2spark.ops import pip
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    return pip.pip_join(ev, spark, pip.synth_loops(25),
+                        point_id="event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: disc join (tolerant spatial join) at sf0.001."""
     return q_disc_join(spark, "/root/testdata/sf0.001")
@@ -206,6 +249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "hausdorff": q_hausdorff,
         "track_segments": q_track_segments,
+        "pip_join": q_pip_join,
+        "image_meta": q_image_meta,
+        "image_pipeline": q_image_pipeline,
     }
 
 
@@ -372,8 +418,27 @@ def oracle_sql() -> dict[str, str]:
             "+ (y - LAG(y) OVER win)*(y - LAG(y) OVER win) "
             "+ (z - LAG(z) OVER win)*(z - LAG(z) OVER win)")
 
+    # image_meta: mirror synth_images_from column formulas exactly
+    _w = f"(256 + ({geo.mix_sql('id', 13)} % 768))"
+    _h = f"(256 + ({geo.mix_sql('id', 14)} % 768))"
+    _fmt = (f"(CASE WHEN {geo.mix_sql('id', 15)} % 2 = 0 THEN 'png' "
+            f"ELSE 'jpeg' END)")
+    _ph = (f"({geo.mix_sql('id', 11)} * 2147483647 "
+           f"+ {geo.mix_sql('id', 12)})")
+    img_base = (f"(SELECT o_orderkey AS id, {_w} AS w, {_h} AS h, "
+                f"{_fmt} AS fmt, {_ph} AS phash FROM orders)")
+    img_geo = geo.geo_table_sql(img_base, "phash",
+                                ["id", "w", "h", "fmt"], with_xyz=False)
+
     extra = _text_oracles()
     extra.update({
+        "image_meta": (
+            f"SELECT {geo.parent_sql('cell', 6)} AS tile, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_images, "
+            f"CAST(SUM(w) AS BIGINT) AS sum_w, "
+            f"CAST(SUM(h) AS BIGINT) AS sum_h, "
+            f"CAST(SUM(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END) AS "
+            f"BIGINT) AS n_png FROM {img_geo} GROUP BY 1"),
         "hausdorff": (
             f"WITH m AS (SELECT c.c_custkey, MIN({d2cs}) AS md "
             f"FROM {cu_geo} c, {su_geo} s GROUP BY 1) "

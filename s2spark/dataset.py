@@ -63,31 +63,53 @@ def geo_key_sql(key_col: str, table: str) -> str:
     return f"(({key_col}) + {OFFSETS.get(table, 0)})"
 
 
-def synth_images(spark: SparkSession, n_rows: int,
-                 partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic image-metadata table per BASELINE.json
-    `input_hint`: (image_id, w, h, fmt, caption, phash) + phash-seeded
-    geo columns (cell_id, x, y, z).  No external data; the same rows
-    come out at any parallelism, so scaling runs compare identical
-    inputs.  `bytes` is intentionally absent here — payload codecs are
-    exercised by the small-scale image tests, not the throughput job.
+def synth_images_from(keyed: DataFrame, key_col: str = "id") -> DataFrame:
+    """Deterministic image-metadata rows from any integer-keyed frame
+    (BASELINE.json `input_hint` schema minus bytes): (image_id, w, h,
+    fmt, caption, phash) + phash-seeded geo (cell_id, x, y, z).  Every
+    column is tri-dialect reproducible (see oracle in __spark_entry__).
     """
-    base = spark.range(0, n_rows, numPartitions=partitions or
-                       spark.sparkContext.defaultParallelism * 4)
-    m1 = geo.mix_col(F.col("id"), 11)
-    m2 = geo.mix_col(F.col("id"), 12)
-    df = base.select(
-        F.format_string("img%012d", F.col("id")).alias("image_id"),
-        (F.lit(256) + (geo.mix_col(F.col("id"), 13) % 768))
+    key = F.col(key_col)
+    m1 = geo.mix_col(key, 11)
+    m2 = geo.mix_col(key, 12)
+    df = keyed.select(
+        F.format_string("img%012d", key).alias("image_id"),
+        (F.lit(256) + (geo.mix_col(key, 13) % 768))
         .cast("int").alias("w"),
-        (F.lit(256) + (geo.mix_col(F.col("id"), 14) % 768))
+        (F.lit(256) + (geo.mix_col(key, 14) % 768))
         .cast("int").alias("h"),
-        F.when(geo.mix_col(F.col("id"), 15) % 2 == 0, "png")
+        F.when(geo.mix_col(key, 15) % 2 == 0, "png")
         .otherwise("jpeg").alias("fmt"),
-        F.format_string("synthetic caption %d", F.col("id"))
-        .alias("caption"),
+        F.format_string("synthetic caption %d", key).alias("caption"),
         (m1 * F.lit(2147483647) + m2).alias("phash"))
     return geotag(df, "phash", "images")
+
+
+def synth_images(spark: SparkSession, n_rows: int,
+                 partitions: int | None = None) -> DataFrame:
+    """The scaling-benchmark input: synth_images_from over a range.
+    `bytes` is intentionally absent — payload codecs are exercised by
+    the small-scale image tests, not the throughput job."""
+    base = spark.range(0, n_rows, numPartitions=partitions or
+                       spark.sparkContext.defaultParallelism * 4)
+    return synth_images_from(base, "id")
+
+
+def synth_images_with_bytes(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Small-scale image table WITH real PNG payloads (deterministic
+    pixels from phash; fmt forced to png so every row decodes).
+    Images are capped at 64x64 here to keep test tables light."""
+    from .image.ops import synth_png_udf
+    base = synth_images(spark, n_rows)
+    w = (F.col("w") % 49 + 16).cast("int")
+    h = (F.col("h") % 49 + 16).cast("int")
+    return (base
+            .withColumn("w", w).withColumn("h", h)
+            .withColumn("fmt", F.lit("png"))
+            .withColumn("bytes", synth_png_udf(F.col("phash"),
+                                               F.col("w"), F.col("h")))
+            .select("image_id", "bytes", "w", "h", "fmt", "caption",
+                    "phash", "cell_id", "x", "y", "z"))
 
 
 def geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,195 @@
+"""Distributed point-in-polygon join (SURVEY.md §3.2, north star).
+
+Pipeline:
+
+1. `build_edge_index` — the MutableS2ShapeIndex analogue, built once
+   per polygon set (driver-side; polygons are the small dimension):
+   recursive sphere subdivision emitting disjoint index cells per
+   loop, each holding <= max_edges_per_cell edges
+   (mutable_s2shape_index.cc:75-76 default 10) plus a
+   `contains_center` bit (s2shape_index.h:65-129).  Interior cells
+   carry the bit with zero edges; exterior subtrees are pruned.
+
+2. `pip_join` — points ⋈ index cells (per-level Hilbert-prefix hash
+   joins — index cells are disjoint per loop, so each point matches
+   <= 1 cell per loop), then the crossing-parity test: segment
+   cell-center -> point against ONLY the cell's edges.  Both endpoints
+   lie in the convex cell, so edges not assigned to the cell cannot
+   cross the segment — the same locality argument the reference uses
+   (s2loop.cc:602-621).  inside = contains_center XOR parity(#edge
+   crossings), reduced with a map-side-combinable SUM % 2
+   (SURVEY.md §2.4).
+
+Crossing signs run in an Arrow-batched kernel (4 robust orientation
+tests per pair with triage->exact escalation, s2predicates.cc:263-295)
+— the only Python in the plan, applied post-join to the bounded
+candidate set.
+
+Scale: the index table is O(edges); broadcast when small, else it
+shuffles on the same prefix key as the points.  Multi-loop polygons
+reduce with a second parity aggregation over loops (even-odd rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from .. import functions as s2f
+from ..kernels import cellid
+from ..kernels.loops import Loop
+from ..kernels.region import Cell
+from . import joins
+
+MAX_EDGES_PER_CELL = 10
+MAX_INDEX_LEVEL = 12
+
+
+def build_edge_index(loops: dict[int, Loop],
+                     max_edges_per_cell: int = MAX_EDGES_PER_CELL,
+                     max_level: int = MAX_INDEX_LEVEL
+                     ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """-> (cells_df, edges_df).
+
+    cells_df: icell, poly_id, contains_center, ccx, ccy, ccz
+    edges_df: icell, poly_id, edge_id, ax..az, bx..bz
+    """
+    cell_rows, edge_rows = [], []
+
+    def visit(cid: int, poly_id: int, loop: Loop, edge_ids: np.ndarray):
+        cell = Cell(cid)
+        hits = edge_ids[loop.edge_intersects_cell(cell)[edge_ids]] \
+            if edge_ids.size else edge_ids
+        center = cell.get_center()
+        center_in = loop.contains_point(center)
+        if hits.size == 0:
+            if center_in:  # interior cell: bit only, prune recursion
+                cell_rows.append((cid, poly_id, True, *center))
+            return
+        if hits.size <= max_edges_per_cell or cell.level >= max_level:
+            cell_rows.append((cid, poly_id, bool(center_in), *center))
+            v = loop.vertices
+            nxt = np.roll(np.arange(loop.n), -1)
+            for e in hits:
+                a = v[e]
+                b = v[nxt[e]]
+                edge_rows.append((cid, poly_id, int(e), *a, *b))
+            return
+        children = cellid.child(np.full(4, cid, dtype=np.uint64),
+                                np.arange(4))
+        for ch in children:
+            visit(int(ch), poly_id, loop, hits)
+
+    for poly_id, loop in loops.items():
+        all_edges = np.arange(loop.n)
+        for face in range(6):
+            fid = int(cellid.from_face(np.array([face]))[0])
+            visit(fid, poly_id, loop, all_edges)
+
+    cells = pd.DataFrame(cell_rows, columns=[
+        "icell", "poly_id", "contains_center", "ccx", "ccy", "ccz"])
+    edges = pd.DataFrame(edge_rows, columns=[
+        "icell", "poly_id", "edge_id",
+        "ax", "ay", "az", "bx", "by", "bz"])
+    cells["icell"] = cells["icell"].astype(np.uint64).astype(np.int64)
+    if len(edges):
+        edges["icell"] = edges["icell"].astype(np.uint64).astype(np.int64)
+    return cells, edges
+
+
+@pandas_udf(IntegerType())
+def _crossing_udf(px, py, pz, ccx, ccy, ccz, ax, ay, az, bx, by, bz):
+    from ..kernels import predicates
+    a = np.column_stack([ccx.to_numpy(np.float64),
+                         ccy.to_numpy(np.float64),
+                         ccz.to_numpy(np.float64)])
+    b = np.column_stack([px.to_numpy(np.float64),
+                         py.to_numpy(np.float64),
+                         pz.to_numpy(np.float64)])
+    c = np.column_stack([ax.to_numpy(np.float64),
+                         ay.to_numpy(np.float64),
+                         az.to_numpy(np.float64)])
+    d = np.column_stack([bx.to_numpy(np.float64),
+                         by.to_numpy(np.float64),
+                         bz.to_numpy(np.float64)])
+    return pd.Series(
+        predicates.edge_or_vertex_crossing(a, b, c, d).astype(np.int32))
+
+
+def pip_join(points: DataFrame, spark: SparkSession,
+             loops: dict[int, Loop], point_id: str = "point_id",
+             broadcast_index: bool = True) -> DataFrame:
+    """(point_id, poly_id) for every point inside a loop.
+
+    points: (point_id, cell_id, x, y, z).
+    """
+    cells_pd, edges_pd = build_edge_index(loops)
+    cells = spark.createDataFrame(cells_pd)
+    edges = spark.createDataFrame(edges_pd) if len(edges_pd) else None
+    if broadcast_index:
+        cells = F.broadcast(cells)
+        edges = F.broadcast(edges) if edges is not None else None
+
+    # containment_join drops its join cell column; carry a copy so the
+    # edge lookup can key on the exact (index cell, polygon) pair
+    cand = joins.containment_join(
+        points.select(point_id, "cell_id", "x", "y", "z"),
+        cells.withColumn("icell_key", F.col("icell")),
+        region_cell="icell")
+
+    if edges is not None:
+        e = edges.withColumnRenamed("icell", "icell_key")
+        j = cand.join(e, ["icell_key", "poly_id"], "left")
+    else:
+        j = cand.withColumn("ax", F.lit(None).cast("double"))
+        for c in ("ay", "az", "bx", "by", "bz"):
+            j = j.withColumn(c, F.lit(None).cast("double"))
+
+    cross = F.when(
+        F.col("ax").isNotNull(),
+        _crossing_udf("x", "y", "z", "ccx", "ccy", "ccz",
+                      "ax", "ay", "az", "bx", "by", "bz")).otherwise(0)
+    per_pair = (j.withColumn("_cross", cross)
+                .groupBy(point_id, "poly_id")
+                .agg(F.first("contains_center").alias("_cc"),
+                     F.sum("_cross").alias("_crossings")))
+    inside = (F.col("_cc").cast("int")
+              + F.col("_crossings")) % 2 == 1
+    return per_pair.where(inside).select(point_id, "poly_id")
+
+
+def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12
+                ) -> dict[int, Loop]:
+    """Deterministic synthetic polygon set: regular-ish K-gons around
+    mix-derived centers with mix-derived radii (driver-side geometry;
+    the PIP verdicts are validated against the brute-force kernel)."""
+    from ..sources import geo
+    out = {}
+    for pid in range(n):
+        k = np.int64(pid)
+        key = np.array([pid], dtype=np.int64)
+        f, i, j = geo.geo_np(key)
+        x, y, z = geo.xyz_np(key)
+        center = np.array([x[0], y[0], z[0]])
+        nv = min_vertices + int(geo.mix_np(key, 41)[0]
+                                % (max_vertices - min_vertices + 1))
+        radius = 0.02 + (int(geo.mix_np(key, 42)[0]) % 1000) / 1000 * 0.15
+        # tangent basis at center
+        ref = np.array([0.0, 0.0, 1.0]) if abs(center[2]) < 0.9 \
+            else np.array([1.0, 0.0, 0.0])
+        u = np.cross(center, ref)
+        u /= np.linalg.norm(u)
+        v = np.cross(center, u)
+        ang = 2 * np.pi * np.arange(nv) / nv
+        wobble = 0.5 + (geo.mix_np(np.arange(nv) + pid * 1000, 43)
+                        % 1000) / 1999.0
+        r = radius * wobble
+        pts = (np.cos(r)[:, None] * center[None, :]
+               + np.sin(r)[:, None] * (np.cos(ang)[:, None] * u[None, :]
+                                       + np.sin(ang)[:, None] * v[None, :]))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        out[pid] = Loop(pts)
+    return out

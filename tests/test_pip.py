@@ -1,0 +1,72 @@
+"""Distributed point-in-polygon join vs the brute-force kernel oracle
+(the reference's own validation strategy: BruteForceContains,
+s2loop.cc:557-580, s2loop_test.cc:488-493)."""
+
+import numpy as np
+import pytest
+
+from s2spark import dataset
+from s2spark.kernels.loops import Loop
+from s2spark.ops import pip
+from tests.conftest import SF_DIR
+
+
+def brute_force_pairs(loops, pts_xyz, ids):
+    out = set()
+    for pid, loop in loops.items():
+        inside = loop.contains_points(pts_xyz)
+        for i in np.nonzero(inside)[0]:
+            out.add((int(ids[i]), pid))
+    return out
+
+
+def test_pip_join_matches_brute_force(spark):
+    loops = pip.synth_loops(25)
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    rows = ev.collect()
+    ids = np.array([r["event_id"] for r in rows])
+    xyz = np.array([[r["x"], r["y"], r["z"]] for r in rows])
+    expected = brute_force_pairs(loops, xyz, ids)
+
+    got = {(r["event_id"], r["poly_id"])
+           for r in pip.pip_join(ev, spark, loops,
+                                 point_id="event_id").collect()}
+    assert got == expected
+    assert len(expected) > 0, "fixture should produce some containments"
+
+
+def test_pip_join_fixture_loops(spark):
+    """Reference-style fixture loops (s2text_format language)."""
+    loops = {
+        0: Loop.from_text("10:0, 10:10, 0:10, 0:0"),        # lat/lng box
+        1: Loop.from_text("0:178, -1:180, 0:-179, 1:-180"),  # dateline
+        2: Loop.from_text("89:0, 89:120, 89:-120"),          # north pole
+    }
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    rows = ev.collect()
+    ids = np.array([r["event_id"] for r in rows])
+    xyz = np.array([[r["x"], r["y"], r["z"]] for r in rows])
+    expected = brute_force_pairs(loops, xyz, ids)
+    got = {(r["event_id"], r["poly_id"])
+           for r in pip.pip_join(ev, spark, loops,
+                                 point_id="event_id").collect()}
+    assert got == expected
+
+
+def test_edge_index_is_disjoint_per_poly():
+    """Emitted index cells must be disjoint per polygon (each point
+    matches at most one cell, the parity test's precondition)."""
+    from s2spark.kernels import cellid
+    loops = pip.synth_loops(8)
+    cells_pd, edges_pd = pip.build_edge_index(loops)
+    for pid, grp in cells_pd.groupby("poly_id"):
+        ids = np.sort(grp["icell"].to_numpy().view(np.uint64))
+        lo = cellid.range_min(ids)
+        hi = cellid.range_max(ids)
+        assert (lo[1:] > hi[:-1]).all(), f"overlapping cells for {pid}"
+    # every edge row's cell exists in cells_df
+    key = set(map(tuple, cells_pd[["icell", "poly_id"]].to_numpy()))
+    ekey = set(map(tuple, edges_pd[["icell", "poly_id"]].to_numpy()))
+    assert ekey <= key
