@@ -182,6 +182,39 @@ def q_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("seq").cast("int").alias("seq"), "dist2")
 
 
+def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving hex token codec (s2cell_id.cc:221-258)."""
+    ev = dataset.geotagged_events(spark, sf_dir).select("event_id",
+                                                        "cell_id")
+    return ev.select("event_id", s2f.s2_token(F.col("cell_id"))
+                     .alias("token"))
+
+
+def q_region_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cap covering stats (RegionCoverer, max_cells=8):
+    covering size + exact leaf-cell coverage (sum of lsb = 4^(30-l)).
+    Rows-only: the greedy coverer is not SQL-expressible; covering
+    correctness is pinned by tests/test_coverer.py fixtures."""
+    cov = s2f.make_cap_covering_xyz_udf(max_cells=8, min_level=2,
+                                        max_level=16)
+    import math
+    r2 = (2.0 * math.sin(0.5 * DISC_RADIUS_RAD)) ** 2
+    cu = dataset.geotagged_customers(spark, sf_dir) \
+        .where(F.col("c_custkey") % 11 == 0) \
+        .select("c_custkey",
+                F.explode(cov(F.col("x"), F.col("y"), F.col("z"),
+                              F.lit(r2))).alias("cell"))
+    return (cu.groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum(s2f.lsb_col(F.col("cell"))).alias("leaf_cells")))
+
+
+def q_chain_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    return measures.chain_midpoint(ev, "user_id", ["ts", "event_id"])
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint image table synthesized from orders keys: per-tile
     metadata stats — every column tri-dialect reproducible."""
@@ -252,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "image_meta": q_image_meta,
         "image_pipeline": q_image_pipeline,
+        "cell_tokens": q_cell_tokens,
+        "region_covering": q_region_covering,
+        "chain_midpoint": q_chain_midpoint,
     }
 
 
@@ -448,6 +484,29 @@ def oracle_sql() -> dict[str, str]:
             f"seq, {lag2} AS dist2 FROM {ev_track} "
             f"WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id) "
             f"QUALIFY dist2 IS NOT NULL"),
+        "cell_tokens": (
+            f"SELECT event_id, rtrim(printf('%016x', cell), '0') AS "
+            f"token FROM {ev_cells}"),
+        "chain_midpoint": (
+            f"WITH seg AS (SELECT user_id, CAST(ROW_NUMBER() OVER win AS "
+            f"INTEGER) AS seq, {lag2} AS dist2 FROM {ev_track} "
+            f"WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            f"QUALIFY dist2 IS NOT NULL), "
+            f"q AS (SELECT user_id, seq, CAST(floor(dist2 * 1.0e15) AS "
+            f"BIGINT) AS qdist FROM seg), "
+            f"c AS (SELECT user_id, seq, SUM(qdist) OVER "
+            f"(PARTITION BY user_id ORDER BY seq ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) AS cum FROM q), "
+            f"ct AS (SELECT *, MAX(cum) OVER (PARTITION BY user_id) AS "
+            f"total FROM c), "
+            f"hit AS (SELECT * FROM ct WHERE cum * 2 >= total), "
+            f"f AS (SELECT user_id, MIN(seq) AS mid_seq FROM hit "
+            f"GROUP BY 1) "
+            f"SELECT h.user_id, CAST(h.seq AS INTEGER) AS mid_seq, "
+            f"CAST(h.cum AS BIGINT) AS cum_units, "
+            f"CAST(h.total AS BIGINT) AS total_units "
+            f"FROM hit h JOIN f ON h.user_id = f.user_id "
+            f"AND h.seq = f.mid_seq"),
     })
 
     return extra | {

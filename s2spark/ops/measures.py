@@ -36,6 +36,37 @@ def hausdorff2(a: DataFrame, b: DataFrame, a_id: str) -> DataFrame:
     return per_a.agg(F.max("_min_d2").alias("hausdorff2"))
 
 
+def chain_midpoint(events: DataFrame, entity: str, order_cols: list[str]
+                   ) -> DataFrame:
+    """S2ChainInterpolationQuery analogue (s2chain_interpolation_query
+    .h:16-26): running chord² length along each entity's ordered chain,
+    then the first vertex at/after the 50% point.
+
+    Determinism: segment lengths are quantized to integer units
+    (floor(dist2 * 1e15)) before the running sum — float window
+    aggregation orders differ across engines (Spark folds the frame
+    sequentially, DuckDB uses a pairwise segment tree), but integer
+    sums are order-free and exact.
+    """
+    seg = track_segments(events, entity, order_cols) \
+        .withColumn("qdist",
+                    F.floor(F.col("dist2") * F.lit(1.0e15)).cast("long"))
+    w = Window.partitionBy(entity).orderBy("seq")
+    cum = F.sum("qdist").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(entity)
+    c = seg.withColumn("cum", cum) \
+           .withColumn("total", F.max(F.col("cum")).over(wall))
+    hit = c.where(F.col("cum") * 2 >= F.col("total"))
+    first = (hit.groupBy(entity)
+             .agg(F.min("seq").alias("mid_seq")))
+    return (hit.join(first, [entity])
+            .where(F.col("seq") == F.col("mid_seq"))
+            .select(entity, F.col("mid_seq").cast("int").alias("mid_seq"),
+                    F.col("cum").alias("cum_units"),
+                    F.col("total").alias("total_units")))
+
+
 def track_segments(events: DataFrame, entity: str, order_cols: list[str]
                    ) -> DataFrame:
     """(entity, seq, dist2) — chord² between consecutive points of each

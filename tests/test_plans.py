@@ -1,0 +1,125 @@
+"""Physical-plan hygiene: the optimizations the engine's scale story
+rests on must be visible in `.explain` — broadcast where intended,
+column pruning to the scan, codegen joins, no accidental
+nested-loops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2spark import dataset
+from s2spark.ops import joins, tiles
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_disc_join_broadcasts_query_rings(spark):
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .select("c_custkey", "cell_id", "x", "y", "z")
+    plan = plan_of(joins.disc_join(ev, cu, 0.05, query_id="c_custkey",
+                                   point_id="event_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan  # point side must not shuffle
+
+
+def test_tile_counts_prunes_columns_and_partial_aggregates(spark):
+    ev = dataset.geotagged_events(spark, SF_DIR)
+    df = tiles.tile_counts(ev, 8)
+    plan = plan_of(df)
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+    # the scan must read only the geotag key, not all event columns
+    scan_schema = [ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln or "Scan parquet" in ln]
+    assert any("event_id" in ln for ln in plan.splitlines()
+               if "ReadSchema" in ln)
+    assert not any("props" in ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln), "unused columns not pruned"
+
+
+def test_equi_join_key_is_prefix_not_parent(spark):
+    ev = dataset.geotagged_events(spark, SF_DIR).select("event_id",
+                                                        "cell_id")
+    cu = dataset.geotagged_customers(spark, SF_DIR).select("c_custkey",
+                                                           "cell_id")
+    opt = optimized_of(joins.cell_equi_join(ev, cu, 4))
+    # the hash-safe shifted key, not the lsb-marked parent id
+    assert "shiftrightunsigned" in opt
+
+
+def test_containment_join_is_hash_not_nested_loop(spark):
+    ev = dataset.geotagged_events(spark, SF_DIR).select("event_id",
+                                                        "cell_id")
+    from s2spark import functions as s2f
+    cu = dataset.geotagged_customers(spark, SF_DIR).select(
+        "c_custkey", s2f.parent_col(F.col("cell_id"), 5).alias("rcell"))
+    plan = plan_of(joins.containment_join(ev, cu))
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_salt_hot_cells_splits_and_preserves_join(spark):
+    from s2spark import functions as s2f
+    ev = dataset.geotagged_events(spark, SF_DIR).select("event_id",
+                                                        "cell_id")
+    # manufacture skew: squash 40% of events into one hot cell
+    hot_cell = ev.select(s2f.parent_col(F.col("cell_id"), 2)
+                         .alias("c")).first()["c"]
+    skewed = ev.withColumn(
+        "jc", F.when(F.col("event_id") % 5 < 2, F.lit(hot_cell))
+               .otherwise(s2f.parent_col(F.col("cell_id"), 2)))
+    dim = skewed.select("jc").distinct() \
+        .withColumn("payload", F.col("jc") * 2)
+    p, b, hot = joins.salt_hot_cells(skewed, dim, "jc", "event_id",
+                                     factor=4, hot_threshold=100)
+    assert hot == [hot_cell]
+    salted = p.join(b, ["jc", "_salt"]).drop("_salt")
+    plain = skewed.join(dim, "jc")
+    assert salted.count() == plain.count()
+    # the hot key's probe rows spread across all 4 salts
+    spread = (p.where(F.col("jc") == hot_cell)
+              .select("_salt").distinct().count())
+    assert spread == 4
+
+
+def test_term_join_candidates_superset_of_disc_pairs(spark):
+    """S2RegionTermIndexer guarantee (s2region_term_indexer.h:18-95):
+    term-join candidates ⊇ all truly-intersecting pairs."""
+    import math
+    from s2spark import functions as s2f
+    r = 0.05
+    r2 = (2.0 * math.sin(0.5 * r)) ** 2
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .where(F.col("c_custkey") % 7 == 0) \
+        .select("c_custkey", "x", "y", "z")
+    cov = s2f.make_cap_covering_xyz_udf(max_cells=8, min_level=4,
+                                        max_level=16)
+    regions = cu.select("c_custkey",
+                        F.explode(cov(F.col("x"), F.col("y"), F.col("z"),
+                                      F.lit(r2))).alias("rcell"))
+    cand = joins.term_join(ev, regions, min_level=4, max_level=16)
+    cand_pairs = {(x["event_id"], x["c_custkey"])
+                  for x in cand.select("event_id",
+                                       "c_custkey").collect()}
+    exact = joins.disc_join(ev,
+                            dataset.geotagged_customers(spark, SF_DIR)
+                            .where(F.col("c_custkey") % 7 == 0)
+                            .select("c_custkey", "cell_id", "x", "y",
+                                    "z"),
+                            r, query_id="c_custkey",
+                            point_id="event_id")
+    exact_pairs = {(x["event_id"], x["c_custkey"])
+                   for x in exact.collect()}
+    assert exact_pairs <= cand_pairs
+    assert len(exact_pairs) > 0
