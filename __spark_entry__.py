@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s2spark import dataset
@@ -215,6 +215,37 @@ def q_chain_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return measures.chain_midpoint(ev, "user_id", ["ts", "event_id"])
 
 
+def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ClosestEdgeQuery analogue (rows-only; validated against the
+    brute-force kernel in tests/test_edges.py)."""
+    from s2spark.ops import edges as eops
+    from s2spark.ops import pip
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("event_id") % 20 == 0) \
+        .select("event_id", "x", "y", "z")
+    return eops.closest_edge_join(ev, spark, pip.synth_loops(15),
+                                  point_id="event_id")
+
+
+def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CrossingEdgeQuery analogue (rows-only; validated in
+    tests/test_edges.py)."""
+    from s2spark.ops import edges as eops
+    from s2spark.ops import pip
+    cu = dataset.geotagged_customers(spark, sf_dir) \
+        .where(F.col("c_custkey") <= 60) \
+        .select("c_custkey", "x", "y", "z") \
+        .withColumn("nxt", F.lead(F.struct("x", "y", "z"))
+                    .over(Window.orderBy("c_custkey"))) \
+        .where(F.col("nxt").isNotNull()) \
+        .select(F.col("c_custkey").alias("qedge_id"),
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("z").alias("az"),
+                F.col("nxt.x").alias("bx"), F.col("nxt.y").alias("by"),
+                F.col("nxt.z").alias("bz"))
+    return eops.crossing_edge_join(cu, spark, pip.synth_loops(15))
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint image table synthesized from orders keys: per-tile
     metadata stats — every column tri-dialect reproducible."""
@@ -288,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_tokens": q_cell_tokens,
         "region_covering": q_region_covering,
         "chain_midpoint": q_chain_midpoint,
+        "closest_edge": q_closest_edge,
+        "crossing_edges": q_crossing_edges,
     }
 
 

@@ -1,0 +1,94 @@
+"""Edge-distance and edge-crossing queries vs brute-force oracles."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from s2spark import dataset
+from s2spark.kernels import edges as ek
+from s2spark.kernels.loops import Loop
+from s2spark.ops import edges as eops
+from s2spark.ops import pip
+from tests.conftest import SF_DIR
+
+
+def test_point_segment_chord2_vs_dense_sampling():
+    rng = np.random.default_rng(5)
+    p = rng.normal(size=(200, 3))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    a = rng.normal(size=(200, 3))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b0 = a + 0.3 * rng.normal(size=(200, 3))
+    b = b0 / np.linalg.norm(b0, axis=1, keepdims=True)
+    got = ek.point_segment_chord2(p, a, b)
+    # oracle: dense interpolation along the geodesic
+    t = np.linspace(0, 1, 2001)
+    for i in range(200):
+        ang = math.acos(np.clip(np.dot(a[i], b[i]), -1, 1))
+        if ang < 1e-12:
+            expect = ((p[i] - a[i]) ** 2).sum()
+        else:
+            pts = (np.sin((1 - t)[:, None] * ang) * a[i]
+                   + np.sin(t[:, None] * ang) * b[i]) / math.sin(ang)
+            expect = ((p[i] - pts) ** 2).sum(axis=1).min()
+        assert got[i] <= expect + 1e-9
+        assert got[i] >= expect - 1e-6  # sampling resolution slack
+
+
+def test_closest_edge_join_vs_brute(spark):
+    loops = pip.synth_loops(10)
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .where(F.col("event_id") % 10 == 0) \
+        .select("event_id", "x", "y", "z")
+    rows = ev.collect()
+    got = {r["event_id"]: (r["poly_id"], r["edge_id"], r["dist2"])
+           for r in eops.closest_edge_join(ev, spark, loops,
+                                           point_id="event_id").collect()}
+    for r in rows:
+        p = np.array([[r["x"], r["y"], r["z"]]])
+        best = None
+        for pid, loop in sorted(loops.items()):
+            v = loop.vertices
+            for e in range(loop.n):
+                d2 = float(ek.point_segment_chord2(
+                    p, v[e:e + 1], v[(e + 1) % loop.n:(e + 1) % loop.n + 1]
+                )[0])
+                cand = (d2, pid, e)
+                if best is None or cand < best:
+                    best = cand
+        gpid, ge, gd2 = got[r["event_id"]]
+        assert (gpid, ge) == (best[1], best[2])
+        assert gd2 == best[0]
+
+
+def test_crossing_edge_join_vs_brute(spark):
+    from s2spark.kernels import predicates
+    loops = pip.synth_loops(8)
+    # query edges: chords between consecutive customer points
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .where(F.col("c_custkey") <= 30) \
+        .select("c_custkey", "x", "y", "z").collect()
+    cu = sorted(cu, key=lambda r: r["c_custkey"])
+    rows = []
+    for i in range(len(cu) - 1):
+        rows.append((i, cu[i]["x"], cu[i]["y"], cu[i]["z"],
+                     cu[i + 1]["x"], cu[i + 1]["y"], cu[i + 1]["z"]))
+    qe = spark.createDataFrame(
+        rows, "qedge_id long, ax double, ay double, az double, "
+              "bx double, by double, bz double")
+    got = {(r["qedge_id"], r["poly_id"], r["edge_id"])
+           for r in eops.crossing_edge_join(qe, spark, loops).collect()}
+    expect = set()
+    for (qid, ax, ay, az, bx, by, bz) in rows:
+        a = np.array([[ax, ay, az]])
+        b = np.array([[bx, by, bz]])
+        for pid, loop in loops.items():
+            v = loop.vertices
+            for e in range(loop.n):
+                c = v[e:e + 1]
+                d = v[(e + 1) % loop.n:(e + 1) % loop.n + 1]
+                if int(predicates.crossing_sign(a, b, c, d)[0]) >= 0:
+                    expect.add((qid, pid, e))
+    assert got == expect
+    assert len(expect) > 0
