@@ -246,6 +246,19 @@ def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eops.crossing_edge_join(cu, spark, pip.synth_loops(15))
 
 
+def q_polygon_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-loop polygons with holes (even-odd rule) — rows-only;
+    validated against brute force in tests/test_polygon.py."""
+    from s2spark.ops import pip
+    base = pip.synth_loops(12)
+    holes = pip.synth_loops(24)
+    polygons = {pid: [base[pid], holes[pid + 12]] for pid in range(12)}
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    return pip.polygon_pip_join(ev, spark, polygons,
+                                point_id="event_id")
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint image table synthesized from orders keys: per-tile
     metadata stats — every column tri-dialect reproducible."""
@@ -321,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_midpoint": q_chain_midpoint,
         "closest_edge": q_closest_edge,
         "crossing_edges": q_crossing_edges,
+        "polygon_pip": q_polygon_pip,
     }
 
 

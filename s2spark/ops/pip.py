@@ -161,6 +161,72 @@ def pip_join(points: DataFrame, spark: SparkSession,
     return per_pair.where(inside).select(point_id, "poly_id")
 
 
+def polygon_pip_join(points: DataFrame, spark: SparkSession,
+                     polygons: dict[int, list[Loop]],
+                     point_id: str = "point_id") -> DataFrame:
+    """(point_id, polygon_id) for points inside multi-loop polygons
+    with holes — even-odd rule over the per-loop verdicts
+    (s2polygon.h:116-259: interior = inside an odd number of nested
+    loops).  One flat pip_join over all loops, then a parity
+    aggregation keyed back to the owning polygon."""
+    flat: dict[int, Loop] = {}
+    owner_rows = []
+    next_id = 0
+    for pgid, loops_list in polygons.items():
+        for lp in loops_list:
+            flat[next_id] = lp
+            owner_rows.append((next_id, pgid))
+            next_id += 1
+    owners = F.broadcast(spark.createDataFrame(
+        owner_rows, "poly_id long, polygon_id long"))
+    per_loop = pip_join(points, spark, flat, point_id=point_id)
+    return (per_loop.join(owners, "poly_id")
+            .groupBy(point_id, "polygon_id")
+            .agg(F.count(F.lit(1)).alias("_n_loops_inside"))
+            .where(F.col("_n_loops_inside") % 2 == 1)
+            .select(point_id, "polygon_id"))
+
+
+def loop_relations(loops: dict[int, Loop]) -> pd.DataFrame:
+    """Pairwise CONTAINS / CONTAINED / INTERSECTS / DISJOINT matrix
+    (s2loop.h:312-326 semantics, boundary-crossing + vertex-sample
+    decision; driver-side kernel — loop sets are small dims).
+
+    relation: 'contains' (a ⊇ b), 'contained' (b ⊇ a), 'intersects'
+    (boundaries cross or partial overlap), 'disjoint'.
+    """
+    from ..kernels import predicates
+    ids = sorted(loops)
+    rows = []
+    for i, a_id in enumerate(ids):
+        for b_id in ids[i + 1:]:
+            a, b = loops[a_id], loops[b_id]
+            av, bv = a.vertices, b.vertices
+            an = np.roll(av, -1, axis=0)
+            bn = np.roll(bv, -1, axis=0)
+            pa = np.repeat(av, b.n, axis=0)
+            pb = np.repeat(an, b.n, axis=0)
+            pc = np.tile(bv, (a.n, 1))
+            pd_ = np.tile(bn, (a.n, 1))
+            crossing = (predicates.crossing_sign(pa, pb, pc, pd_)
+                        > 0).any()
+            if crossing:
+                rel = "intersects"
+            else:
+                a_in_b = bool(b.contains_points(av[:1])[0])
+                b_in_a = bool(a.contains_points(bv[:1])[0])
+                if b_in_a and a_in_b:
+                    rel = "intersects"  # mutual cover (complements)
+                elif b_in_a:
+                    rel = "contains"
+                elif a_in_b:
+                    rel = "contained"
+                else:
+                    rel = "disjoint"
+            rows.append((a_id, b_id, rel))
+    return pd.DataFrame(rows, columns=["loop_a", "loop_b", "relation"])
+
+
 def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12
                 ) -> dict[int, Loop]:
     """Deterministic synthetic polygon set: regular-ish K-gons around
