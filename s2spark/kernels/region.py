@@ -140,15 +140,13 @@ class Cell:
 
     def __init__(self, cid: int):
         self.id = int(cid)
-        arr = np.array([cid], dtype=np.uint64)
-        f, i, j = cellid.to_face_ij_orientation(arr)
-        lev = int(cellid.level(arr)[0])
-        self.face = int(f[0])
+        f, i, j, lev = cellid.to_face_ij_scalar(self.id)
+        self.face = f
         self.level = lev
         # IJLevelToBoundUV (s2cell_id.cc:407-417)
         cell_size = 1 << (cellid.MAX_LEVEL - lev)
-        i_lo = int(i[0]) & -cell_size
-        j_lo = int(j[0]) & -cell_size
+        i_lo = i & -cell_size
+        j_lo = j & -cell_size
         lim = float(coords.LIMIT_IJ)
         self.u_lo = _st_to_uv(i_lo / lim)
         self.u_hi = _st_to_uv((i_lo + cell_size) / lim)
