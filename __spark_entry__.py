@@ -166,6 +166,20 @@ def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_ann(emb.select("vec_id", "embedding"), qs, k=5)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_jaccard(_docs(spark, sf_dir), threshold=0.35) \
+        .select("doc_a", "doc_b",
+                F.col("inter").cast("long").alias("inter"),
+                F.col("union_n").cast("long").alias("union_n"),
+                "jaccard")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = dataset.load(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    return ann.cosine_pairs(emb, threshold=0.4)
+
+
 def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = dataset.geotagged_customers(spark, sf_dir) \
         .select("c_custkey", "x", "y", "z")
@@ -322,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "hausdorff": q_hausdorff,
@@ -454,6 +470,34 @@ def _text_oracles() -> dict[str, str]:
             f"FROM toks), pb AS (SELECT doc_id, {vote_cols} FROM hv "
             f"GROUP BY doc_id) SELECT doc_id, CAST({sim_expr} AS BIGINT) "
             f"AS simhash FROM pb"),
+        "ngram_jaccard": (
+            f"WITH {codes_cte}, "
+            f"dcodes AS (SELECT DISTINCT doc_id, code FROM codes), "
+            f"sizes AS (SELECT doc_id, COUNT(*) AS n FROM dcodes "
+            f"GROUP BY 1), "
+            f"sig AS (SELECT doc_id, {sig_cols} FROM codes "
+            f"GROUP BY doc_id), "
+            f"cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            f"AND ({band_conds})), "
+            f"i AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter "
+            f"FROM cand c JOIN dcodes x ON x.doc_id = c.doc_a "
+            f"JOIN dcodes y ON y.doc_id = c.doc_b AND y.code = x.code "
+            f"GROUP BY 1, 2) "
+            f"SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter, "
+            f"CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n, "
+            f"CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS "
+            f"jaccard FROM i JOIN sizes sa ON sa.doc_id = i.doc_a "
+            f"JOIN sizes sb ON sb.doc_id = i.doc_b "
+            f"WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) "
+            f">= 0.35"),
+        "embedding_near_dup": (
+            f"WITH {emb_cte} "
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"list_dot_product(a.e, b.e) / (sqrt(a.n2) * sqrt(b.n2)) AS "
+            f"cos_sim FROM n a, n b WHERE a.vec_id < b.vec_id "
+            f"AND list_dot_product(a.e, b.e) / (sqrt(a.n2) * sqrt(b.n2)) "
+            f">= 0.4"),
         "embedding_topk": (
             f"WITH {emb_cte}, q AS (SELECT vec_id AS qid, e AS qe, n2 AS "
             f"qn FROM n WHERE vec_id % 20 = 0), s AS (SELECT q.qid, "

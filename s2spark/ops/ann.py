@@ -81,6 +81,27 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def cosine_pairs(vectors: DataFrame, threshold: float,
+                 point_id: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim)
+    with cos >= threshold.  Brute-force (the exact baseline); at scale
+    the identical filter runs over LSH-bucket candidates (lsh_ann's
+    join) instead of the cross join."""
+    a = with_norm2(vectors.select(F.col(point_id).alias("id_a"),
+                                  F.col("embedding").alias("_ea")),
+                   "_ea", "_na")
+    b = with_norm2(vectors.select(F.col(point_id).alias("id_b"),
+                                  F.col("embedding").alias("_eb")),
+                   "_eb", "_nb")
+    sim = (_dot_cols(F.col("_ea"), F.col("_eb"))
+           / (F.sqrt("_na") * F.sqrt("_nb")))
+    return (a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", sim)
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
 def bucket_col(vec_col):
     """LSH bucket id: bit p = [dot(emb, plane_p) > 0]."""
     out = None

@@ -176,6 +176,40 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         F.max("sig_matches").alias("sig_matches"))
 
 
+def ngram_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact 5-gram Jaccard for the LSH candidate pairs (the verify
+    stage of MinHash near-dup): (doc_a, doc_b, inter, union_n,
+    jaccard >= threshold).  Set sizes/intersections are integer joins;
+    the final division is one exact double op — value-exact vs the
+    oracle.
+
+    Scale: the expensive all-pairs set intersection only runs on LSH
+    survivors, which is the entire point of the banding stage."""
+    cand = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    # per-doc shingle SET as an array column; joining the (small) set
+    # table to both pair sides and intersecting JVM-side beats the
+    # exploded (pair x shingle) join, whose intermediate is
+    # |pairs| * |shingles/doc| rows (~10^8 at sf0.1)
+    sets = F.broadcast(
+        _shingle_codes(docs).distinct()
+        .groupBy("doc_id").agg(F.collect_set("code").alias("codes")))
+    out = (cand
+           .join(sets.select(F.col("doc_id").alias("doc_a"),
+                             F.col("codes").alias("_sa")), "doc_a")
+           .join(sets.select(F.col("doc_id").alias("doc_b"),
+                             F.col("codes").alias("_sb")), "doc_b")
+           .withColumn("inter",
+                       F.size(F.array_intersect("_sa", "_sb"))
+                       .cast("long"))
+           .withColumn("union_n",
+                       (F.size("_sa") + F.size("_sb")).cast("long")
+                       - F.col("inter"))
+           .withColumn("jaccard", F.col("inter").cast("double")
+                       / F.col("union_n"))
+           .where(F.col("jaccard") >= threshold))
+    return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over whitespace tokens (token -> 5-char rpad ->
     7-bit code -> mix; bit b votes +/-1).
