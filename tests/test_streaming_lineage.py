@@ -120,3 +120,53 @@ def test_lineage_resume(spark, tmpd):
     lin = spark.read.parquet(f"{tmpd}/state/lineage")
     assert lin.where(F.col("status") == "ok").count() == 8
     assert lin.where(F.col("status") != "ok").count() == 1
+
+
+def test_stateful_tile_counts_across_restarts(spark, tmpd):
+    """applyInPandasWithState: running totals survive a checkpointed
+    restart and absorb only the new files."""
+    from s2spark import dataset
+    from s2spark.functions import prefix_col
+    from s2spark.streaming import stateful
+    src = f"{tmpd}/src"
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for i, pred in ((0, F.col("event_id") % 2 == 0),
+                    (1, F.col("event_id") % 2 == 1)):
+        ev.where(pred).coalesce(1).write.mode("overwrite") \
+          .parquet(f"{tmpd}/stage{i}")
+
+    def move(i):
+        for f in os.listdir(f"{tmpd}/stage{i}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmpd}/stage{i}/{f}", f"{src}/c{i}.parquet")
+
+    move(0)
+    q = stateful.stream_tile_state(spark, src, f"{tmpd}/ckpt",
+                                   f"{tmpd}/out")
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(f"{tmpd}/out")
+    first = {r["tile"]: r["n_total"] for r in out1.collect()}
+    assert sum(first.values()) == ev.where(F.col("event_id") % 2 == 0) \
+        .count()
+
+    move(1)
+    q2 = stateful.stream_tile_state(spark, src, f"{tmpd}/ckpt",
+                                    f"{tmpd}/out")
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(f"{tmpd}/out")
+    # ground truth totals per tile over the WHOLE table
+    truth = {r["tile"]: r["cnt"] for r in
+             dataset.geotagged_events(spark, SF_DIR)
+             .groupBy(prefix_col(F.col("cell_id"), 4).alias("tile"))
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # rows emitted in the second batch must be CUMULATIVE: exactly the
+    # ground-truth totals (state restored from the checkpoint)
+    second = {r["tile"]: r["n_total"]
+              for r in out2.where(F.col("batch_id") > 0).collect()}
+    assert len(second) > 0
+    for t, n in second.items():
+        assert n == truth[t], (t, n, truth[t])
+    # and strictly greater than batch-1 for tiles present in both
+    grew = [t for t in second if t in first and second[t] > first[t]]
+    assert grew, "no tile shows cumulative growth"
