@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the cell-id algebra — the
+invariants the reference's randomized suites check
+(s2cell_id_test.cc:101-126, 299-341) over adversarial inputs."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from s2spark.kernels import cellid
+from s2spark.sources import geo
+
+valid_leaf = st.builds(
+    lambda f, i, j: int(cellid.from_face_ij(
+        np.array([f], dtype=np.int64), np.array([i], dtype=np.int64),
+        np.array([j], dtype=np.int64))[0]),
+    st.integers(0, 5), st.integers(0, 2**30 - 1),
+    st.integers(0, 2**30 - 1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(valid_leaf, st.integers(0, 30))
+def test_parent_contains_and_level(leaf, lev):
+    ids = np.array([leaf], dtype=np.uint64)
+    p = cellid.parent(ids, np.int64(lev))
+    assert int(cellid.level(p)[0]) == lev
+    lo, hi = cellid.range_min(p)[0], cellid.range_max(p)[0]
+    assert lo <= ids[0] <= hi
+    # parent of parent is idempotent at the same level
+    assert int(cellid.parent(p, np.int64(lev))[0]) == int(p[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(valid_leaf, st.integers(0, 29), st.integers(0, 3))
+def test_child_roundtrip(leaf, lev, pos):
+    p = cellid.parent(np.array([leaf], dtype=np.uint64), np.int64(lev))
+    ch = cellid.child(p, np.int64(pos))
+    assert int(cellid.level(ch)[0]) == lev + 1
+    assert int(cellid.parent(ch, np.int64(lev))[0]) == int(p[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(valid_leaf, st.integers(0, 30))
+def test_token_roundtrip(leaf, lev):
+    p = cellid.parent(np.array([leaf], dtype=np.uint64), np.int64(lev))
+    tok = cellid.to_token(cellid.as_i64(p))[0]
+    assert 1 <= len(tok) <= 16
+    back = cellid.from_token([tok])[0]
+    assert int(back) == int(p[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(valid_leaf)
+def test_scalar_decode_matches_vectorized(leaf):
+    ids = np.array([leaf], dtype=np.uint64)
+    f, i, j = cellid.to_face_ij_orientation(ids)
+    sf, si, sj, slv = cellid.to_face_ij_scalar(leaf)
+    assert (sf, si, sj) == (int(f[0]), int(i[0]), int(j[0]))
+    assert slv == int(cellid.level(ids)[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**62 - 2**32), st.integers(1, 60))
+def test_mix_matches_division_semantics(key, salt):
+    k = np.array([key], dtype=np.int64)
+    P, M = geo.P, geo.M
+    h = ((k + (salt * 1000003 + 12345)) % P) * M % P
+    h = h ^ (h >> 13)
+    want = ((h + salt) % P) * M % P
+    assert int(geo.mix_np(k, salt)[0]) == int(want[0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(valid_leaf, st.integers(0, 29))
+def test_neighbors_are_symmetric(leaf, lev):
+    """If b is an all-neighbor of a at level L, then a's ancestor at L
+    is an all-neighbor of b (adjacency is symmetric)."""
+    a = cellid.parent(np.array([leaf], dtype=np.uint64), np.int64(lev))
+    nbrs = cellid.append_all_neighbors(a, np.int64(lev))[0]
+    for b in nbrs:
+        back = cellid.append_all_neighbors(
+            np.array([b], dtype=np.uint64), np.int64(lev))[0]
+        assert int(a[0]) in {int(x) for x in back}
