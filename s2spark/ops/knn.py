@@ -51,7 +51,7 @@ def _covered_chord2(level: int, rings: int) -> float:
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              query_id: str, point_id: str, level: int,
-             max_rounds: int = 3) -> DataFrame:
+             max_rounds: int = 3, initial_rings: int = 2) -> DataFrame:
     """k nearest points per query -> (query_id, point_id, dist2, rank).
 
     points:  (point_id, cell_id, x, y, z); queries: (query_id, cell_id,
@@ -63,7 +63,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         s2f.prefix_col(F.col("cell_id"), level).alias("_pcell")).cache()
     remaining = queries.select(query_id, "cell_id", "x", "y", "z")
     done = []
-    rings = 1
+    # rings=2 initially: at pick_level densities the ring-1 coverage
+    # bound (1 x kMinWidth) barely exceeds the typical k-th neighbor
+    # distance, sending most queries to a second round; one 5x5 ring
+    # costs ~3x the candidates of 3x3 but saves a whole join round
+    rings = initial_rings
     for rnd in range(max_rounds):
         cand_cells = remaining.withColumn(
             "_cells", s2f.s2_disk_cells(F.col("cell_id"), F.lit(level),
