@@ -304,6 +304,21 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.bit_count(F.col("phash64"))).alias("sum_bits")))
 
 
+def q_raster_cell_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile -> vector-cell association for the image table
+    (north star); inverse-direction rollup per cell.  Rows-only:
+    tangent-plane trig is kernel-side; invariants in
+    tests/test_raster.py."""
+    from s2spark.ops import raster
+    orders = dataset.load(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("id"))
+    img = dataset.synth_images_from(orders, "id")
+    m = raster.raster_cell_map(img, grid=4, level=14)
+    return raster.cells_to_raster_tiles(m) \
+        .select("rcell", F.col("n_tiles").cast("long").alias("n_tiles"),
+                F.col("n_images").cast("long").alias("n_images"))
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join vs 25 synthetic loops.  No SQL oracle —
     spherical crossing-parity is not ANSI-SQL-expressible; correctness
@@ -351,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_edge": q_closest_edge,
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
+        "raster_cell_map": q_raster_cell_map,
     }
 
 
