@@ -174,6 +174,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard")
 
 
+def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = dataset.load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 20 == 0) \
+            .select(F.col("vec_id").alias("qid"), "embedding")
+    return ann.ivf_ann(emb.select("vec_id", "embedding"), qs, k=5)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = dataset.load(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding")
@@ -353,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "hausdorff": q_hausdorff,
@@ -514,6 +522,29 @@ def _text_oracles() -> dict[str, str]:
             f"cos_sim FROM n a, n b WHERE a.vec_id < b.vec_id "
             f"AND list_dot_product(a.e, b.e) / (sqrt(a.n2) * sqrt(b.n2)) "
             f">= 0.4"),
+        "embedding_ivf_ann": (
+            f"WITH {emb_cte}, "
+            f"cent AS (SELECT vec_id AS cid, e AS ce, n2 AS cn FROM n "
+            f"WHERE vec_id % 31 = 0), "
+            f"asg AS (SELECT vec_id, ve, vn, cid FROM ("
+            f"SELECT p.vec_id, p.e AS ve, p.n2 AS vn, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY "
+            f"list_dot_product(p.e, c.ce) / (sqrt(p.n2) * sqrt(c.cn)) "
+            f"DESC, c.cid) AS r FROM n p, cent c) WHERE r = 1), "
+            f"q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn FROM n "
+            f"WHERE vec_id % 20 = 0), "
+            f"pr AS (SELECT qid, qe, qn, cid FROM ("
+            f"SELECT q.qid, q.qe, q.qn, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            f"list_dot_product(q.qe, c.ce) / (sqrt(q.qn) * sqrt(c.cn)) "
+            f"DESC, c.cid) AS r FROM q, cent c) WHERE r <= 4), "
+            f"s AS (SELECT pr.qid, a.vec_id, "
+            f"list_dot_product(pr.qe, a.ve) / (sqrt(pr.qn) * sqrt(a.vn))"
+            f" AS cos_sim FROM pr JOIN asg a USING (cid) "
+            f"WHERE pr.qid != a.vec_id), "
+            f"r AS (SELECT qid, vec_id, cos_sim, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS "
+            f"INTEGER) AS rank FROM s) SELECT * FROM r WHERE rank <= 5"),
         "embedding_topk": (
             f"WITH {emb_cte}, q AS (SELECT vec_id AS qid, e AS qe, n2 AS "
             f"qn FROM n WHERE vec_id % 20 = 0), s AS (SELECT q.qid, "

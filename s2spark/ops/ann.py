@@ -113,6 +113,69 @@ def bucket_col(vec_col):
     return out
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               point_id: str = "vec_id") -> DataFrame:
+    """Coarse quantization: each vector -> its max-cosine centroid
+    (deterministic tie-break on centroid id).  Centroids are a
+    deterministic subsample of the corpus (no k-means float iteration
+    — this keeps the whole index oracle-reproducible)."""
+    c = F.broadcast(centroids.select(F.col("cid"),
+                                     F.col("embedding").alias("_ce")))
+    c = with_norm2(c, "_ce", "_cn")
+    v = with_norm2(vectors.withColumnRenamed("embedding", "_ve"),
+                   "_ve", "_vn")
+    sim = (_dot_cols(F.col("_ve"), F.col("_ce"))
+           / (F.sqrt("_vn") * F.sqrt("_cn")))
+    w = Window.partitionBy(point_id).orderBy(F.desc("_csim"),
+                                             F.col("cid"))
+    return (v.crossJoin(c)
+            .withColumn("_csim", sim)
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(point_id, "_ve", "_vn", "cid"))
+
+
+def ivf_ann(vectors: DataFrame, queries: DataFrame, k: int,
+            centroid_mod: int = 31, n_probe: int = 4,
+            query_id: str = "qid", point_id: str = "vec_id"
+            ) -> DataFrame:
+    """IVF approximate top-k: deterministic centroid subsample
+    (vec_id % centroid_mod == 0) -> inverted lists; queries probe
+    their `n_probe` nearest centroids; exact cosine rerank of the
+    probed lists.  Every step is deterministic and mirrored by the
+    DuckDB oracle, so the (approximate) output is value-exact."""
+    centroids = vectors.where(F.col(point_id) % centroid_mod == 0) \
+        .select(F.col(point_id).alias("cid"), "embedding")
+    lists = ivf_assign(vectors, centroids, point_id)
+
+    c = F.broadcast(centroids.select("cid",
+                                     F.col("embedding").alias("_ce")))
+    c = with_norm2(c, "_ce", "_cn")
+    q = with_norm2(queries.withColumnRenamed("embedding", "_qe"),
+                   "_qe", "_qn")
+    qsim = (_dot_cols(F.col("_qe"), F.col("_ce"))
+            / (F.sqrt("_qn") * F.sqrt("_cn")))
+    wq = Window.partitionBy(query_id).orderBy(F.desc("_csim"),
+                                              F.col("cid"))
+    probes = (q.crossJoin(c)
+              .withColumn("_csim", qsim)
+              .withColumn("_r", F.row_number().over(wq))
+              .where(F.col("_r") <= n_probe)
+              .select(query_id, "_qe", "_qn", "cid"))
+
+    sim = (_dot_cols(F.col("_qe"), F.col("_ve"))
+           / (F.sqrt("_qn") * F.sqrt("_vn")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"),
+                                             F.col(point_id))
+    return (probes.join(lists, "cid")
+            .where(F.col(query_id) != F.col(point_id))
+            .withColumn("cos_sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id, point_id, "cos_sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def lsh_ann(vectors: DataFrame, queries: DataFrame, k: int,
             query_id: str = "qid", point_id: str = "vec_id") -> DataFrame:
     """Approximate top-k: candidates from the query's sign bucket,
