@@ -62,6 +62,20 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n")))
 
 
+def q_tile_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark SQL GROUPING SETS over precomputed tile columns
+    (SURVEY §2.4's hierarchy substitute).  NULL grouping slots are
+    coalesced to -1 so the value-hash is NULL-free."""
+    ev = dataset.geotagged_events(spark, sf_dir).select(
+        s2f.parent_col(F.col("cell_id"), 4).alias("t4"),
+        s2f.parent_col(F.col("cell_id"), 8).alias("t8"))
+    ev.createOrReplaceTempView("ev_tiles")
+    return spark.sql(
+        "SELECT COALESCE(t4, -1) AS t4, COALESCE(t8, -1) AS t8, "
+        "COUNT(*) AS n FROM ev_tiles "
+        "GROUP BY GROUPING SETS ((t4), (t4, t8), ())")
+
+
 def q_cell_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = dataset.geotagged_events(spark, sf_dir).select(
         "event_id", "cell_id")
@@ -347,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_counts": q_tile_counts,
         "tile_rollup": q_tile_rollup,
+        "tile_grouping_sets": q_tile_grouping_sets,
         "cell_equi_join": q_cell_equi_join,
         "containment_range_join": q_containment_range_join,
         "disc_join": q_disc_join,
@@ -654,6 +669,12 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": (
             f"WITH ev AS (SELECT cell FROM {ev_cells}) "
             f"{rollup_parts}"),
+        "tile_grouping_sets": (
+            f"WITH t AS (SELECT {geo.parent_sql('cell', 4)} AS t4, "
+            f"{geo.parent_sql('cell', 8)} AS t8 FROM {ev_cells}) "
+            f"SELECT COALESCE(t4, -1) AS t4, COALESCE(t8, -1) AS t8, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            f"GROUP BY GROUPING SETS ((t4), (t4, t8), ())"),
         "cell_equi_join": (
             f"SELECT e.event_id, c.c_custkey "
             f"FROM (SELECT event_id, "
