@@ -186,6 +186,66 @@ def run_scale_job(cpus: int, n_rows: int,
             "outputs": outputs}
 
 
+def run_skew_demo(cpus: int = 32, n_rows: int = 10_000_000) -> dict:
+    """Explicit hot-cell salting vs plain shuffle join under heavy
+    skew (north rule).  40% of the probe rows land in ONE level-4
+    cell; the build side has ~200 rows per cell.  Reports wall time
+    for (a) plain shuffle-hash join, (b) salt_hot_cells join, both
+    with identical row-count output; AQE skew-join stays enabled in
+    both (it cannot split a single *key*, only oversized partitions —
+    salting is what breaks up the key itself)."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from s2spark import functions as s2f
+    from s2spark.ops import joins
+    from s2spark.session import get_spark
+    from s2spark.sources import geo
+
+    spark = get_spark("s2spark-skew", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus,
+                      extra_conf={"spark.sql.autoBroadcastJoinThreshold":
+                                  "-1"})  # force shuffle joins
+    base = spark.range(0, n_rows, numPartitions=4 * cpus)
+    cell = geo.cell_col(F.col("id"))
+    hot = base.select(F.col("id"),
+                      s2f.prefix_col(cell, 4).alias("jc")).limit(1) \
+        .collect()[0]["jc"]
+    probe = base.select(
+        "id",
+        F.when(F.col("id") % 5 < 2, F.lit(hot))
+        .otherwise(s2f.prefix_col(cell, 4)).alias("jc"))
+    dims = (spark.range(0, 300_000, numPartitions=cpus)
+            .select(geo.cell_col(F.col("id")).alias("c"),
+                    (F.col("id") * 7).alias("payload"))
+            .select(s2f.prefix_col(F.col("c"), 4).alias("jc"), "payload"))
+    probe.write.mode("overwrite").parquet("/tmp/s2spark_skew_probe")
+    dims.write.mode("overwrite").parquet("/tmp/s2spark_skew_dims")
+    probe = spark.read.parquet("/tmp/s2spark_skew_probe")
+    dims = spark.read.parquet("/tmp/s2spark_skew_dims")
+
+    def timed(df):
+        t0 = time.time()
+        n = df.groupBy().count().collect()[0][0]
+        return round(time.time() - t0, 3), n
+
+    plain_t, plain_n = timed(probe.join(dims, "jc"))
+    t0 = time.time()
+    p, b, hot_list = joins.salt_hot_cells(probe, dims, "jc", "id",
+                                          factor=4 * cpus,
+                                          hot_threshold=n_rows // 100)
+    salted_t, salted_n = timed(p.join(b, ["jc", "_salt"]))
+    salted_total = round(time.time() - t0, 3)
+    spark.stop()
+    assert plain_n == salted_n, (plain_n, salted_n)
+    return {"cpus": cpus, "n_rows": n_rows, "hot_cells": len(hot_list),
+            "plain_join_sec": plain_t,
+            "salted_join_sec": salted_t,
+            "salted_incl_histogram_sec": salted_total,
+            "join_rows": plain_n,
+            "speedup": round(plain_t / salted_t, 2)}
+
+
 def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     """Same job at N and 4N cores on identical input -> throughput +
     scaling efficiency (north-rule evidence).  All four parallelism
@@ -282,6 +342,8 @@ def main() -> None:
     n_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(n_rows)))
+    elif "--skew-demo" in sys.argv:
+        print(json.dumps(run_skew_demo(cpus)))
     elif "--ingest-only" in sys.argv:
         print(json.dumps(run_scale_job(cpus, n_rows, ingest_only=True)))
     elif "--scale-job" in sys.argv:
