@@ -235,7 +235,6 @@ def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12
     from ..sources import geo
     out = {}
     for pid in range(n):
-        k = np.int64(pid)
         key = np.array([pid], dtype=np.int64)
         f, i, j = geo.geo_np(key)
         x, y, z = geo.xyz_np(key)

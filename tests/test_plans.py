@@ -38,8 +38,6 @@ def test_tile_counts_prunes_columns_and_partial_aggregates(spark):
     # partial (map-side) aggregation before the exchange
     assert plan.count("HashAggregate") >= 2
     # the scan must read only the geotag key, not all event columns
-    scan_schema = [ln for ln in plan.splitlines()
-                   if "ReadSchema" in ln or "Scan parquet" in ln]
     assert any("event_id" in ln for ln in plan.splitlines()
                if "ReadSchema" in ln)
     assert not any("props" in ln for ln in plan.splitlines()
