@@ -204,6 +204,23 @@ def intersects(a, b) -> np.ndarray:
     return (range_min(b) <= range_max(a)) & (range_max(b) >= range_min(a))
 
 
+def advance(ids, n) -> np.ndarray:
+    """Advance n positions along the Hilbert curve at the cell's own
+    level (s2cell_id.h:714-724); callers keep n in range, wrap is
+    two's-complement like the reference."""
+    i = as_u64(ids)
+    step = lsb(i) << _U(1)
+    return i + step * np.asarray(n, dtype=np.uint64)
+
+
+def distance_from_begin(ids) -> np.ndarray:
+    """Curve position at the cell's level (steps from Begin(level),
+    s2cell_id.cc:125-148): the Hilbert prefix — id >> (2*(30-l)+1)."""
+    i = as_u64(ids)
+    tz = _popcount64(lsb(i) - _U(1))
+    return (i >> (tz + _U(1))).astype(np.int64)
+
+
 def next_cell(ids) -> np.ndarray:
     i = as_u64(ids)
     return i + (lsb(i) << _U(1))

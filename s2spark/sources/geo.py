@@ -140,9 +140,17 @@ def geo_struct_udf():
 
         @pandas_udf(ret)
         def _geo(key):
+            from ..kernels import cellid as _cellid
+            from ..kernels import coords as _coords
             k = key.to_numpy(np.int64)
-            cell = cell_np(k)
-            x, y, z = xyz_np(k)
+            f, i, j = geo_np(k)     # the 5 LCG mixes, computed ONCE
+            cell = _cellid.as_i64(_cellid.from_face_ij(f, i, j))
+            s = (np.asarray(i, dtype=np.float64) + 0.5) / _coords.LIMIT_IJ
+            t = (np.asarray(j, dtype=np.float64) + 0.5) / _coords.LIMIT_IJ
+            u = _coords.st_to_uv(s)
+            v = _coords.st_to_uv(t)
+            x, y, z = _coords.face_uv_to_xyz(f, u, v)
+            x, y, z = _coords.normalize_xyz(x, y, z)
             return pd.DataFrame({"cell_id": cell, "x": x, "y": y, "z": z})
 
         _GEO_STRUCT = _geo

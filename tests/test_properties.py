@@ -79,3 +79,17 @@ def test_neighbors_are_symmetric(leaf, lev):
         back = cellid.append_all_neighbors(
             np.array([b], dtype=np.uint64), np.int64(lev))[0]
         assert int(a[0]) in {int(x) for x in back}
+
+
+@settings(max_examples=100, deadline=None)
+@given(valid_leaf, st.integers(0, 28), st.integers(1, 3))
+def test_advance_and_distance(leaf, lev, n):
+    ids = cellid.parent(np.array([leaf], dtype=np.uint64), np.int64(lev))
+    d0 = int(cellid.distance_from_begin(ids)[0])
+    adv = cellid.advance(ids, np.int64(n))
+    # stays on the curve at the same level, n steps further
+    assert int(cellid.level(adv)[0]) == lev
+    assert int(cellid.distance_from_begin(adv)[0]) == d0 + n
+    # next_cell == advance(1)
+    assert int(cellid.next_cell(ids)[0]) == int(cellid.advance(ids,
+                                                np.int64(1))[0])
