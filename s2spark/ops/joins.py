@@ -182,6 +182,15 @@ def disc_join(points: DataFrame, queries: DataFrame, radius_rad: float,
              .select(query_id, point_id, d2.alias("dist2")))
 
 
+def disc_join_km(points: DataFrame, queries: DataFrame, radius_km: float,
+                 query_id: str, point_id: str, **kw) -> DataFrame:
+    """disc_join with a metric radius (S2Earth conversion,
+    s2earth.h:147-183; earth radius 6,371,010 m)."""
+    from ..kernels import earth
+    return disc_join(points, queries, earth.km_to_radians(radius_km),
+                     query_id, point_id, **kw)
+
+
 def salt_hot_cells(probe: DataFrame, build: DataFrame, key: str,
                    probe_uid: str, factor: int = 8,
                    hot_threshold: int = 100_000

@@ -2,6 +2,8 @@
 invariants the reference's randomized suites check
 (s2cell_id_test.cc:101-126, 299-341) over adversarial inputs."""
 
+import math
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -93,3 +95,17 @@ def test_advance_and_distance(leaf, lev, n):
     # next_cell == advance(1)
     assert int(cellid.next_cell(ids)[0]) == int(cellid.advance(ids,
                                                 np.int64(1))[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0.1, 2.0e7))
+def test_earth_roundtrips(m):
+    from s2spark.kernels import earth
+    assert abs(earth.radians_to_meters(earth.meters_to_radians(m)) - m) \
+        <= 1e-9 * m
+    c2 = earth.meters_to_chord2(m)
+    assert 0.0 <= c2 <= 4.0
+    if m < math.pi * earth.RADIUS_METERS * 0.999:
+        back = earth.chord2_to_meters(c2)
+        assert abs(back - min(m, math.pi * earth.RADIUS_METERS)) \
+            <= max(1e-6 * m, 1e-6)
