@@ -158,14 +158,23 @@ def disc_join(points: DataFrame, queries: DataFrame, radius_rad: float,
     s2cell_iterator_join.h:148-186).
     """
     import math
+
+    from ..kernels import metrics
     r2 = (2.0 * math.sin(0.5 * min(radius_rad, math.pi))) ** 2
     lv = disc_level(radius_rad) if level is None else level
+    # coverage guarantee: escaping an r-ring crosses >= r cells, each
+    # >= kMinWidth(lv) wide.  lv is chosen so r=1 — EXCEPT when the
+    # radius exceeds kMinWidth(0) (~54 deg): level clamps at 0 and one
+    # ring of face cells misses the antipodal face, so widen the ring
+    # until r * kMinWidth covers the radius (2 rings already span all
+    # 6 faces).
+    rings = max(1, math.ceil(radius_rad / metrics.MIN_WIDTH.get_value(lv)))
     q = (queries.select(query_id,
                         F.col("x").alias("_qx"), F.col("y").alias("_qy"),
                         F.col("z").alias("_qz"),
                         F.explode(s2f.s2_disk_cells(
                             F.col("cell_id"), F.lit(lv),
-                            F.lit(1))).alias("_rc"))
+                            F.lit(rings))).alias("_rc"))
          .select(query_id, "_qx", "_qy", "_qz",
                  s2f.prefix_col(F.col("_rc"), lv).alias("_jc")))
     if broadcast_queries:

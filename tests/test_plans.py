@@ -121,3 +121,24 @@ def test_term_join_candidates_superset_of_disc_pairs(spark):
                    for x in exact.collect()}
     assert exact_pairs <= cand_pairs
     assert len(exact_pairs) > 0
+
+
+def test_disc_join_extreme_radii_exact(spark):
+    """Regression: one ring of face cells misses the antipodal face —
+    huge radii must widen the ring (found by a 3.0 rad probe)."""
+    import math
+    import numpy as np
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .where(F.col("c_custkey") % 30 == 0) \
+        .select("c_custkey", "cell_id", "x", "y", "z")
+    E = np.array(ev.select("x", "y", "z").collect())
+    C = np.array(cu.select("x", "y", "z").collect())
+    for r in (1e-9, 0.5, 1.2, 3.0, math.pi):
+        got = joins.disc_join(ev, cu, r, query_id="c_custkey",
+                              point_id="event_id").count()
+        r2 = (2.0 * math.sin(0.5 * min(r, math.pi))) ** 2
+        expect = int((((C[:, None, :] - E[None, :, :]) ** 2).sum(-1)
+                      <= r2).sum())
+        assert got == expect, (r, got, expect)
