@@ -325,6 +325,16 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.bit_count(F.col("phash64"))).alias("sum_bits")))
 
 
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates by perceptual-hash banding (4x16-bit
+    bands over the 64-bit phash) + Hamming distance."""
+    orders = dataset.load(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("id"))
+    img = dataset.synth_images_from(orders, "id") \
+        .select("image_id", "phash")
+    return text.phash_near_dup(img)
+
+
 def q_raster_cell_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile -> vector-cell association for the image table
     (north star); inverse-direction rollup per cell.  Rows-only:
@@ -390,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
         "raster_cell_map": q_raster_cell_map,
+        "image_phash_near_dup": q_image_phash_near_dup,
     }
 
 
@@ -621,6 +632,22 @@ def oracle_sql() -> dict[str, str]:
 
     extra = _text_oracles()
     extra.update({
+        "image_phash_near_dup": (
+            f"WITH img AS (SELECT 'img' || lpad(CAST(id AS VARCHAR), "
+            f"12, '0') AS image_id, {_ph} AS h FROM "
+            f"(SELECT o_orderkey AS id FROM orders)), "
+            f"bands AS (SELECT image_id, h, "
+            + ", ".join(f"((h >> {b * 16}) & 65535) AS band{b}"
+                        for b in range(4))
+            + " FROM img), "
+            f"pairs AS ("
+            + " UNION ALL ".join(
+                f"SELECT a.image_id AS id_a, b.image_id AS id_b, "
+                f"bit_count(xor(a.h, b.h)) AS hamming "
+                f"FROM bands a JOIN bands b ON a.band{b} = b.band{b} "
+                f"AND a.image_id < b.image_id" for b in range(4))
+            + ") SELECT id_a, id_b, CAST(MIN(hamming) AS BIGINT) AS "
+            f"hamming FROM pairs GROUP BY 1, 2"),
         "image_meta": (
             f"SELECT {geo.parent_sql('cell', 6)} AS tile, "
             f"CAST(COUNT(*) AS BIGINT) AS n_images, "

@@ -210,7 +210,40 @@ def ngram_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+def phash_near_dup(images: DataFrame, id_col: str = "image_id",
+                   phash_col: str = "phash", n_bands: int = 4,
+                   band_bits: int = 16) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates for IMAGES: band the
+    64-bit phash (4 x 16-bit), candidates share >= 1 band, report the
+    full Hamming distance (bit_count of xor) — the banding trick from
+    MinHash applied to the image modality.  Pure SQL bit math.
+
+    Scale: each band join is a hash equi-join on a 16-bit key;
+    per-band bucket sizes are |images| / 2^band_bits on average, and
+    hot buckets fall under the usual salting helper.
+    """
+    sides = []
+    for side in ("a", "b"):
+        cols = [F.col(id_col).alias(f"id_{side}"),
+                F.col(phash_col).alias(f"_h{side}")]
+        cols += [(F.shiftrightunsigned(F.col(phash_col), b * band_bits)
+                  .bitwiseAND((1 << band_bits) - 1)).alias(f"band{b}")
+                 for b in range(n_bands)]
+        sides.append(images.select(*cols))
+    a, b = sides
+    out = None
+    for bd in range(n_bands):
+        # join on the single band column by name to avoid ambiguity
+        p = (a.selectExpr(f"id_a", f"_ha", f"band{bd} AS _bk")
+             .join(b.selectExpr(f"id_b", f"_hb", f"band{bd} AS _bk"),
+                   "_bk")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                     .cast("long").alias("hamming")))
+        out = p if out is None else out.unionByName(p)
+    return out.groupBy("id_a", "id_b").agg(
+        F.min("hamming").alias("hamming"))
     """16-bit SimHash over whitespace tokens (token -> 5-char rpad ->
     7-bit code -> mix; bit b votes +/-1).
 
