@@ -244,6 +244,9 @@ def phash_near_dup(images: DataFrame, id_col: str = "image_id",
         out = p if out is None else out.unionByName(p)
     return out.groupBy("id_a", "id_b").agg(
         F.min("hamming").alias("hamming"))
+
+
+def simhash(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over whitespace tokens (token -> 5-char rpad ->
     7-bit code -> mix; bit b votes +/-1).
 
