@@ -125,7 +125,28 @@ def term_join(points: DataFrame, region_cells: DataFrame,
     overlap — callers dedupe on their pair key after the exact filter.
     """
     pts = point_terms(points, point_cell, min_level, max_level)
-    return pts.join(region_cells.withColumnRenamed(region_cell, "term"),
+    # guard: a region cell COARSER than min_level emits a term no point
+    # generates -> silent pair loss.  Denormalize coarse cells to their
+    # min_level descendants (bounded: coverer callers never trip this;
+    # direct callers with level < min_level pay 4^Δ expansion).
+    lv = s2f.level_col(F.col(region_cell))
+    fine = region_cells.where(lv >= min_level)
+    coarse = region_cells.where(lv < min_level)
+    if not coarse.isEmpty():
+        import pandas as _pd
+        from ..kernels import cellunion as _cu
+
+        rows = coarse.collect()
+        other = [c for c in coarse.columns if c != region_cell]
+        expanded = []
+        for r in rows:
+            kids = _cu.denormalize([r[region_cell]], min_level, 1)
+            from ..kernels import cellid as _ci
+            for k in _ci.as_i64(kids):
+                expanded.append((int(k), *[r[c] for c in other]))
+        fine = fine.unionByName(coarse.sparkSession.createDataFrame(
+            _pd.DataFrame(expanded, columns=[region_cell] + other)))
+    return pts.join(fine.withColumnRenamed(region_cell, "term"),
                     "term").drop("term")
 
 

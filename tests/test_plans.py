@@ -142,3 +142,23 @@ def test_disc_join_extreme_radii_exact(spark):
         expect = int((((C[:, None, :] - E[None, :, :]) ** 2).sum(-1)
                       <= r2).sum())
         assert got == expect, (r, got, expect)
+
+
+def test_term_join_denormalizes_coarse_regions(spark):
+    """A region cell coarser than min_level must still match its
+    points (silent-loss guard: coarse cells denormalize)."""
+    from s2spark import functions as s2f
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id")
+    # region = ONE level-2 cell (coarser than min_level=4)
+    some = ev.first()
+    region = spark.createDataFrame(
+        [(int(some["cell_id"]),)], "leaf long") \
+        .select(s2f.parent_col(F.col("leaf"), 2).alias("rcell"))
+    cand = joins.term_join(ev, region, min_level=4, max_level=16)
+    # every event whose level-2 ancestor matches must appear
+    expect = ev.withColumn(
+        "p2", s2f.parent_col(F.col("cell_id"), 2)).where(
+        F.col("p2") == region.first()["rcell"]).count()
+    assert cand.select("event_id").distinct().count() == expect
+    assert expect > 0
