@@ -477,6 +477,22 @@ def _text_oracles() -> dict[str, str]:
                             f"THEN {1 << p} ELSE 0 END)")
     bucket_sql = "(" + " + ".join(bucket_terms) + ")"
 
+    # banded pair-LSH (mirrors ann.band_col: N_PAIR_BANDS bands of
+    # BAND_BITS sign bits over the same planes)
+    from s2spark.ops.ann import BAND_BITS, N_PAIR_BANDS
+    band_sqls = []
+    for b in range(N_PAIR_BANDS):
+        terms = []
+        for j in range(BAND_BITS):
+            w = ", ".join("%.1f" % float(x)
+                          for x in plane_weights(b * BAND_BITS + j))
+            terms.append(f"(CASE WHEN list_dot_product(e, [{w}]) > 0 "
+                         f"THEN {1 << j} ELSE 0 END)")
+        band_sqls.append("(" + " + ".join(terms) + ")")
+    band_defs = ", ".join(f"{s} AS b{i}" for i, s in enumerate(band_sqls))
+    band_match = " OR ".join(f"a.b{i} = b.b{i}"
+                             for i in range(N_PAIR_BANDS))
+
     return {
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS "
@@ -542,12 +558,16 @@ def _text_oracles() -> dict[str, str]:
             f"WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) "
             f">= 0.35"),
         "embedding_near_dup": (
-            f"WITH {emb_cte} "
-            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            f"list_dot_product(a.e, b.e) / (sqrt(a.n2) * sqrt(b.n2)) AS "
-            f"cos_sim FROM n a, n b WHERE a.vec_id < b.vec_id "
-            f"AND list_dot_product(a.e, b.e) / (sqrt(a.n2) * sqrt(b.n2)) "
-            f">= 0.4"),
+            f"WITH {emb_cte}, bd AS (SELECT vec_id, {band_defs} FROM n), "
+            f"cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+            f"FROM bd a JOIN bd b ON a.vec_id < b.vec_id "
+            f"AND ({band_match})) "
+            f"SELECT c.id_a, c.id_b, "
+            f"list_dot_product(x.e, y.e) / (sqrt(x.n2) * sqrt(y.n2)) AS "
+            f"cos_sim FROM cand c JOIN n x ON x.vec_id = c.id_a "
+            f"JOIN n y ON y.vec_id = c.id_b "
+            f"WHERE list_dot_product(x.e, y.e) / (sqrt(x.n2) * sqrt(y.n2))"
+            f" >= 0.4"),
         "embedding_ivf_ann": (
             f"WITH {emb_cte}, "
             f"cent AS (SELECT vec_id AS cid, e AS ce, n2 AS cn FROM n "

@@ -204,13 +204,35 @@ def intersects(a, b) -> np.ndarray:
     return (range_min(b) <= range_max(a)) & (range_max(b) >= range_min(a))
 
 
+_WRAP_OFFSET = _U(NUM_FACES) << _U(POS_BITS)  # kWrapOffset (s2cell_id.cc:125)
+
+
 def advance(ids, n) -> np.ndarray:
     """Advance n positions along the Hilbert curve at the cell's own
-    level (s2cell_id.h:714-724); callers keep n in range, wrap is
-    two's-complement like the reference."""
+    level, CLAMPED so the result stays within [Begin(level), End(level)]
+    (s2cell_id.cc:125-148).  n may be negative; inputs/outputs may be the
+    Begin/End sentinels themselves."""
     i = as_u64(ids)
-    step = lsb(i) << _U(1)
-    return i + step * np.asarray(n, dtype=np.uint64)
+    tz = _popcount64(lsb(i) - _U(1))          # 2*(30-level)
+    shift = tz + _U(1)                        # step shift
+    n64 = np.broadcast_to(np.asarray(n, dtype=np.int64), i.shape)
+    min_steps = -((i >> shift).astype(np.int64))
+    max_steps = ((_WRAP_OFFSET + lsb(i) - i) >> shift).astype(np.int64)
+    steps = np.clip(n64, min_steps, max_steps)
+    return i + (steps.astype(np.uint64) << shift)
+
+
+def advance_wrap(ids, n) -> np.ndarray:
+    """Advance n positions wrapping around the sphere (the curve is a
+    cycle: End(level) wraps to Begin(level)), s2cell_id.cc:150-172."""
+    i = as_u64(ids)
+    tz = _popcount64(lsb(i) - _U(1))
+    shift = tz + _U(1)
+    num = (_WRAP_OFFSET >> shift).astype(np.int64)      # cells at level
+    n64 = np.broadcast_to(np.asarray(n, dtype=np.int64), i.shape)
+    steps = np.mod(n64 + (i >> shift).astype(np.int64), num)
+    begin = lsb(i)  # Begin(level) id = lsb (face 0, pos 0, level marker)
+    return begin + (steps.astype(np.uint64) << shift)
 
 
 def distance_from_begin(ids) -> np.ndarray:

@@ -81,12 +81,63 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
                     F.col("rank").cast("int").alias("rank")))
 
 
+N_PAIR_BANDS = 4
+BAND_BITS = 2  # N_PAIR_BANDS * BAND_BITS == N_PLANES
+
+
+def band_col(vec_col, b: int):
+    """Band b's id: BAND_BITS sign bits of the banded LSH planes."""
+    val = None
+    for j in range(BAND_BITS):
+        p = b * BAND_BITS + j
+        bit = (F.when(_dot_expr(vec_col, plane_weights(p)) > 0, 1)
+               .otherwise(0))
+        term = bit * F.lit(1 << j)
+        val = term if val is None else val + term
+    return val
+
+
 def cosine_pairs(vectors: DataFrame, threshold: float,
                  point_id: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim)
-    with cos >= threshold.  Brute-force (the exact baseline); at scale
-    the identical filter runs over LSH-bucket candidates (lsh_ann's
-    join) instead of the cross join."""
+    with cos >= threshold, candidates from banded sign-LSH.
+
+    Scale plan (no cross join anywhere): each vector emits
+    N_PAIR_BANDS (band_idx, band_val) keys; candidates are pairs
+    sharing >=1 band (equi-join on the key, distinct); the exact
+    cosine filter reranks candidates only.  Deterministic-approximate
+    — the DuckDB oracle mirrors the identical banding, so output is
+    value-exact.  Mirrors the MinHash-LSH structure of ops/text.py."""
+    sig = with_norm2(vectors.select(F.col(point_id).alias("vid"),
+                                    F.col("embedding").alias("_e")),
+                     "_e", "_n2")
+    sig = sig.withColumn(
+        "_band", F.array(*[band_col(F.col("_e"), b)
+                           for b in range(N_PAIR_BANDS)]))
+    keyed = sig.select(
+        "vid", F.posexplode("_band").alias("_bidx", "_bval"))
+    cand = (keyed.alias("a")
+            .join(keyed.alias("b"), ["_bidx", "_bval"])
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("id_a"),
+                    F.col("b.vid").alias("id_b"))
+            .distinct())
+    ea = sig.select(F.col("vid").alias("id_a"),
+                    F.col("_e").alias("_ea"), F.col("_n2").alias("_na"))
+    eb = sig.select(F.col("vid").alias("id_b"),
+                    F.col("_e").alias("_eb"), F.col("_n2").alias("_nb"))
+    sim = (_dot_cols(F.col("_ea"), F.col("_eb"))
+           / (F.sqrt("_na") * F.sqrt("_nb")))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .withColumn("cos_sim", sim)
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def cosine_pairs_exact(vectors: DataFrame, threshold: float,
+                       point_id: str = "vec_id") -> DataFrame:
+    """Brute-force all-pairs baseline (small-N / recall measurement
+    only; O(n^2) — NOT the scale path, use cosine_pairs)."""
     a = with_norm2(vectors.select(F.col(point_id).alias("id_a"),
                                   F.col("embedding").alias("_ea")),
                    "_ea", "_na")

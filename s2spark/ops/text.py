@@ -176,23 +176,32 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         F.max("sig_matches").alias("sig_matches"))
 
 
-def ngram_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
+                  candidates: DataFrame | None = None) -> DataFrame:
     """Exact 5-gram Jaccard for the LSH candidate pairs (the verify
     stage of MinHash near-dup): (doc_a, doc_b, inter, union_n,
     jaccard >= threshold).  Set sizes/intersections are integer joins;
     the final division is one exact double op — value-exact vs the
     oracle.
 
-    Scale: the expensive all-pairs set intersection only runs on LSH
-    survivors, which is the entire point of the banding stage."""
-    cand = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
-    # per-doc shingle SET as an array column; joining the (small) set
-    # table to both pair sides and intersecting JVM-side beats the
-    # exploded (pair x shingle) join, whose intermediate is
+    Scale: the expensive set intersection only runs on LSH survivors
+    — the shingle-set table is semi-joined down to candidate doc ids
+    BEFORE aggregation, so its size is O(|survivor docs|), not
+    O(corpus); AQE then picks broadcast vs shuffle join on its own.
+    Callers that already ran the LSH stage pass `candidates` to avoid
+    recomputing it."""
+    cand = (candidates if candidates is not None
+            else lsh_candidate_pairs(docs)).select("doc_a", "doc_b")
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    # per-doc shingle SET as an array column; joining the (survivors
+    # only) set table to both pair sides and intersecting JVM-side
+    # beats the exploded (pair x shingle) join, whose intermediate is
     # |pairs| * |shingles/doc| rows (~10^8 at sf0.1)
-    sets = F.broadcast(
-        _shingle_codes(docs).distinct()
-        .groupBy("doc_id").agg(F.collect_set("code").alias("codes")))
+    sets = (_shingle_codes(docs).distinct()
+            .join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id").agg(F.collect_set("code").alias("codes")))
     out = (cand
            .join(sets.select(F.col("doc_id").alias("doc_a"),
                              F.col("codes").alias("_sa")), "doc_a")

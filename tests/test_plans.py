@@ -162,3 +162,29 @@ def test_term_join_denormalizes_coarse_regions(spark):
         F.col("p2") == region.first()["rcell"]).count()
     assert cand.select("event_id").distinct().count() == expect
     assert expect > 0
+
+
+def test_cosine_pairs_has_no_cross_join(spark):
+    """VERDICT r1 #4: near-dup pairs must come from banded-LSH
+    equi-joins, never an all-pairs cross join."""
+    from s2spark.ops import ann
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    df = ann.cosine_pairs(emb, threshold=0.4)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_ngram_jaccard_filters_sets_before_join(spark):
+    """VERDICT r1 #5: the shingle-set table must be semi-joined to LSH
+    survivors, not broadcast whole-corpus."""
+    from s2spark.ops import text
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    df = text.ngram_jaccard(docs, threshold=0.35)
+    opt = optimized_of(df)
+    assert "LeftSemi" in opt, "set table not restricted to survivors"
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan

@@ -84,17 +84,41 @@ def test_neighbors_are_symmetric(leaf, lev):
 
 
 @settings(max_examples=100, deadline=None)
-@given(valid_leaf, st.integers(0, 28), st.integers(1, 3))
+@given(valid_leaf, st.integers(0, 28), st.integers(-3, 3))
 def test_advance_and_distance(leaf, lev, n):
+    """advance clamps to [Begin(level), End(level)] (s2cell_id.cc:125-148);
+    distance moves by exactly the clamped step count."""
     ids = cellid.parent(np.array([leaf], dtype=np.uint64), np.int64(lev))
     d0 = int(cellid.distance_from_begin(ids)[0])
+    num = 6 * 4 ** lev  # curve length at this level
     adv = cellid.advance(ids, np.int64(n))
-    # stays on the curve at the same level, n steps further
-    assert int(cellid.level(adv)[0]) == lev
-    assert int(cellid.distance_from_begin(adv)[0]) == d0 + n
-    # next_cell == advance(1)
-    assert int(cellid.next_cell(ids)[0]) == int(cellid.advance(ids,
-                                                np.int64(1))[0])
+    want = min(max(d0 + n, 0), num)  # clamp to [Begin, End]
+    assert int(cellid.distance_from_begin(adv)[0]) == want
+    if want < num:  # End(level) is a sentinel, not a valid cell
+        assert int(cellid.level(adv)[0]) == lev
+    # next_cell == advance(1) whenever advance doesn't clamp
+    if d0 + 1 <= num:
+        assert int(cellid.next_cell(ids)[0]) == int(cellid.advance(ids,
+                                                    np.int64(1))[0])
+    # advance_wrap treats the curve as a cycle of length num
+    wrapped = cellid.advance_wrap(ids, np.int64(n))
+    assert int(cellid.distance_from_begin(wrapped)[0]) == (d0 + n) % num
+    assert int(cellid.level(wrapped)[0]) == lev
+
+
+def test_advance_clamps_at_curve_ends():
+    """Pinned regression (VERDICT r1 #1): last face-5 level-0 cell
+    advanced 3 steps must clamp to End(0), not wrap the uint64 id."""
+    last_face5 = np.array([(5 << 61) | (1 << 60)], dtype=np.uint64)
+    adv = cellid.advance(last_face5, np.int64(3))
+    assert int(cellid.distance_from_begin(adv)[0]) == 6  # End(0)
+    # and clamping down past Begin: Begin(0) == first face-0 cell == 1<<60
+    first = np.array([1 << 60], dtype=np.uint64)
+    back = cellid.advance(first, np.int64(-5))
+    assert int(back[0]) == int(first[0])
+    # negative steps work without OverflowError and land exactly
+    two_back = cellid.advance(last_face5, np.int64(-2))
+    assert int(cellid.distance_from_begin(two_back)[0]) == 3
 
 
 @settings(max_examples=100, deadline=None)
