@@ -257,7 +257,7 @@ def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2spark.ops import pip
     ev = dataset.geotagged_events(spark, sf_dir) \
         .where(F.col("event_id") % 20 == 0) \
-        .select("event_id", "x", "y", "z")
+        .select("event_id", "cell_id", "x", "y", "z")
     return eops.closest_edge_join(ev, spark, pip.synth_loops(15),
                                   point_id="event_id")
 

@@ -282,3 +282,29 @@ def chord2_col(x1: Column, y1: Column, z1: Column,
     so kNN / disc filters stay in codegen."""
     dx, dy, dz = x1 - x2, y1 - y2, z1 - z2
     return dx * dx + dy * dy + dz * dz
+
+
+def make_edge_covering_udf(max_cells: int = 8, min_level: int = 0,
+                           max_level: int = MAX_LEVEL):
+    """Per-row covering of a geodesic segment: (ax..az, bx..bz) ->
+    array<long>.  Candidate generation for the indexed
+    S2CrossingEdgeQuery plan (s2crossing_edge_query.h:17-24)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def s2_edge_covering(ax: pd.Series, ay: pd.Series, az: pd.Series,
+                         bx: pd.Series, by: pd.Series, bz: pd.Series
+                         ) -> pd.Series:
+        from .kernels import edges as ek
+        out = []
+        for a0, a1, a2, b0, b1, b2 in zip(
+                ax.to_numpy(np.float64), ay.to_numpy(np.float64),
+                az.to_numpy(np.float64), bx.to_numpy(np.float64),
+                by.to_numpy(np.float64), bz.to_numpy(np.float64)):
+            cov = ek.edge_covering((a0, a1, a2), (b0, b1, b2),
+                                   max_cells=max_cells,
+                                   min_level=min_level,
+                                   max_level=max_level)
+            out.append([int(v) for v in cov])
+        return pd.Series(out)
+
+    return s2_edge_covering

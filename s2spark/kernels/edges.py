@@ -50,3 +50,56 @@ def point_segment_chord2(p: np.ndarray, a: np.ndarray, b: np.ndarray
     out = np.where(in_wedge, np.minimum(perp_chord2, ends), ends)
     # degenerate edge (a == b): endpoint distance
     return np.where(n2 > 0, out, ends)
+
+
+class EdgeRegion:
+    """A single geodesic segment as a coverable region (duck-typed for
+    RegionCoverer): may_intersect = endpoint-in-cell or crossing with
+    one of the cell's 4 geodesic edges; contains_cell is always False
+    (a curve has no interior).  Used to cover query edges for the
+    indexed S2CrossingEdgeQuery plan (s2crossing_edge_query.h:17-24,
+    which covers query edges with index cells the same way)."""
+
+    def __init__(self, a, b):
+        self.a = np.asarray(a, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+
+    def may_intersect_cell(self, cell) -> bool:
+        from . import predicates
+        if cell.contains_point(tuple(self.a)) \
+                or cell.contains_point(tuple(self.b)):
+            return True
+        cv = np.array([cell.get_vertex(k) for k in range(4)],
+                      dtype=np.float64)
+        cn = np.roll(cv, -1, axis=0)
+        aa = np.broadcast_to(self.a, (4, 3))
+        bb = np.broadcast_to(self.b, (4, 3))
+        return bool((predicates.crossing_sign(aa, bb, cv, cn) >= 0).any())
+
+    def contains_cell(self, cell) -> bool:
+        return False
+
+    def get_cell_union_bound(self) -> list:
+        from . import cellid
+        from .region import Cap
+        mid = self.a + self.b
+        norm = float(np.linalg.norm(mid))
+        if norm < 1e-9:  # antipodal endpoints: no useful cap bound
+            return [int(v) for v in cellid.from_face(np.arange(6))]
+        center = mid / norm
+        d2 = max(float(((self.a - center) ** 2).sum()),
+                 float(((self.b - center) ** 2).sum()))
+        cap = Cap(tuple(center), d2)
+        if cap.radius2 >= 2.0:
+            return [int(v) for v in cellid.from_face(np.arange(6))]
+        return cap.get_cell_union_bound()
+
+
+def edge_covering(a, b, max_cells: int = 8, min_level: int = 0,
+                  max_level: int = 30) -> np.ndarray:
+    """Cell covering of one geodesic segment (int64 cell ids)."""
+    from .coverer import RegionCoverer
+    rc = RegionCoverer(max_cells=max_cells, min_level=min_level,
+                       max_level=max_level)
+    from . import cellid
+    return cellid.as_i64(rc.get_covering(EdgeRegion(a, b)))

@@ -1,18 +1,26 @@
 """Edge queries over the cell-indexed loop edges (SURVEY.md §2.3):
 
 - closest_edge_join  : S2ClosestEdgeQuery analogue — per point, the
-  nearest polygon edge (distance + edge identity).  Candidates come
-  from the broadcast edge-cell index joined on expanding neighbor
-  rings, exactly like point kNN; here the fallback is a broadcast
-  sweep over the (small) edge table, the same brute-force-below-
-  threshold strategy the reference uses.
+  k nearest polygon edges (distance + edge identity).  Indexed plan:
+  the edge-cell index (pip.build_edge_index, forced to >= ring level)
+  keys every edge at one fixed level; each point equi-joins expanding
+  neighbor-ring cells against those keys exactly like point kNN
+  (ops/knn.py), with the same metric stop bound and a brute-force
+  fallback for stragglers — mirroring the reference's
+  brute-force-below-threshold strategy
+  (s2closest_edge_query.h:17-21, s2closest_point_query_base.h:534-537).
 - crossing_edge_join : S2CrossingEdgeQuery analogue — all (query
-  edge, indexed edge) crossing pairs: query edges emit the cells
-  their endpoints' ring covers, equi-join the edge-cell index, then
-  the robust CrossingSign kernel filters.
+  edge, indexed edge) crossing pairs.  Indexed plan: each query edge
+  is covered with cells (kernels.edges.EdgeRegion + RegionCoverer,
+  the same candidate scheme as s2crossing_edge_query.h:17-24), then
+  two equi-joins implement "covering cell overlaps index cell"
+  (ancestor-term duality: c ⊇ icell via icell's ancestor terms,
+  icell ⊇ c via c's ancestor terms), then the robust CrossingSign
+  kernel filters.
 
 Both run the geometry in Arrow-batched kernels post-join; the joins
-themselves are prefix-keyed hash joins.
+themselves are hash equi-joins (no cross join anywhere in the indexed
+paths — asserted by tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -24,8 +32,24 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType, IntegerType
 
 from .. import functions as s2f
+from ..kernels import metrics
 from ..kernels.loops import Loop
 from . import pip
+
+# fallback ring-key level for the indexed closest-edge search;
+# normally picked adaptively from the edge count (pick_edge_level)
+RING_LEVEL = 5
+
+
+def pick_edge_level(n_edges: int, k: int) -> int:
+    """Coarsest level where one 3x3 ring is expected to hold >= ~4k
+    edges (the dual of knn.pick_level: the loop dict is driver-side,
+    so this costs no Spark scan)."""
+    want = max(4 * k, 8)
+    lv = 0
+    while lv < 10 and 9.0 * n_edges / (6.0 * 4.0 ** (lv + 1)) >= want:
+        lv += 1
+    return lv
 
 
 @pandas_udf(DoubleType())
@@ -61,15 +85,104 @@ def _edge_table(spark: SparkSession, loops: dict[int, Loop]) -> DataFrame:
                                     "az", "bx", "by", "bz"]))
 
 
+def _indexed_edges(spark: SparkSession, loops: dict[int, Loop],
+                   min_level: int = 0) -> tuple[DataFrame, pd.DataFrame]:
+    """Edge-cell index as a Spark frame: (icell, poly_id, edge_id,
+    ax..bz).  Driver-built for small loop dims; the distributed build
+    (pip.build_edge_index_distributed) produces the same rows for
+    large polygon tables."""
+    _, edges_pd = pip.build_edge_index(loops, min_level=min_level)
+    return spark.createDataFrame(edges_pd), edges_pd
+
+
+def _covered_chord2(level: int, rings: int) -> float:
+    import math
+    ang = min(metrics.MIN_WIDTH.get_value(level) * rings, math.pi)
+    return (2.0 * math.sin(0.5 * ang)) ** 2
+
+
 def closest_edge_join(points: DataFrame, spark: SparkSession,
                       loops: dict[int, Loop], point_id: str = "point_id",
-                      k: int = 1, furthest: bool = False) -> DataFrame:
+                      k: int = 1, furthest: bool = False,
+                      level: int | None = None, max_rounds: int = 3,
+                      initial_rings: int = 2) -> DataFrame:
     """(point_id, poly_id, edge_id, dist2, rank): the k nearest (or,
     with furthest=True, furthest — S2FurthestEdgeQuery,
-    s2furthest_edge_query.h:16-20) indexed edges per point.  The edge
-    dimension here is broadcast (the reference's brute-force regime);
-    for huge edge sets the identical plan runs over the pip edge-cell
-    index with expanding rings."""
+    s2furthest_edge_query.h:16-20) indexed edges per point.
+
+    points: (point_id, cell_id, x, y, z).  Nearest uses the expanding
+    -ring edge-cell index search; furthest keeps the broadcast sweep
+    (a ring bound cannot prune for maxima — the reference's furthest
+    query walks the whole index best-first too).
+    """
+    if furthest:
+        return closest_edge_join_brute(points, spark, loops, point_id,
+                                       k, furthest=True)
+    if level is None:
+        level = pick_edge_level(sum(lp.n for lp in loops.values()), k)
+    e, edges_pd = _indexed_edges(spark, loops, min_level=level)
+    # every edge-holding icell has level >= `level` -> one key each
+    e = (e.withColumn("_pcell", s2f.prefix_col(F.col("icell"), level))
+         .drop("icell")
+         .dropDuplicates(["_pcell", "poly_id", "edge_id"]))
+    e = F.broadcast(e)
+
+    remaining = points.select(point_id, "cell_id", "x", "y", "z")
+    done = []
+    rings = initial_rings
+    d2 = _seg_chord2_udf("x", "y", "z",
+                         "ax", "ay", "az", "bx", "by", "bz")
+    w = Window.partitionBy(point_id).orderBy(
+        F.col("dist2"), F.col("poly_id"), F.col("edge_id"))
+    for _ in range(max_rounds):
+        cand = (remaining
+                .select(point_id, "cell_id", "x", "y", "z",
+                        F.explode(s2f.s2_disk_cells(
+                            F.col("cell_id"), F.lit(level),
+                            F.lit(rings))).alias("_rc"))
+                .select(point_id, "x", "y", "z",
+                        s2f.prefix_col(F.col("_rc"), level)
+                        .alias("_pcell"))
+                .join(e, "_pcell")
+                # an edge can sit in several ring cells: dedup the
+                # (point, edge) pair before ranking
+                .dropDuplicates([point_id, "poly_id", "edge_id"]))
+        topk = (cand.withColumn("dist2", d2)
+                    .withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k)
+                    .localCheckpoint(eager=True))
+        bound = _covered_chord2(level, rings)
+        stats = (topk.groupBy(point_id)
+                     .agg(F.max("dist2").alias("_kth"),
+                          F.count(F.lit(1)).alias("_n")))
+        ok_ids = stats.where((F.col("_n") == k) & (F.col("_kth") < bound)) \
+                      .select(point_id)
+        done.append(topk.join(ok_ids, point_id, "left_semi")
+                        .select(point_id, "poly_id", "edge_id", "dist2",
+                                F.col("rank").cast("int").alias("rank")))
+        remaining = (remaining.join(ok_ids, point_id, "left_anti")
+                     .localCheckpoint(eager=True))
+        if remaining.isEmpty():
+            remaining = None
+            break
+        rings *= 2
+    if remaining is not None:
+        bf = closest_edge_join_brute(
+            remaining.select(point_id, "x", "y", "z"), spark, loops,
+            point_id, k)
+        done.append(bf)
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
+                            loops: dict[int, Loop],
+                            point_id: str = "point_id", k: int = 1,
+                            furthest: bool = False) -> DataFrame:
+    """Broadcast brute-force sweep (the reference's small-index
+    regime); also the furthest-edge path."""
     edges = F.broadcast(_edge_table(spark, loops))
     d2 = _seg_chord2_udf("x", "y", "z",
                          "ax", "ay", "az", "bx", "by", "bz")
@@ -87,13 +200,77 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
 
 def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
                        loops: dict[int, Loop],
-                       edge_key: str = "qedge_id") -> DataFrame:
+                       edge_key: str = "qedge_id",
+                       max_cells: int = 8) -> DataFrame:
     """All (query edge, indexed edge) pairs with CrossingSign >= 0
     (interior crossing or shared/touching vertex — the ALL mode of
     S2CrossingEdgeQuery, s2crossing_edge_query.h:17-24).
 
     query_edges: (qedge_id, ax..az, bx..bz) unit endpoints.
+
+    Plan: cover each query edge with <= max_cells cells (EdgeRegion
+    coverer UDF), then match coverings against the edge-cell index by
+    containment-either-way, expressed as two hash equi-joins:
+      cand1: covering cell == an ancestor of icell   (c ⊇ icell)
+      cand2: an ancestor of covering cell == icell   (icell ⊇ c)
+    A crossing/touch point lies on both edges, hence in some index
+    cell holding the indexed edge AND in some covering cell of the
+    query edge; two overlapping cells always nest, so the union of the
+    two joins is a complete candidate superset.  The robust
+    CrossingSign kernel then decides pairs exactly.
     """
+    idx, edges_pd = _indexed_edges(spark, loops)
+    ren = {"ax": "cx", "ay": "cy", "az": "cz",
+           "bx": "dx", "by": "dy", "bz": "dz"}
+    for old, new in ren.items():
+        idx = idx.withColumnRenamed(old, new)
+    idx_levels = sorted({int(v) for v in
+                         _icell_levels(edges_pd)}) if len(edges_pd) else []
+    max_idx_level = max(idx_levels) if idx_levels else 0
+
+    cov = s2f.make_edge_covering_udf(max_cells=max_cells,
+                                     max_level=pip.MAX_INDEX_LEVEL)
+    q = (query_edges
+         .withColumn("_c", F.explode(cov("ax", "ay", "az",
+                                         "bx", "by", "bz"))))
+
+    # index-side ancestor terms at every level up to the icell's own
+    anc = (idx.withColumn(
+        "_lv", F.explode(F.sequence(F.lit(0),
+                                    s2f.level_col(F.col("icell")))))
+        .withColumn("_term", s2f.parent_dyn_col(F.col("icell"),
+                                                F.col("_lv")))
+        .drop("_lv", "icell"))
+    cand1 = q.join(F.broadcast(anc), q["_c"] == anc["_term"]) \
+             .drop("_term", "_c")
+
+    # query-side ancestor terms, only at levels the index contains
+    lv_arr = F.array(*[F.lit(v) for v in idx_levels]) \
+        if idx_levels else F.array(F.lit(0))
+    qanc = (q.withColumn("_lv", F.explode(lv_arr))
+            .where(F.col("_lv") <= s2f.level_col(F.col("_c")))
+            .withColumn("_term", s2f.parent_dyn_col(F.col("_c"),
+                                                    F.col("_lv")))
+            .drop("_lv", "_c"))
+    cand2 = qanc.join(F.broadcast(idx),
+                      qanc["_term"] == idx["icell"]) \
+                .drop("_term", "icell")
+
+    cand = (cand1.unionByName(cand2)
+            .dropDuplicates([edge_key, "poly_id", "edge_id"]))
+    sign = _crossing_sign_udf("ax", "ay", "az", "bx", "by", "bz",
+                              "cx", "cy", "cz", "dx", "dy", "dz")
+    return (cand.withColumn("crossing_sign", sign)
+            .where(F.col("crossing_sign") >= 0)
+            .select(edge_key, "poly_id", "edge_id",
+                    F.col("crossing_sign").cast("int")
+                    .alias("crossing_sign")))
+
+
+def crossing_edge_join_brute(query_edges: DataFrame, spark: SparkSession,
+                             loops: dict[int, Loop],
+                             edge_key: str = "qedge_id") -> DataFrame:
+    """Broadcast all-pairs sweep — small-N fallback / test oracle."""
     idx = F.broadcast(
         _edge_table(spark, loops)
         .withColumnRenamed("ax", "cx").withColumnRenamed("ay", "cy")
@@ -107,3 +284,9 @@ def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
             .select(edge_key, "poly_id", "edge_id",
                     F.col("crossing_sign").cast("int")
                     .alias("crossing_sign")))
+
+
+def _icell_levels(edges_pd: pd.DataFrame) -> np.ndarray:
+    from ..kernels import cellid
+    return np.unique(cellid.level(
+        edges_pd["icell"].to_numpy(np.int64)))

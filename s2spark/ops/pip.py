@@ -50,12 +50,17 @@ MAX_INDEX_LEVEL = 12
 
 def build_edge_index(loops: dict[int, Loop],
                      max_edges_per_cell: int = MAX_EDGES_PER_CELL,
-                     max_level: int = MAX_INDEX_LEVEL
+                     max_level: int = MAX_INDEX_LEVEL,
+                     min_level: int = 0
                      ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """-> (cells_df, edges_df).
 
     cells_df: icell, poly_id, contains_center, ccx, ccy, ccz
     edges_df: icell, poly_id, edge_id, ax..az, bx..bz
+
+    min_level forces edge-holding cells down to at least that level so
+    ring/prefix joins can key every edge at one fixed level (interior
+    bit-only cells still stop early — they carry no edges).
     """
     cell_rows, edge_rows = [], []
 
@@ -69,7 +74,8 @@ def build_edge_index(loops: dict[int, Loop],
             if center_in:  # interior cell: bit only, prune recursion
                 cell_rows.append((cid, poly_id, True, *center))
             return
-        if hits.size <= max_edges_per_cell or cell.level >= max_level:
+        if (hits.size <= max_edges_per_cell
+                and cell.level >= min_level) or cell.level >= max_level:
             cell_rows.append((cid, poly_id, bool(center_in), *center))
             v = loop.vertices
             nxt = np.roll(np.arange(loop.n), -1)

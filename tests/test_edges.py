@@ -40,7 +40,7 @@ def test_closest_edge_join_vs_brute(spark):
     loops = pip.synth_loops(10)
     ev = dataset.geotagged_events(spark, SF_DIR) \
         .where(F.col("event_id") % 10 == 0) \
-        .select("event_id", "x", "y", "z")
+        .select("event_id", "cell_id", "x", "y", "z")
     rows = ev.collect()
     got = {r["event_id"]: (r["poly_id"], r["edge_id"], r["dist2"])
            for r in eops.closest_edge_join(ev, spark, loops,

@@ -188,3 +188,35 @@ def test_ngram_jaccard_filters_sets_before_join(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_crossing_edge_join_is_indexed(spark):
+    """VERDICT r1 #2: crossing pairs must come from covering/index-cell
+    equi-joins, not a crossJoin against the edge table."""
+    from s2spark.ops import edges as eops
+    from s2spark.ops import pip
+    qe = spark.createDataFrame(
+        [(0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0)],
+        "qedge_id long, ax double, ay double, az double, "
+        "bx double, by double, bz double")
+    df = eops.crossing_edge_join(qe, spark, pip.synth_loops(5))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_closest_edge_join_is_indexed(spark):
+    """VERDICT r1 #3: nearest-edge search joins expanding rings against
+    the edge-cell index; brute force only for straggler fallback."""
+    from s2spark.ops import edges as eops
+    from s2spark.ops import pip
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .where(F.col("event_id") % 50 == 0) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    df = eops.closest_edge_join(ev, spark, pip.synth_loops(10),
+                                point_id="event_id")
+    plan = plan_of(df)
+    # ring rounds resolve every point at the adaptive level -> the
+    # brute-force straggler branch must not appear
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
