@@ -28,6 +28,7 @@ DISC_RADIUS_RAD = 0.05          # ~318 km query discs
 KNN_K = 5
 ROLLUP_LEVELS = [4, 8, 12]
 EQUI_LEVEL = 4
+N_COVER_CAPS = 150              # fixed synthetic caps for region_covering
 
 
 # ---------------------------------------------------------------------------
@@ -226,20 +227,24 @@ def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_region_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer cap covering stats (RegionCoverer, max_cells=8):
-    covering size + exact leaf-cell coverage (sum of lsb = 4^(30-l)).
-    Rows-only: the greedy coverer is not SQL-expressible; covering
-    correctness is pinned by tests/test_coverer.py fixtures."""
+    """Cap covering stats (RegionCoverer, max_cells=8) over a fixed
+    synthetic cap set: covering size + exact leaf-cell coverage (sum
+    of lsb = 4^(30-l)).  The greedy coverer is not SQL-expressible, so
+    the oracle materializes the driver-side NumPy kernel's expected
+    rows (see _geometry_oracles) — an end-to-end check of the
+    distributed UDF plumbing; covering semantics themselves are pinned
+    by tests/test_coverer.py fixtures."""
     cov = s2f.make_cap_covering_xyz_udf(max_cells=8, min_level=2,
                                         max_level=16)
     import math
     r2 = (2.0 * math.sin(0.5 * DISC_RADIUS_RAD)) ** 2
-    cu = dataset.geotagged_customers(spark, sf_dir) \
-        .where(F.col("c_custkey") % 11 == 0) \
-        .select("c_custkey",
+    caps = dataset.geotag(
+        spark.range(N_COVER_CAPS).select(F.col("id").alias("cap_id")),
+        "cap_id", "caps") \
+        .select("cap_id",
                 F.explode(cov(F.col("x"), F.col("y"), F.col("z"),
                               F.lit(r2))).alias("cell"))
-    return (cu.groupBy("c_custkey")
+    return (caps.groupBy("cap_id")
             .agg(F.count(F.lit(1)).alias("n_cells"),
                  F.sum(s2f.lsb_col(F.col("cell"))).alias("leaf_cells")))
 
@@ -612,6 +617,213 @@ def _text_oracles() -> dict[str, str]:
     }
 
 
+def _f17(v) -> str:
+    """%.17e round-trips IEEE doubles exactly AND (because of the
+    exponent) DuckDB parses it directly as DOUBLE — plain decimal
+    literals go through DECIMAL first, which double-rounds the low
+    bits and overflows scale 38 under multiplication."""
+    return "%.17e" % float(v)
+
+
+def _det_sql(a, b, c) -> str:
+    """(a x b) . c with the exact operation order of
+    predicates.triage_sign (left-assoc sum of three products)."""
+    ax, ay, az = a
+    bx, by, bz = b
+    cx, cy, cz = c
+    return (f"(({ay}*{bz} - {az}*{by})*{cx} "
+            f"+ ({az}*{bx} - {ax}*{bz})*{cy} "
+            f"+ ({ax}*{by} - {ay}*{bx})*{cz})")
+
+
+def _edges_values(loops, cols=("ax", "ay", "az", "bx", "by", "bz")) -> str:
+    """VALUES table of loop edges: (poly_id, edge_id, *cols)."""
+    rows = []
+    for pid in sorted(loops):
+        lp = loops[pid]
+        v = lp.vertices
+        for e in range(lp.n):
+            a, b = v[e], v[(e + 1) % lp.n]
+            rows.append(
+                f"({pid}, {e}, {_f17(a[0])}, {_f17(a[1])}, {_f17(a[2])},"
+                f" {_f17(b[0])}, {_f17(b[1])}, {_f17(b[2])})")
+    return ("(VALUES " + ", ".join(rows) + ") AS _e(poly_id, edge_id, "
+            + ", ".join(cols) + ")")
+
+
+def _crossing_flag_sql(a, b, c, d) -> str:
+    """CrossingSign > 0 as SQL over the 4 triage determinants: the
+    crossing verdict equals the kernel's whenever no det falls inside
+    the +-kMaxDetError escalation band (verified for the fixture data
+    at sf0.01 and sf0.1 — the synthetic geometry keeps every det far
+    from the bound)."""
+    s = {}
+    for name, (p, q, r) in {"sa": (a, b, c), "sb": (a, b, d),
+                            "sc": (c, d, b), "sd": (c, d, a)}.items():
+        s[name] = f"(CASE WHEN {_det_sql(p, q, r)} > 0 THEN 1 ELSE -1 END)"
+    return (f"({s['sb']} = -{s['sa']} AND {s['sc']} = {s['sa']} "
+            f"AND {s['sd']} = -{s['sa']})")
+
+
+def _pip_inside_sql(points_sql: str, point_id: str, loops) -> str:
+    """CTE chain: (point_id, poly_id) rows for points inside loops —
+    brute-force origin->point crossing parity (Loop.contains_points
+    semantics), an INDEPENDENT check of the Spark side's indexed
+    cell-parity plan."""
+    from s2spark.kernels.loops import ORIGIN
+    o = tuple(_f17(v) for v in ORIGIN)
+    ev = _edges_values(loops, cols=("cx", "cy", "cz", "dx", "dy", "dz"))
+    li = ", ".join(f"({pid}, {str(bool(loops[pid].origin_inside)).upper()})"
+                   for pid in sorted(loops))
+    p = ("x", "y", "z")
+    c = ("cx", "cy", "cz")
+    d = ("dx", "dy", "dz")
+    crossing = _crossing_flag_sql(o, p, c, d)
+    return (
+        f"pts AS (SELECT {point_id}, x, y, z FROM {points_sql}), "
+        f"ed AS (SELECT * FROM {ev}), "
+        f"li AS (SELECT * FROM (VALUES {li}) AS _l(poly_id, "
+        f"origin_inside)), "
+        f"par AS (SELECT {point_id}, poly_id, "
+        f"SUM(CASE WHEN {crossing} THEN 1 ELSE 0 END) % 2 AS parity "
+        f"FROM pts, ed GROUP BY 1, 2), "
+        f"ins AS (SELECT {point_id}, CAST(par.poly_id AS BIGINT) AS "
+        f"poly_id FROM par JOIN li ON par.poly_id = li.poly_id "
+        f"WHERE (par.parity = 1) <> li.origin_inside)")
+
+
+def _seg_chord2_cte(pairs_sql: str, keep: str) -> str:
+    """CTE chain computing kernels.edges.point_segment_chord2 with the
+    identical double operation order: input relation must provide
+    (x,y,z) point and (ax..az, bx..bz) segment columns."""
+    return (
+        f"n1 AS (SELECT {keep}, x, y, z, ax, ay, az, bx, by, bz, "
+        f"(ay*bz - az*by) AS nx, (az*bx - ax*bz) AS ny, "
+        f"(ax*by - ay*bx) AS nz FROM {pairs_sql}), "
+        f"n2 AS (SELECT {keep}, x, y, z, ax, ay, az, bx, by, bz, "
+        f"nx, ny, nz, (nx*nx + ny*ny + nz*nz) AS nn, "
+        f"(x*nx + y*ny + z*nz) AS pn, "
+        f"((ny*az - nz*ay)*x + (nz*ax - nx*az)*y + (nx*ay - ny*ax)*z) "
+        f"AS w1, "
+        f"((by*nz - bz*ny)*x + (bz*nx - bx*nz)*y + (bx*ny - by*nx)*z) "
+        f"AS w2, "
+        f"((x-ax)*(x-ax) + (y-ay)*(y-ay) + (z-az)*(z-az)) AS d2a, "
+        f"((x-bx)*(x-bx) + (y-by)*(y-by) + (z-bz)*(z-bz)) AS d2b "
+        f"FROM n1), "
+        f"n3 AS (SELECT {keep}, w1, w2, d2a, d2b, "
+        f"LEAST(GREATEST((pn*pn)/nn, 0.0), 1.0) AS sin2 FROM n2), "
+        f"n4 AS (SELECT {keep}, w1, w2, d2a, d2b, "
+        f"(2.0 - 2.0*sqrt(LEAST(GREATEST(1.0 - sin2, 0.0), 1.0))) AS "
+        f"perp, LEAST(d2a, d2b) AS ends FROM n3), "
+        f"dist AS (SELECT {keep}, CASE WHEN w1 > 0 AND w2 > 0 "
+        f"THEN LEAST(perp, ends) ELSE ends END AS dist2 FROM n4)")
+
+
+def _geometry_oracles() -> dict[str, str]:
+    """Oracles for the formerly rows-only geometry queries: loop
+    geometry is materialized as VALUES literals (%.17g doubles, bit
+    round-trip) and the chord^2 / crossing predicates re-expressed in
+    SQL with the kernel's exact double operation order.  The SQL side
+    is brute force (it is an oracle, not a plan) — which independently
+    validates the Spark side's INDEXED plans."""
+    from s2spark.ops import pip as _pip
+
+    ev_geo = _geo_view("events", "event_id")
+    cu_geo = _geo_view("customer", "c_custkey")
+
+    # --- closest_edge: brute-force min over all edges ---
+    loops15 = _pip.synth_loops(15)
+    e15 = _edges_values(loops15)
+    pairs = (f"(SELECT p.event_id, p.x, p.y, p.z, _e.poly_id, "
+             f"_e.edge_id, _e.ax, _e.ay, _e.az, _e.bx, _e.by, _e.bz "
+             f"FROM (SELECT * FROM {ev_geo} WHERE event_id % 20 = 0) p, "
+             f"{e15})")
+    keep = "event_id, poly_id, edge_id"
+    closest = (
+        f"WITH {_seg_chord2_cte(pairs, keep)}, "
+        f"r AS (SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id, "
+        f"CAST(edge_id AS BIGINT) AS edge_id, dist2, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY "
+        f"dist2, poly_id, edge_id) AS INTEGER) AS rank FROM dist) "
+        f"SELECT * FROM r WHERE rank <= 1")
+
+    # --- crossing_edges: brute-force CrossingSign over all pairs ---
+    e15x = _edges_values(loops15, cols=("cx", "cy", "cz",
+                                        "dx", "dy", "dz"))
+    a = ("qe.ax", "qe.ay", "qe.az")
+    b = ("qe.bx", "qe.by", "qe.bz")
+    c = ("_e.cx", "_e.cy", "_e.cz")
+    d = ("_e.dx", "_e.dy", "_e.dz")
+    crossing = (
+        f"WITH q AS (SELECT c_custkey AS qedge_id, x AS ax, y AS ay, "
+        f"z AS az, LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by, "
+        f"LEAD(z) OVER w AS bz FROM (SELECT * FROM {cu_geo} "
+        f"WHERE c_custkey <= 60) WINDOW w AS (ORDER BY c_custkey)), "
+        f"qe AS (SELECT * FROM q WHERE bx IS NOT NULL) "
+        f"SELECT qe.qedge_id, CAST(_e.poly_id AS BIGINT) AS poly_id, "
+        f"CAST(_e.edge_id AS BIGINT) AS edge_id, "
+        f"CAST(1 AS INTEGER) AS crossing_sign "
+        f"FROM qe, {e15x} WHERE {_crossing_flag_sql(a, b, c, d)}")
+
+    # --- pip_join: origin->point crossing parity vs 25 loops ---
+    loops25 = _pip.synth_loops(25)
+    pip_sql = (f"WITH {_pip_inside_sql(f'({ev_geo})', 'event_id', loops25)} "
+               f"SELECT event_id, poly_id FROM ins")
+
+    # --- polygon_pip: even-odd over 12 shell+hole polygons ---
+    base = _pip.synth_loops(12)
+    holes = _pip.synth_loops(24)
+    flat, owners = {}, []
+    nid = 0
+    for pgid in range(12):
+        for lp in (base[pgid], holes[pgid + 12]):
+            flat[nid] = lp
+            owners.append(f"({nid}, {pgid})")
+            nid += 1
+    poly_sql = (
+        f"WITH {_pip_inside_sql(f'({ev_geo})', 'event_id', flat)}, "
+        f"own AS (SELECT * FROM (VALUES {', '.join(owners)}) AS "
+        f"_o(poly_id, polygon_id)), "
+        f"cnt AS (SELECT event_id, CAST(polygon_id AS BIGINT) AS "
+        f"polygon_id, COUNT(*) AS n FROM ins JOIN own "
+        f"ON ins.poly_id = own.poly_id GROUP BY 1, 2) "
+        f"SELECT event_id, polygon_id FROM cnt WHERE n % 2 = 1")
+
+    # --- region_covering: driver-kernel materialized expected rows ---
+    # The greedy best-first coverer is not SQL-expressible; the oracle
+    # materializes the NumPy kernel's per-cap covering stats (the same
+    # kernel the Spark UDF calls — this validates the distributed
+    # plumbing end-to-end; covering VALUES themselves are pinned
+    # independently by tests/test_coverer.py fixtures).
+    import math as _m
+    import numpy as _np
+    from s2spark.kernels import cellid as _ci
+    from s2spark.kernels.coverer import RegionCoverer as _RC
+    from s2spark.kernels.region import Cap as _Cap
+    r2cap = (2.0 * _m.sin(0.5 * DISC_RADIUS_RAD)) ** 2
+    keys = _np.arange(N_COVER_CAPS, dtype=_np.int64)
+    xs, ys, zs = geo.xyz_np(keys)
+    rc = _RC(max_cells=8, min_level=2, max_level=16)
+    cov_rows = []
+    for cid in range(N_COVER_CAPS):
+        cov = rc.get_covering(_Cap((xs[cid], ys[cid], zs[cid]), r2cap))
+        lsbs = _ci.lsb(cov)
+        cov_rows.append(f"({cid}, {len(cov)}, {int(lsbs.sum())})")
+    covering = (
+        f"SELECT CAST(cap_id AS BIGINT) AS cap_id, "
+        f"CAST(n_cells AS BIGINT) AS n_cells, "
+        f"CAST(leaf_cells AS BIGINT) AS leaf_cells FROM (VALUES "
+        + ", ".join(cov_rows) + ") AS _c(cap_id, n_cells, leaf_cells)")
+
+    return {
+        "closest_edge": closest,
+        "crossing_edges": crossing,
+        "pip_join": pip_sql,
+        "polygon_pip": poly_sql,
+        "region_covering": covering,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     import math
     r2 = (2.0 * math.sin(0.5 * DISC_RADIUS_RAD)) ** 2
@@ -651,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
                                 ["id", "w", "h", "fmt"], with_xyz=False)
 
     extra = _text_oracles()
+    extra.update(_geometry_oracles())
     extra.update({
         "image_phash_near_dup": (
             f"WITH img AS (SELECT 'img' || lpad(CAST(id AS VARCHAR), "

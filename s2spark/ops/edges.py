@@ -101,11 +101,16 @@ def _covered_chord2(level: int, rings: int) -> float:
     return (2.0 * math.sin(0.5 * ang)) ** 2
 
 
+BRUTE_FORCE_EDGE_THRESHOLD = 2048
+
+
 def closest_edge_join(points: DataFrame, spark: SparkSession,
                       loops: dict[int, Loop], point_id: str = "point_id",
                       k: int = 1, furthest: bool = False,
                       level: int | None = None, max_rounds: int = 3,
-                      initial_rings: int = 2) -> DataFrame:
+                      initial_rings: int = 2,
+                      brute_threshold: int = BRUTE_FORCE_EDGE_THRESHOLD
+                      ) -> DataFrame:
     """(point_id, poly_id, edge_id, dist2, rank): the k nearest (or,
     with furthest=True, furthest — S2FurthestEdgeQuery,
     s2furthest_edge_query.h:16-20) indexed edges per point.
@@ -118,8 +123,15 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
     if furthest:
         return closest_edge_join_brute(points, spark, loops, point_id,
                                        k, furthest=True)
+    n_edges = sum(lp.n for lp in loops.values())
+    if n_edges <= brute_threshold:
+        # the reference's brute-force-below-threshold regime
+        # (s2closest_point_query_base.h:534-537): with a tiny edge dim
+        # one broadcast sweep beats several ring-join rounds — the ring
+        # plan only wins once the index itself is large
+        return closest_edge_join_brute(points, spark, loops, point_id, k)
     if level is None:
-        level = pick_edge_level(sum(lp.n for lp in loops.values()), k)
+        level = pick_edge_level(n_edges, k)
     e, edges_pd = _indexed_edges(spark, loops, min_level=level)
     # every edge-holding icell has level >= `level` -> one key each
     e = (e.withColumn("_pcell", s2f.prefix_col(F.col("icell"), level))

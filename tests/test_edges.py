@@ -44,7 +44,8 @@ def test_closest_edge_join_vs_brute(spark):
     rows = ev.collect()
     got = {r["event_id"]: (r["poly_id"], r["edge_id"], r["dist2"])
            for r in eops.closest_edge_join(ev, spark, loops,
-                                           point_id="event_id").collect()}
+                                           point_id="event_id",
+                                           brute_threshold=0).collect()}
     for r in rows:
         p = np.array([[r["x"], r["y"], r["z"]]])
         best = None

@@ -214,7 +214,7 @@ def test_closest_edge_join_is_indexed(spark):
         .where(F.col("event_id") % 50 == 0) \
         .select("event_id", "cell_id", "x", "y", "z")
     df = eops.closest_edge_join(ev, spark, pip.synth_loops(10),
-                                point_id="event_id")
+                                point_id="event_id", brute_threshold=0)
     plan = plan_of(df)
     # ring rounds resolve every point at the adaptive level -> the
     # brute-force straggler branch must not appear
