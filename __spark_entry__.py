@@ -112,7 +112,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = dataset.geotagged_customers(spark, sf_dir) \
         .where(F.col("c_custkey") % 10 == 0) \
         .select("c_custkey", "cell_id", "x", "y", "z")
-    n = ev.count()
+    # stored table stats (parquet footers), not a driver-side scan
+    n = dataset.table_rows(sf_dir, "events")
     level = knn.pick_level(n, KNN_K)
     out = knn.knn_join(ev, cu, KNN_K, query_id="c_custkey",
                        point_id="event_id", level=level)

@@ -307,8 +307,9 @@ def _append_bench_md(rep: dict) -> None:
         "(%d rows, input_hint shape, Hilbert-sorted parquet): leaf-cell "
         "encode + tile-assign L8 + spatial equi-join L6 + disc join "
         "r=0.01.  Identical deterministic input files at every "
-        "parallelism level; per-phase time = min of 3 reps."
-        % rep["n_rows"],
+        "parallelism level; per-phase time = min of %s reps, "
+        "best of 2 interleaved sweeps."
+        % (rep["n_rows"], os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),
         "",
         "| parallelism | total sec | rows/s | phases |",
         "|---|---|---|---|",

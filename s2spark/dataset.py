@@ -38,6 +38,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footers (the "stored table stats"
+    a catalog would provide) — no Spark scan, so density-derived plan
+    parameters (e.g. kNN ring level) cost nothing in the hot path."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def geotag(df: DataFrame, key_col: str, table: str,
            mode: str = "udf") -> DataFrame:
     """Attach (cell_id, x, y, z) derived from an integer key column.

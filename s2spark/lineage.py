@@ -77,8 +77,11 @@ def run_partitioned(spark: SparkSession, df: DataFrame, process,
         try:
             out = process(work.where(F.col("_bucket") == b)
                           .drop("_bucket"))
-            n = out.count()
+            # write first, then read the committed row count from the
+            # parquet footers — one execution of process() per bucket,
+            # not two (count-then-write re-runs the whole plan)
             out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+            n = _written_rows(f"{out_dir}/bucket={b}")
             record(spark, state_dir, job_id, b, n, time.time() - t0, "ok")
             ran.append(b)
         except Exception as exc:  # noqa: BLE001 — lineage must record
@@ -86,6 +89,18 @@ def run_partitioned(spark: SparkSession, df: DataFrame, process,
                    f"error: {type(exc).__name__}")
             failed.append(b)
     return {"ran": ran, "skipped": sorted(done), "failed": failed}
+
+
+def _written_rows(path: str) -> int:
+    """Row count of a just-committed parquet dir from file footers
+    (driver-side metadata read — no Spark job, no recompute)."""
+    import pyarrow.parquet as pq
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)) \
+                .metadata.num_rows
+    return total
 
 
 def new_job_id() -> str:

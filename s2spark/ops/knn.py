@@ -57,10 +57,14 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     points:  (point_id, cell_id, x, y, z); queries: (query_id, cell_id,
     x, y, z).  `level` = ring cell level (use pick_level()).
     """
+    # localCheckpoint (not cache) so repeated calls in a long session
+    # don't accumulate executor storage: the blocks are released when
+    # the frame is GC'd, and every round reuses the materialized RDD
     pts = points.select(
         point_id, F.col("x").alias("_px"), F.col("y").alias("_py"),
         F.col("z").alias("_pz"),
-        s2f.prefix_col(F.col("cell_id"), level).alias("_pcell")).cache()
+        s2f.prefix_col(F.col("cell_id"), level).alias("_pcell")) \
+        .localCheckpoint(eager=True)
     remaining = queries.select(query_id, "cell_id", "x", "y", "z")
     done = []
     # rings=2 initially: at pick_level densities the ring-1 coverage
