@@ -368,6 +368,28 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         point_id="event_id")
 
 
+N_OVERLAY_PAIRS = 6
+OVERLAY_MAX_LEVEL = 8
+OVERLAY_SHIFT = 0.06
+
+
+def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2BooleanOperation MVP (s2boolean_operation.h:16-60):
+    cell-classified intersection/union/difference/symmetric difference
+    over deterministic overlapping loop pairs; exact interior leaf
+    counts + boundary-band cell count per (pair, op).  The oracle
+    recomputes every count with interval set algebra in SQL from the
+    independently-built per-polygon decompositions."""
+    from s2spark.ops import boolean as bops
+    from s2spark.ops import pip
+    la = pip.synth_loops(N_OVERLAY_PAIRS)
+    lb = pip.synth_loops(N_OVERLAY_PAIRS, shift_u=OVERLAY_SHIFT)
+    df = bops.polygon_overlay(spark, la, lb,
+                              max_level=OVERLAY_MAX_LEVEL)
+    return df.select("a_id", "b_id", "op", "interior_leaves",
+                     "boundary_cells")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: disc join (tolerant spatial join) at sf0.001."""
     return q_disc_join(spark, "/root/testdata/sf0.001")
@@ -405,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_edge": q_closest_edge,
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
+        "polygon_overlay": q_polygon_overlay,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -816,12 +839,100 @@ def _geometry_oracles() -> dict[str, str]:
         f"CAST(leaf_cells AS BIGINT) AS leaf_cells FROM (VALUES "
         + ", ".join(cov_rows) + ") AS _c(cap_id, n_cells, leaf_cells)")
 
+    # --- polygon_overlay: interval set algebra over the per-polygon
+    # exact decompositions (INDEPENDENT single-loop recursion; the
+    # Spark side runs the pairwise classification).  Leaf-set algebra:
+    #   inter = |IA∩IB|; union = |IA|+|IB|-inter;
+    #   diff  = |IA|-inter-|IA∩bandB|;
+    #   symd  = |IA|+|IB|-2*inter-|IA∩bandB|-|IB∩bandA|;
+    #   boundary cells = |bandA|+|bandB|-|bandA∩bandB|.
+    # (identities proven leaf-by-leaf in kernels/boolean.py docstring
+    # and tests/test_boolean.py.)
+    from s2spark.kernels import boolean as _bk
+    from s2spark.kernels import cellid as _ck
+
+    def _iv_rows(pid: int, ids: _np.ndarray) -> list[str]:
+        u = ids.view(_np.uint64)
+        lo = _ck.as_i64(_ck.range_min(u))
+        hi = _ck.as_i64(_ck.range_max(u))
+        return [f"({pid}, {int(a)}, {int(b)})" for a, b in zip(lo, hi)]
+
+    ia_rows, ib_rows, ba_rows, bb_rows = [], [], [], []
+    all_a = _pip.synth_loops(N_OVERLAY_PAIRS)
+    all_b = _pip.synth_loops(N_OVERLAY_PAIRS, shift_u=OVERLAY_SHIFT)
+    for pid in range(N_OVERLAY_PAIRS):
+        i_a, b_a = _bk.classify_loop(all_a[pid], OVERLAY_MAX_LEVEL)
+        i_b, b_b = _bk.classify_loop(all_b[pid], OVERLAY_MAX_LEVEL)
+        ia_rows += _iv_rows(pid, i_a)
+        ib_rows += _iv_rows(pid, i_b)
+        ba_rows += _iv_rows(pid, b_a)
+        bb_rows += _iv_rows(pid, b_b)
+
+    def _iv(rows: list[str], name: str) -> str:
+        body = ", ".join(rows) if rows else "(-1, 0, -1)"
+        return (f"{name} AS (SELECT * FROM (VALUES {body}) AS "
+                f"_{name}(poly, lo, hi))")
+
+    def _ovl(x: str, y: str, name: str) -> str:
+        return (f"{name} AS (SELECT x.poly, "
+                f"SUM((LEAST(x.hi, y.hi) - GREATEST(x.lo, y.lo)) // 2 "
+                f"+ 1) AS n FROM {x} x JOIN {y} y ON x.poly = y.poly "
+                f"AND GREATEST(x.lo, y.lo) <= LEAST(x.hi, y.hi) "
+                f"GROUP BY 1)")
+
+    def _tot(x: str, name: str) -> str:
+        return (f"{name} AS (SELECT poly, SUM((hi - lo) // 2 + 1) AS n, "
+                f"COUNT(*) AS c FROM {x} GROUP BY 1)")
+
+    pair_list = ", ".join(f"({k})" for k in range(N_OVERLAY_PAIRS))
+    ops_select = " UNION ALL ".join([
+        ("SELECT poly, 'intersection' AS op, ni AS interior_leaves, "
+         "bc AS boundary_cells FROM base"),
+        ("SELECT poly, 'union', na + nb - ni, bc FROM base"),
+        ("SELECT poly, 'difference', na - ni - nab, bc FROM base"),
+        ("SELECT poly, 'symmetric_difference', "
+         "na + nb - 2*ni - nab - nba, bc FROM base"),
+    ])
+    overlay = (
+        "WITH " + ", ".join([
+            _iv(ia_rows, "ia"), _iv(ib_rows, "ib"),
+            _iv(ba_rows, "ba"), _iv(bb_rows, "bb"),
+            _tot("ia", "sa"), _tot("ib", "sb"),
+            _tot("ba", "ta"), _tot("bb", "tb"),
+            _ovl("ia", "ib", "ov"), _ovl("ia", "bb", "oab"),
+            _ovl("ib", "ba", "oba"),
+            (f"pairs AS (SELECT * FROM (VALUES {pair_list}) AS "
+             f"_p(poly))"),
+            ("base AS (SELECT p.poly, COALESCE(sa.n, 0) AS na, "
+             "COALESCE(sb.n, 0) AS nb, COALESCE(ov.n, 0) AS ni, "
+             "COALESCE(oab.n, 0) AS nab, COALESCE(oba.n, 0) AS nba, "
+             "COALESCE(ta.c, 0) + COALESCE(tb.c, 0) "
+             "- COALESCE(obb_c.c, 0) AS bc "
+             "FROM pairs p "
+             "LEFT JOIN sa ON sa.poly = p.poly "
+             "LEFT JOIN sb ON sb.poly = p.poly "
+             "LEFT JOIN ta ON ta.poly = p.poly "
+             "LEFT JOIN tb ON tb.poly = p.poly "
+             "LEFT JOIN ov ON ov.poly = p.poly "
+             "LEFT JOIN oab ON oab.poly = p.poly "
+             "LEFT JOIN oba ON oba.poly = p.poly "
+             "LEFT JOIN (SELECT x.poly, COUNT(*) AS c FROM ba x "
+             "JOIN bb y ON x.poly = y.poly AND x.lo = y.lo "
+             "GROUP BY 1) obb_c ON obb_c.poly = p.poly)"),
+        ])
+        + f" SELECT CAST(poly AS BIGINT) AS a_id, "
+          f"CAST(poly AS BIGINT) AS b_id, op, "
+          f"CAST(interior_leaves AS BIGINT) AS interior_leaves, "
+          f"CAST(boundary_cells AS BIGINT) AS boundary_cells "
+          f"FROM ({ops_select})")
+
     return {
         "closest_edge": closest,
         "crossing_edges": crossing,
         "pip_join": pip_sql,
         "polygon_pip": poly_sql,
         "region_covering": covering,
+        "polygon_overlay": overlay,
     }
 
 

@@ -219,13 +219,21 @@ def loop_relations(loops: dict[int, Loop]) -> pd.DataFrame:
             if crossing:
                 rel = "intersects"
             else:
-                a_in_b = bool(b.contains_points(av[:1])[0])
-                b_in_a = bool(a.contains_points(bv[:1])[0])
-                if b_in_a and a_in_b:
+                # no interior edge crossing: decide by vertex samples.
+                # ALL vertices are sampled (not just one) so loops that
+                # touch only at shared vertices — e.g. the reference's
+                # diamond pair, s2loop_test.cc:182-186 — are still seen
+                # as overlapping when each has vertices on both sides.
+                b_in = a.contains_points(bv)
+                a_in = b.contains_points(av)
+                if (b_in.any() and not b_in.all()) \
+                        or (a_in.any() and not a_in.all()):
+                    rel = "intersects"  # vertices straddle the boundary
+                elif b_in.all() and a_in.all():
                     rel = "intersects"  # mutual cover (complements)
-                elif b_in_a:
+                elif b_in.all():
                     rel = "contains"
-                elif a_in_b:
+                elif a_in.all():
                     rel = "contained"
                 else:
                     rel = "disjoint"
@@ -233,11 +241,15 @@ def loop_relations(loops: dict[int, Loop]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["loop_a", "loop_b", "relation"])
 
 
-def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12
-                ) -> dict[int, Loop]:
+def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12,
+                shift_u: float = 0.0) -> dict[int, Loop]:
     """Deterministic synthetic polygon set: regular-ish K-gons around
     mix-derived centers with mix-derived radii (driver-side geometry;
-    the PIP verdicts are validated against the brute-force kernel)."""
+    the PIP verdicts are validated against the brute-force kernel).
+
+    shift_u displaces every center along its tangent `u` direction —
+    pairing synth_loops(n) with synth_loops(n, shift_u=r) yields
+    deterministic overlapping loop pairs for overlay tests."""
     from ..sources import geo
     out = {}
     for pid in range(n):
@@ -245,6 +257,13 @@ def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12
         f, i, j = geo.geo_np(key)
         x, y, z = geo.xyz_np(key)
         center = np.array([x[0], y[0], z[0]])
+        if shift_u:
+            ref0 = np.array([0.0, 0.0, 1.0]) if abs(center[2]) < 0.9 \
+                else np.array([1.0, 0.0, 0.0])
+            u0 = np.cross(center, ref0)
+            u0 /= np.linalg.norm(u0)
+            center = center + shift_u * u0
+            center /= np.linalg.norm(center)
         nv = min_vertices + int(geo.mix_np(key, 41)[0]
                                 % (max_vertices - min_vertices + 1))
         radius = 0.02 + (int(geo.mix_np(key, 42)[0]) % 1000) / 1000 * 0.15
