@@ -371,6 +371,70 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_OVERLAY_PAIRS = 6
 OVERLAY_MAX_LEVEL = 8
 OVERLAY_SHIFT = 0.06
+N_HULL_POINTS = 320
+N_HULL_GROUPS = 8
+
+
+def _hull_points_pdf():
+    """Deterministic localized point clusters: N_HULL_GROUPS caps of
+    mix-derived centers, each with N_HULL_POINTS/N_HULL_GROUPS points
+    at mix-derived tangent offsets (radius <= 0.3 rad, so every group
+    has a proper non-full hull).  Built once in NumPy — the Spark
+    query and the oracle share the identical doubles."""
+    import numpy as np
+    import pandas as pd
+    keys = np.arange(N_HULL_POINTS, dtype=np.int64)
+    g = keys % N_HULL_GROUPS
+    cx, cy, cz = geo.xyz_np(g * 1000 + 7)
+    centers = np.stack([cx, cy, cz], axis=1)
+    ref = np.where(np.abs(centers[:, 2:3]) < 0.9,
+                   np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0]))
+    u = np.cross(centers, ref)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    v = np.cross(centers, u)
+    ang = 2 * np.pi * (geo.mix_np(keys, 51) % 10_000) \
+        .astype(np.float64) / 10_000.0
+    rad = 0.3 * (geo.mix_np(keys, 52) % 10_000) \
+        .astype(np.float64) / 10_000.0
+    pts = (np.cos(rad)[:, None] * centers
+           + np.sin(rad)[:, None] * (np.cos(ang)[:, None] * u
+                                     + np.sin(ang)[:, None] * v))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pd.DataFrame({"grp": g, "pkey": keys, "x": pts[:, 0],
+                         "y": pts[:, 1], "z": pts[:, 2]})
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group spherical convex hulls (S2ConvexHullQuery,
+    s2convex_hull_query.h:16-27) over fixed synthetic point clusters.
+    Output is integer-valued (group, seq, point_key); the oracle
+    materializes the driver-side kernel's expected rows (hull
+    semantics are pinned independently by tests/test_hull.py against
+    the reference's fixture suite)."""
+    from s2spark.ops import hull as hops
+    pts = spark.createDataFrame(_hull_points_pdf())
+    return hops.convex_hull_by_group(pts, "grp", "pkey") \
+        .select("grp", F.col("seq").cast("int").alias("seq"),
+                "point_key")
+
+
+def q_chain_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolate-by-fraction along each user's track (generalizes
+    chain_midpoint to arbitrary fractions — S2Polyline::Interpolate /
+    GetSuffix query-by-fraction, s2_common.i:862-870): the first
+    vertex at/after 1/4 and 3/4 of the quantized chain length."""
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    outs = []
+    for num in (1, 3):
+        q = measures.chain_quantile(ev, "user_id",
+                                    ["ts", "event_id"], num, 4) \
+            .withColumn("frac_num", F.lit(num).cast("int"))
+        outs.append(q)
+    return outs[0].unionByName(outs[1]) \
+        .select("user_id", "frac_num",
+                F.col("q_seq").cast("int").alias("q_seq"),
+                "cum_units", "total_units")
 
 
 def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
         "polygon_overlay": q_polygon_overlay,
+        "convex_hull": q_convex_hull,
+        "chain_interp": q_chain_interp,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -926,6 +992,57 @@ def _geometry_oracles() -> dict[str, str]:
           f"CAST(boundary_cells AS BIGINT) AS boundary_cells "
           f"FROM ({ops_select})")
 
+    # --- convex_hull: driver-kernel materialized expected rows (hull
+    # semantics pinned by tests/test_hull.py reference fixtures; this
+    # row checks the distributed applyInPandas plumbing) ---
+    from s2spark.kernels import hull as _hk
+    hp = _hull_points_pdf()
+    hull_rows = []
+    for g in range(N_HULL_GROUPS):
+        sub = hp[hp["grp"] == g].sort_values("pkey", ignore_index=True)
+        pts = sub[["x", "y", "z"]].to_numpy(_np.float64)
+        idx = _hk.hull_indices(pts)
+        if idx is None:
+            hull_rows.append(f"({g}, -1, -1)")
+        else:
+            keys_g = sub["pkey"].to_numpy(_np.int64)
+            hull_rows += [f"({g}, {i}, {int(keys_g[j])})"
+                          for i, j in enumerate(idx)]
+    hull_sql = (
+        "SELECT CAST(grp AS BIGINT) AS grp, CAST(seq AS INTEGER) AS "
+        "seq, CAST(point_key AS BIGINT) AS point_key FROM (VALUES "
+        + ", ".join(hull_rows) + ") AS _h(grp, seq, point_key)")
+
+    # --- chain_interp: quantile-by-fraction via the integer cross-
+    # multiplication (mirrors measures.chain_quantile) ---
+    ev_track = geo.geo_table_sql(
+        "events", dataset.geo_key_sql("event_id", "events"),
+        ["event_id", "user_id", "ts"])
+    lag2 = ("(x - LAG(x) OVER win)*(x - LAG(x) OVER win) "
+            "+ (y - LAG(y) OVER win)*(y - LAG(y) OVER win) "
+            "+ (z - LAG(z) OVER win)*(z - LAG(z) OVER win)")
+    quantile_parts = " UNION ALL ".join(
+        f"SELECT h.user_id, CAST({num} AS INTEGER) AS frac_num, "
+        f"CAST(h.seq AS INTEGER) AS q_seq, CAST(h.cum AS BIGINT) AS "
+        f"cum_units, CAST(h.total AS BIGINT) AS total_units "
+        f"FROM (SELECT * FROM ct WHERE cum * 4 >= total * {num}) h "
+        f"JOIN (SELECT user_id, MIN(seq) AS s FROM ct "
+        f"WHERE cum * 4 >= total * {num} GROUP BY 1) f "
+        f"ON h.user_id = f.user_id AND h.seq = f.s"
+        for num in (1, 3))
+    chain_interp = (
+        f"WITH seg AS (SELECT user_id, CAST(ROW_NUMBER() OVER win AS "
+        f"INTEGER) AS seq, {lag2} AS dist2 FROM {ev_track} "
+        f"WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        f"QUALIFY dist2 IS NOT NULL), "
+        f"q AS (SELECT user_id, seq, CAST(floor(dist2 * 1.0e15) AS "
+        f"BIGINT) AS qdist FROM seg), "
+        f"c AS (SELECT user_id, seq, SUM(qdist) OVER "
+        f"(PARTITION BY user_id ORDER BY seq ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND CURRENT ROW) AS cum FROM q), "
+        f"ct AS (SELECT *, MAX(cum) OVER (PARTITION BY user_id) AS "
+        f"total FROM c) {quantile_parts}")
+
     return {
         "closest_edge": closest,
         "crossing_edges": crossing,
@@ -933,6 +1050,8 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_pip": poly_sql,
         "region_covering": covering,
         "polygon_overlay": overlay,
+        "convex_hull": hull_sql,
+        "chain_interp": chain_interp,
     }
 
 

@@ -36,17 +36,21 @@ def hausdorff2(a: DataFrame, b: DataFrame, a_id: str) -> DataFrame:
     return per_a.agg(F.max("_min_d2").alias("hausdorff2"))
 
 
-def chain_midpoint(events: DataFrame, entity: str, order_cols: list[str]
-                   ) -> DataFrame:
-    """S2ChainInterpolationQuery analogue (s2chain_interpolation_query
-    .h:16-26): running chord² length along each entity's ordered chain,
-    then the first vertex at/after the 50% point.
+def chain_quantile(events: DataFrame, entity: str,
+                   order_cols: list[str], num: int, den: int,
+                   seq_name: str = "q_seq") -> DataFrame:
+    """S2ChainInterpolationQuery analogue generalized to an arbitrary
+    fraction num/den (Interpolate/GetSuffix query-by-fraction,
+    s2chain_interpolation_query.h:16-26, python surface
+    s2_common.i:862-870): running chord² length along each entity's
+    ordered chain, then the first vertex at/after the num/den point.
 
     Determinism: segment lengths are quantized to integer units
     (floor(dist2 * 1e15)) before the running sum — float window
     aggregation orders differ across engines (Spark folds the frame
     sequentially, DuckDB uses a pairwise segment tree), but integer
-    sums are order-free and exact.
+    sums are order-free and exact; the fraction test is the integer
+    cross-multiplication cum*den >= total*num.
     """
     seg = track_segments(events, entity, order_cols) \
         .withColumn("qdist",
@@ -57,14 +61,64 @@ def chain_midpoint(events: DataFrame, entity: str, order_cols: list[str]
     wall = Window.partitionBy(entity)
     c = seg.withColumn("cum", cum) \
            .withColumn("total", F.max(F.col("cum")).over(wall))
-    hit = c.where(F.col("cum") * 2 >= F.col("total"))
+    hit = c.where(F.col("cum") * den >= F.col("total") * num)
     first = (hit.groupBy(entity)
-             .agg(F.min("seq").alias("mid_seq")))
+             .agg(F.min("seq").alias(seq_name)))
     return (hit.join(first, [entity])
-            .where(F.col("seq") == F.col("mid_seq"))
-            .select(entity, F.col("mid_seq").cast("int").alias("mid_seq"),
+            .where(F.col("seq") == F.col(seq_name))
+            .select(entity, F.col(seq_name).cast("int").alias(seq_name),
                     F.col("cum").alias("cum_units"),
                     F.col("total").alias("total_units")))
+
+
+def chain_midpoint(events: DataFrame, entity: str, order_cols: list[str]
+                   ) -> DataFrame:
+    """The 50% point of each chain (chain_quantile(1, 2))."""
+    return chain_quantile(events, entity, order_cols, 1, 2,
+                          seq_name="mid_seq")
+
+
+def chain_interpolate_point(events: DataFrame, entity: str,
+                            order_cols: list[str], fraction: float
+                            ) -> DataFrame:
+    """True point interpolation at `fraction` of each chain's angular
+    length (S2Polyline::Interpolate semantics): slerp within the
+    segment where the target falls.  Trig runs in an Arrow batch per
+    entity; verified by geometric property tests (not the SQL oracle —
+    libm trig is not guaranteed bit-identical across engines)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [entity, *order_cols, "x", "y", "z"]
+    schema = f"{entity} long, ix double, iy double, iz double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[entity].iloc[0]
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        v = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        if len(v) == 1:
+            p = v[0]
+            return pd.DataFrame([(g, p[0], p[1], p[2])],
+                                columns=[entity, "ix", "iy", "iz"])
+        d = np.einsum("ij,ij->i", v[:-1], v[1:]).clip(-1.0, 1.0)
+        ang = np.arccos(d)
+        cum = np.concatenate([[0.0], np.cumsum(ang)])
+        target = fraction * cum[-1]
+        k = int(np.searchsorted(cum, target, side="right") - 1)
+        k = min(max(k, 0), len(ang) - 1)
+        t_ang = target - cum[k]
+        a, b = v[k], v[k + 1]
+        th = ang[k]
+        if th < 1e-15:
+            p = a
+        else:
+            p = (np.sin(th - t_ang) * a + np.sin(t_ang) * b) / np.sin(th)
+            p = p / np.linalg.norm(p)
+        return pd.DataFrame([(g, p[0], p[1], p[2])],
+                            columns=[entity, "ix", "iy", "iz"])
+
+    return (events.select(*cols)
+            .groupBy(entity).applyInPandas(run, schema))
 
 
 def track_segments(events: DataFrame, entity: str, order_cols: list[str]

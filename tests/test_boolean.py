@@ -180,3 +180,30 @@ def test_polygon_overlay_operator(spark):
         for op, c in counts.items():
             assert got[(k, op)] == (c["interior_leaves"],
                                     c["boundary_cells"])
+
+
+def test_chain_interpolate_point_geometry(spark):
+    """True-point interpolation (slerp): endpoints at fractions 0/1,
+    interior points on the chain within numeric tolerance."""
+    import pandas as pd
+    from s2spark.ops import measures
+    # one entity, 4 points along a meridian
+    lats = np.radians([0.0, 10.0, 20.0, 30.0])
+    pdf = pd.DataFrame({
+        "user_id": [1] * 4, "ts": range(4), "event_id": range(4),
+        "x": np.cos(lats), "y": [0.0] * 4, "z": np.sin(lats)})
+    df = spark.createDataFrame(pdf)
+    p0 = measures.chain_interpolate_point(df, "user_id",
+                                          ["ts", "event_id"], 0.0) \
+        .collect()[0]
+    assert abs(p0["ix"] - 1.0) < 1e-12 and abs(p0["iz"]) < 1e-12
+    p1 = measures.chain_interpolate_point(df, "user_id",
+                                          ["ts", "event_id"], 1.0) \
+        .collect()[0]
+    assert abs(p1["iz"] - np.sin(np.radians(30))) < 1e-12
+    pm = measures.chain_interpolate_point(df, "user_id",
+                                          ["ts", "event_id"], 0.5) \
+        .collect()[0]
+    # midpoint of a 30-degree meridian arc = latitude 15
+    assert abs(pm["iz"] - np.sin(np.radians(15))) < 1e-12
+    assert abs(pm["iy"]) < 1e-12
