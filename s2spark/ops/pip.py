@@ -48,23 +48,15 @@ MAX_EDGES_PER_CELL = 10
 MAX_INDEX_LEVEL = 12
 
 
-def build_edge_index(loops: dict[int, Loop],
+def _index_loop_rows(poly_id: int, loop: Loop,
                      max_edges_per_cell: int = MAX_EDGES_PER_CELL,
                      max_level: int = MAX_INDEX_LEVEL,
-                     min_level: int = 0
-                     ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """-> (cells_df, edges_df).
-
-    cells_df: icell, poly_id, contains_center, ccx, ccy, ccz
-    edges_df: icell, poly_id, edge_id, ax..az, bx..bz
-
-    min_level forces edge-holding cells down to at least that level so
-    ring/prefix joins can key every edge at one fixed level (interior
-    bit-only cells still stop early — they carry no edges).
-    """
+                     min_level: int = 0) -> tuple[list, list]:
+    """One loop's index rows (the shared recursion behind both the
+    driver-side and the distributed builds)."""
     cell_rows, edge_rows = [], []
 
-    def visit(cid: int, poly_id: int, loop: Loop, edge_ids: np.ndarray):
+    def visit(cid: int, edge_ids: np.ndarray):
         cell = Cell(cid)
         hits = edge_ids[loop.edge_intersects_cell(cell)[edge_ids]] \
             if edge_ids.size else edge_ids
@@ -87,13 +79,38 @@ def build_edge_index(loops: dict[int, Loop],
         children = cellid.child(np.full(4, cid, dtype=np.uint64),
                                 np.arange(4))
         for ch in children:
-            visit(int(ch), poly_id, loop, hits)
+            visit(int(ch), hits)
 
+    for face in range(6):
+        visit(int(cellid.from_face(np.array([face]))[0]),
+              np.arange(loop.n))
+    return cell_rows, edge_rows
+
+
+def build_edge_index(loops: dict[int, Loop],
+                     max_edges_per_cell: int = MAX_EDGES_PER_CELL,
+                     max_level: int = MAX_INDEX_LEVEL,
+                     min_level: int = 0
+                     ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """-> (cells_df, edges_df).
+
+    cells_df: icell, poly_id, contains_center, ccx, ccy, ccz
+    edges_df: icell, poly_id, edge_id, ax..az, bx..bz
+
+    min_level forces edge-holding cells down to at least that level so
+    ring/prefix joins can key every edge at one fixed level (interior
+    bit-only cells still stop early — they carry no edges).
+
+    Driver-side build for small polygon dims; million-polygon tables
+    go through `build_edge_index_distributed` (identical rows, one
+    applyInPandas group per polygon).
+    """
+    cell_rows, edge_rows = [], []
     for poly_id, loop in loops.items():
-        all_edges = np.arange(loop.n)
-        for face in range(6):
-            fid = int(cellid.from_face(np.array([face]))[0])
-            visit(fid, poly_id, loop, all_edges)
+        cr, er = _index_loop_rows(poly_id, loop, max_edges_per_cell,
+                                  max_level, min_level)
+        cell_rows += cr
+        edge_rows += er
 
     cells = pd.DataFrame(cell_rows, columns=[
         "icell", "poly_id", "contains_center", "ccx", "ccy", "ccz"])
@@ -103,6 +120,68 @@ def build_edge_index(loops: dict[int, Loop],
     cells["icell"] = cells["icell"].astype(np.uint64).astype(np.int64)
     if len(edges):
         edges["icell"] = edges["icell"].astype(np.uint64).astype(np.int64)
+    return cells, edges
+
+
+def loops_to_df(spark: SparkSession, loops: dict[int, Loop]) -> DataFrame:
+    """(poly_id, vertices) frame — vertices flattened [x0,y0,z0,x1,..]
+    (the storage shape a polygon table would have)."""
+    rows = [(pid, [float(v) for v in loop.vertices.ravel()])
+            for pid, loop in loops.items()]
+    return spark.createDataFrame(rows, "poly_id long, "
+                                       "vertices array<double>")
+
+
+INDEX_ROW_SCHEMA = ("rtype int, icell long, poly_id long, "
+                    "contains_center boolean, ccx double, ccy double, "
+                    "ccz double, edge_id long, ax double, ay double, "
+                    "az double, bx double, by double, bz double")
+
+
+def build_edge_index_distributed(loops_df: DataFrame,
+                                 max_edges_per_cell: int = MAX_EDGES_PER_CELL,
+                                 max_level: int = MAX_INDEX_LEVEL,
+                                 min_level: int = 0
+                                 ) -> tuple[DataFrame, DataFrame]:
+    """Distributed index build: one applyInPandas group per polygon
+    runs the identical recursion, so million-polygon tables build
+    their MutableS2ShapeIndex analogue in parallel across executors
+    (the driver never materializes the geometry).
+
+    loops_df: (poly_id, vertices array<double> flattened xyz).
+    Returns (cells, edges) frames with the same columns as
+    build_edge_index; materialized once (localCheckpoint) so the two
+    outputs don't re-run the recursion.
+    """
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            pid = int(row["poly_id"])
+            loop = Loop(np.asarray(row["vertices"],
+                                   dtype=np.float64).reshape(-1, 3))
+            cr, er = _index_loop_rows(pid, loop, max_edges_per_cell,
+                                      max_level, min_level)
+            for (cid, p, cc, x, y, z) in cr:
+                out.append((0, np.uint64(cid).astype(np.int64), p,
+                            bool(cc), x, y, z, -1,
+                            0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+            for (cid, p, e, ax, ay, az, bx, by, bz) in er:
+                out.append((1, np.uint64(cid).astype(np.int64), p,
+                            False, 0.0, 0.0, 0.0, e,
+                            ax, ay, az, bx, by, bz))
+        return pd.DataFrame(out, columns=[
+            "rtype", "icell", "poly_id", "contains_center",
+            "ccx", "ccy", "ccz", "edge_id",
+            "ax", "ay", "az", "bx", "by", "bz"])
+
+    combined = (loops_df.groupBy("poly_id")
+                .applyInPandas(run, INDEX_ROW_SCHEMA)
+                .localCheckpoint(eager=True))
+    cells = combined.where(F.col("rtype") == 0).select(
+        "icell", "poly_id", "contains_center", "ccx", "ccy", "ccz")
+    edges = combined.where(F.col("rtype") == 1).select(
+        "icell", "poly_id", "edge_id",
+        "ax", "ay", "az", "bx", "by", "bz")
     return cells, edges
 
 
@@ -126,15 +205,26 @@ def _crossing_udf(px, py, pz, ccx, ccy, ccz, ax, ay, az, bx, by, bz):
 
 
 def pip_join(points: DataFrame, spark: SparkSession,
-             loops: dict[int, Loop], point_id: str = "point_id",
-             broadcast_index: bool = True) -> DataFrame:
+             loops: dict[int, Loop] | None, point_id: str = "point_id",
+             broadcast_index: bool = True,
+             index: tuple[DataFrame, DataFrame] | None = None
+             ) -> DataFrame:
     """(point_id, poly_id) for every point inside a loop.
 
     points: (point_id, cell_id, x, y, z).
+
+    index: optional prebuilt (cells, edges) Spark frames — pass
+    `build_edge_index_distributed(loops_to_df(...))` for polygon
+    tables too large to index on the driver; with
+    broadcast_index=False the candidate join shuffles on the same
+    prefix keys instead (both sides scale in |polygons|).
     """
-    cells_pd, edges_pd = build_edge_index(loops)
-    cells = spark.createDataFrame(cells_pd)
-    edges = spark.createDataFrame(edges_pd) if len(edges_pd) else None
+    if index is not None:
+        cells, edges = index
+    else:
+        cells_pd, edges_pd = build_edge_index(loops)
+        cells = spark.createDataFrame(cells_pd)
+        edges = spark.createDataFrame(edges_pd) if len(edges_pd) else None
     if broadcast_index:
         cells = F.broadcast(cells)
         edges = F.broadcast(edges) if edges is not None else None

@@ -70,3 +70,38 @@ def test_edge_index_is_disjoint_per_poly():
     key = set(map(tuple, cells_pd[["icell", "poly_id"]].to_numpy()))
     ekey = set(map(tuple, edges_pd[["icell", "poly_id"]].to_numpy()))
     assert ekey <= key
+
+
+def test_distributed_index_build_matches_driver(spark):
+    """VERDICT r1 #8: the applyInPandas per-polygon index build must
+    produce the identical rows as the driver-side recursion, and
+    pip_join over it must return the identical pairs."""
+    from s2spark import dataset
+    from pyspark.sql import functions as F
+    loops = pip.synth_loops(10)
+    cells_pd, edges_pd = pip.build_edge_index(loops)
+    cells_df, edges_df = pip.build_edge_index_distributed(
+        pip.loops_to_df(spark, loops))
+    got_cells = {tuple(r) for r in
+                 cells_df.select("icell", "poly_id",
+                                 "contains_center").collect()}
+    want_cells = {(int(r.icell), int(r.poly_id), bool(r.contains_center))
+                  for r in cells_pd.itertuples()}
+    assert got_cells == want_cells
+    got_edges = {(int(r["icell"]), int(r["poly_id"]), int(r["edge_id"]))
+                 for r in edges_df.select("icell", "poly_id",
+                                          "edge_id").collect()}
+    want_edges = {(int(r.icell), int(r.poly_id), int(r.edge_id))
+                  for r in edges_pd.itertuples()}
+    assert got_edges == want_edges
+
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    base = {(r["event_id"], r["poly_id"]) for r in
+            pip.pip_join(ev, spark, loops, point_id="event_id").collect()}
+    dist = {(r["event_id"], r["poly_id"]) for r in
+            pip.pip_join(ev, spark, None, point_id="event_id",
+                         index=(cells_df, edges_df),
+                         broadcast_index=False).collect()}
+    assert base == dist
+    assert len(base) > 0
