@@ -454,6 +454,51 @@ def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "boundary_cells")
 
 
+DENSITY_THRESHOLD = 64
+DENSITY_MAX_LEVEL = 6
+
+
+def q_density_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven cell density tree (S2DensityTree analogue,
+    s2density_tree.h:16-40): adaptive per-cell weights subdivided
+    while over threshold — the partition/salting planner's input.
+    Fully SQL-expressible (integer rollups + per-level semi-joins)."""
+    from s2spark.ops import density
+    ev = dataset.geotagged_events(spark, sf_dir).select("cell_id")
+    return density.density_tree(ev, "cell_id",
+                                threshold=DENSITY_THRESHOLD,
+                                max_level=DENSITY_MAX_LEVEL) \
+        .select("level", "cell", F.col("weight").cast("long")
+                .alias("weight"), "is_leaf")
+
+
+def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user track compression (S2Polyline::SubsampleVertices,
+    s2polyline.cc:560-655).  Rows-only: the greedy tangent-wedge scan
+    is not SQL-expressible; semantics are pinned by the reference's
+    own fixture table in tests/test_simplify.py."""
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("user_id") % 10 == 0) \
+        .select("user_id", "ts", "event_id", "x", "y", "z")
+    return measures.simplify_track(ev, "user_id", ["ts", "event_id"],
+                                   tolerance_rad=0.02) \
+        .select("user_id", F.col("kept_seq").cast("int")
+                .alias("kept_seq"))
+
+
+def q_track_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise trajectory similarity by exact DTW alignment cost
+    (S2PolylineAlignment, s2polyline_alignment.h:16-27).  Rows-only:
+    the DP recurrence is not ANSI-SQL-expressible; correctness is
+    pinned against the brute-force DP in tests/test_simplify.py."""
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("user_id") <= 8) \
+        .select("user_id", "ts", "event_id", "x", "y", "z")
+    pairs = [(a, b) for a in range(9) for b in range(a + 1, 9)]
+    return measures.track_alignment(ev, "user_id",
+                                    ["ts", "event_id"], pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: disc join (tolerant spatial join) at sf0.001."""
     return q_disc_join(spark, "/root/testdata/sf0.001")
@@ -494,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay": q_polygon_overlay,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
+        "track_simplify": q_track_simplify,
+        "track_dtw": q_track_dtw,
+        "density_tree": q_density_tree,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -1043,6 +1091,34 @@ def _geometry_oracles() -> dict[str, str]:
         f"ct AS (SELECT *, MAX(cum) OVER (PARTITION BY user_id) AS "
         f"total FROM c) {quantile_parts}")
 
+    # --- density_tree: per-level integer rollups + visited chain ---
+    def _prefix_sql(col: str, level: int) -> str:
+        # Spark's shiftrightunsigned mirrored on signed BIGINT:
+        # arithmetic shift + mask of the sign-extended bits (safe for
+        # level <= 14: 1 << (64 - s) stays in int64)
+        s = 2 * (30 - level) + 1
+        mask = (1 << (64 - s)) - 1
+        return f"(({col} >> {s}) & {mask})"
+
+    ev_cells2 = _geo_view("events", "event_id", with_xyz=False)
+    t, maxl = DENSITY_THRESHOLD, DENSITY_MAX_LEVEL
+    ctes = [f"base AS (SELECT cell FROM {ev_cells2})"]
+    for lv in range(maxl + 1):
+        ctes.append(
+            f"w{lv} AS (SELECT {_prefix_sql('cell', lv)} AS cell, "
+            f"CAST(COUNT(*) AS BIGINT) AS weight FROM base GROUP BY 1)")
+    ctes.append("v0 AS (SELECT * FROM w0)")
+    for lv in range(1, maxl + 1):
+        ctes.append(
+            f"v{lv} AS (SELECT w.cell, w.weight FROM w{lv} w "
+            f"WHERE (w.cell >> 2) IN "
+            f"(SELECT cell FROM v{lv - 1} WHERE weight > {t}))")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({lv} AS INTEGER) AS level, cell, weight, "
+        f"(weight <= {t} OR {lv} = {maxl}) AS is_leaf FROM v{lv}"
+        for lv in range(maxl + 1))
+    density_sql = "WITH " + ", ".join(ctes) + " " + union
+
     return {
         "closest_edge": closest,
         "crossing_edges": crossing,
@@ -1052,6 +1128,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_overlay": overlay,
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
+        "density_tree": density_sql,
     }
 
 

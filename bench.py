@@ -246,6 +246,56 @@ def run_skew_demo(cpus: int = 32, n_rows: int = 10_000_000) -> dict:
             "speedup": round(plain_t / salted_t, 2)}
 
 
+def run_membw(levels=(4, 8, 16, 32), gib: float = 8.0,
+              reps: int = 5) -> dict:
+    """Memory-bandwidth ceiling microproof (falsification run for the
+    scaling table): a pure streaming read — NumPy float64 sum, SIMD,
+    GIL released, no Spark, no shuffle, no Python in the loop — over
+    the same footprint class as the scale job's scans, at the same
+    thread counts.  If THIS workload shows the same 4->16 efficiency
+    ceiling as the engine job, the ceiling is the box's DRAM bus, not
+    the engine's plans."""
+    import threading
+
+    import numpy as np
+    n = int(gib * (1 << 30) / 8)
+    a = np.ones(n, dtype=np.float64)
+    a.sum()  # fault pages in
+
+    def worker(lo: int, hi: int):
+        a[lo:hi].sum()
+
+    thr: dict[int, float] = {}
+    for _sweep in range(2):  # interleaved sweeps, best-of (CPU steal)
+        for t in levels:
+            best = None
+            for _ in range(reps):
+                bounds = [(i * n // t, (i + 1) * n // t)
+                          for i in range(t)]
+                ths = [threading.Thread(target=worker, args=b)
+                       for b in bounds]
+                t0 = time.time()
+                for x in ths:
+                    x.start()
+                for x in ths:
+                    x.join()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            bps = n * 8 / best
+            thr[t] = max(thr.get(t, 0.0), bps)
+
+    def eff(lo, hi):
+        return round((thr[hi] / thr[lo]) / (hi / lo), 3)
+
+    pairs = {f"{lo}->{hi}": eff(lo, hi)
+             for lo, hi in ((4, 16), (8, 32))
+             if lo in thr and hi in thr}
+    return {"metric": "pure-scan DRAM throughput (GiB/s) by threads",
+            "gib_per_sec": {t: round(v / (1 << 30), 2)
+                            for t, v in thr.items()},
+            "efficiency_pairs": pairs, "footprint_gib": gib}
+
+
 def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     """Same job at N and 4N cores on identical input -> throughput +
     scaling efficiency (north-rule evidence).  All four parallelism
@@ -343,6 +393,8 @@ def main() -> None:
     n_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(n_rows)))
+    elif "--membw" in sys.argv:
+        print(json.dumps(run_membw()))
     elif "--skew-demo" in sys.argv:
         print(json.dumps(run_skew_demo(cpus)))
     elif "--ingest-only" in sys.argv:

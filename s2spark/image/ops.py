@@ -126,12 +126,16 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                if row[fmt_col] != "png":
+            # zip over materialized columns, not iterrows (decode is
+            # inherently per-row; the row-access idiom need not be)
+            for img_id, blob, fmt in zip(pdf["image_id"].to_numpy(),
+                                         pdf[bytes_col].to_numpy(),
+                                         pdf[fmt_col].to_numpy()):
+                if fmt != "png":
                     raise NotImplementedError("non-PNG decode unavailable")
-                img = png.decode_rgb(bytes(row[bytes_col]))
+                img = png.decode_rgb(bytes(blob))
                 grid = block_mean_resize(img, 4, 4).ravel()
-                rows.append((row["image_id"], avg_phash(img), *grid))
+                rows.append((img_id, avg_phash(img), *grid))
             yield pd.DataFrame(rows, columns=[f.name for f in fields])
 
     return df.select("image_id", bytes_col, fmt_col) \

@@ -46,6 +46,20 @@ def parse_vertices(text: str) -> np.ndarray:
     return np.array(pts, dtype=np.float64)
 
 
+def to_text(points: np.ndarray, roundtrip: bool = False) -> str:
+    """s2textformat writer (s2text_format.cc:322-345): 'lat:lng, ...'
+    in degrees; %.15g by default, %.17g with roundtrip=True (the
+    reference's round-trip precision mode)."""
+    pts = np.asarray(points, dtype=np.float64)
+    fmt = "%.17g:%.17g" if roundtrip else "%.15g:%.15g"
+    parts = []
+    for x, y, z in pts:
+        lat = math.degrees(math.atan2(z, math.sqrt(x * x + y * y)))
+        lng = math.degrees(math.atan2(y, x))
+        parts.append(fmt % (lat, lng))
+    return ", ".join(parts)
+
+
 class Loop:
     """Closed vertex ring with crossing-parity containment."""
 

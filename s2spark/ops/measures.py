@@ -121,6 +121,77 @@ def chain_interpolate_point(events: DataFrame, entity: str,
             .groupBy(entity).applyInPandas(run, schema))
 
 
+def simplify_track(events: DataFrame, entity: str,
+                   order_cols: list[str], tolerance_rad: float
+                   ) -> DataFrame:
+    """Per-entity polyline simplification — the reference's
+    SubsampleVertices tangent-wedge scan (s2polyline.cc:560-655) run
+    one applyInPandas group per entity: (entity, kept_seq) rows where
+    kept_seq is the 0-based position of a kept vertex in the entity's
+    `order_cols` order.  Track compression for trajectory tables: the
+    entity dimension is the parallel axis."""
+    import pandas as pd
+
+    schema = f"{entity} long, kept_seq int"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..kernels.simplify import subsample_vertices
+        g = pdf[entity].iloc[0]
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        v = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        kept = subsample_vertices(v, tolerance_rad)
+        return pd.DataFrame({entity: g, "kept_seq": kept})
+
+    return (events.select(entity, *order_cols, "x", "y", "z")
+            .groupBy(entity).applyInPandas(run, schema))
+
+
+def track_alignment(events: DataFrame, entity: str,
+                    order_cols: list[str],
+                    pairs: list[tuple[int, int]]) -> DataFrame:
+    """Pairwise trajectory similarity by exact DTW alignment cost
+    (S2PolylineAlignment, s2polyline_alignment.h:16-27): for each
+    requested (id_a, id_b) pair, the min-cost monotone warp between
+    the two entities' ordered chains.  Chains are collected per pair
+    via a double-sided join, DP runs in one Arrow batch per pair."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = events.sparkSession
+    pairs_df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    pts = (events.select(F.col(entity).alias("_e"), *order_cols,
+                         "x", "y", "z"))
+    a = pairs_df.join(pts, pairs_df["id_a"] == pts["_e"]) \
+        .select("id_a", "id_b", *order_cols,
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("z").alias("az"),
+                F.lit(0).alias("_side"))
+    b = pairs_df.join(pts, pairs_df["id_b"] == pts["_e"]) \
+        .select("id_a", "id_b", *order_cols,
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("z").alias("az"),
+                F.lit(1).alias("_side"))
+    both = a.unionByName(b)
+    schema = "id_a long, id_b long, dtw_cost double"
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..kernels.simplify import dtw_cost
+        ia, ib = int(key[0]), int(key[1])
+        va = pdf[pdf["_side"] == 0].sort_values(order_cols)[
+            ["ax", "ay", "az"]].to_numpy(np.float64)
+        vb = pdf[pdf["_side"] == 1].sort_values(order_cols)[
+            ["ax", "ay", "az"]].to_numpy(np.float64)
+        return pd.DataFrame([(ia, ib, dtw_cost(va, vb))],
+                            columns=["id_a", "id_b", "dtw_cost"])
+
+    return both.groupBy("id_a", "id_b").applyInPandas(run, schema)
+
+
 def track_segments(events: DataFrame, entity: str, order_cols: list[str]
                    ) -> DataFrame:
     """(entity, seq, dist2) — chord² between consecutive points of each

@@ -184,3 +184,16 @@ class TestPolygon:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_text_format_round_trip():
+    """Writer <-> parser round trip (s2text_format.cc:322-345): with
+    roundtrip precision the re-parsed vertices are bit-identical."""
+    from s2spark.kernels.loops import parse_vertices, to_text
+    src = "0:178, -1:180, 0:-179, 1:-180"
+    v = parse_vertices(src)
+    back = parse_vertices(to_text(v, roundtrip=True))
+    assert (v == back).all()
+    # default precision round-trips the fixture's decimal form
+    assert to_text(parse_vertices("80:-150, 80:-30, 80:90")) \
+        == "80:-150, 80:-30, 80:90"
