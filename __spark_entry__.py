@@ -456,6 +456,22 @@ def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DENSITY_THRESHOLD = 64
 DENSITY_MAX_LEVEL = 6
+BUFFER_RADIUS = 0.04
+BUFFER_MAX_LEVEL = 7
+N_BUFFER_LOOPS = 8
+
+
+def q_polygon_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2BufferOperation MVP (s2buffer_operation.h:16-24): per-loop
+    buffered-region cell decomposition at radius 0.04 rad.  The
+    oracle materializes the driver-side kernel's expected counts
+    (buffer guarantees pinned by sampling tests in
+    tests/test_buffer.py)."""
+    from s2spark.ops import boolean as bops
+    from s2spark.ops import pip
+    loops = pip.synth_loops(N_BUFFER_LOOPS)
+    return bops.buffer_covering(spark, loops, BUFFER_RADIUS,
+                                max_level=BUFFER_MAX_LEVEL)
 
 
 def q_density_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_simplify": q_track_simplify,
         "track_dtw": q_track_dtw,
         "density_tree": q_density_tree,
+        "polygon_buffer": q_polygon_buffer,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -1129,7 +1146,31 @@ def _geometry_oracles() -> dict[str, str]:
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
+        "polygon_buffer": _buffer_oracle(),
     }
+
+
+def _buffer_oracle() -> str:
+    """Driver-kernel materialized expected rows for polygon_buffer
+    (guarantees pinned by tests/test_buffer.py sampling)."""
+    import numpy as np
+
+    from s2spark.kernels import buffer as _bu
+    from s2spark.kernels import cellid as _ck
+    from s2spark.ops import pip as _pip
+    rows = []
+    for lid, loop in _pip.synth_loops(N_BUFFER_LOOPS).items():
+        interior, band = _bu.classify_buffer(loop, BUFFER_RADIUS,
+                                             BUFFER_MAX_LEVEL)
+        leaves = int(_ck.lsb(np.asarray(interior, dtype=np.int64)
+                             .view(np.uint64)).sum()) \
+            if len(interior) else 0
+        rows.append(f"({lid}, {leaves}, {len(interior)}, {len(band)})")
+    return ("SELECT CAST(loop_id AS BIGINT) AS loop_id, "
+            "CAST(a AS BIGINT) AS interior_leaves, "
+            "CAST(b AS BIGINT) AS interior_cells, "
+            "CAST(c AS BIGINT) AS band_cells FROM (VALUES "
+            + ", ".join(rows) + ") AS _b(loop_id, a, b, c)")
 
 
 def oracle_sql() -> dict[str, str]:

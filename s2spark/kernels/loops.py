@@ -166,6 +166,16 @@ class Loop:
             return False
         return self.contains_point(cell.get_center())
 
+    def get_rect_bound(self):
+        """Conservative lat/lng rectangle bound of the boundary chain
+        (S2LatLngRectBounder port, kernels/rect_bounder.py) — tighter
+        than the cap bound for skinny loops.  NOTE: bounds the
+        BOUNDARY; a loop whose interior contains a pole needs the
+        polar closure of its interior too (S2Loop::GetRectBound adds
+        that; callers here check contains_point(pole))."""
+        from .rect_bounder import loop_rect_bound
+        return loop_rect_bound(self.vertices)
+
     def get_cell_union_bound(self) -> list:
         """Bounding cells: 4 vertex neighbors around the centroid-ish
         vertex, or the 6 faces for big loops (cap-style bound)."""

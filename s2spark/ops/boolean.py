@@ -66,6 +66,37 @@ def polygon_overlay(spark: SparkSession, loops_a: dict[int, Loop],
             .applyInPandas(run, OVERLAY_SCHEMA))
 
 
+def buffer_covering(spark: SparkSession, loops: dict[int, Loop],
+                    radius_rad: float, max_level: int = 7) -> DataFrame:
+    """S2BufferOperation MVP surface (s2buffer_operation.h:16-24):
+    per-loop buffered-region decomposition — certified interior leaf
+    count + boundary band cell count at `radius_rad` (negative radius
+    erodes).  One applyInPandas group per loop."""
+    import numpy as np
+
+    from ..kernels import buffer as bu
+    from ..kernels import cellid as ci
+    ids_df = spark.createDataFrame(
+        pd.DataFrame({"loop_id": sorted(loops)}))
+    schema = ("loop_id long, interior_leaves long, interior_cells "
+              "long, band_cells long")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lid in pdf["loop_id"]:
+            interior, band = bu.classify_buffer(loops[int(lid)],
+                                                radius_rad, max_level)
+            leaves = int(ci.lsb(np.asarray(interior, dtype=np.int64)
+                                .view(np.uint64)).sum()) \
+                if len(interior) else 0
+            rows.append((int(lid), leaves, len(interior), len(band)))
+        return pd.DataFrame(rows, columns=[
+            "loop_id", "interior_leaves", "interior_cells",
+            "band_cells"])
+
+    return ids_df.groupBy("loop_id").applyInPandas(run, schema)
+
+
 def overlay_refined(spark: SparkSession, loops_a: dict[int, Loop],
                     loops_b: dict[int, Loop], op: str,
                     pairs: list[tuple[int, int]] | None = None,

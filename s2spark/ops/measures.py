@@ -24,7 +24,10 @@ from .. import functions as s2f
 
 
 def hausdorff2(a: DataFrame, b: DataFrame, a_id: str) -> DataFrame:
-    """Directed Hausdorff² from A to B.  a/b: (id, x, y, z)."""
+    """Directed Hausdorff² from A to B, broadcast inner min.
+    a/b: (id, x, y, z).  The B side broadcasts — right when B is a
+    small dim; for two LARGE sets use hausdorff2_knn (identical
+    values: min/max of doubles has no accumulation order)."""
     bb = F.broadcast(b.select(F.col("x").alias("_bx"),
                               F.col("y").alias("_by"),
                               F.col("z").alias("_bz")))
@@ -34,6 +37,25 @@ def hausdorff2(a: DataFrame, b: DataFrame, a_id: str) -> DataFrame:
              .groupBy(a_id)
              .agg(F.min(d2).alias("_min_d2")))
     return per_a.agg(F.max("_min_d2").alias("hausdorff2"))
+
+
+def hausdorff2_knn(a: DataFrame, b: DataFrame, a_id: str, b_id: str,
+                   level: int | None = None,
+                   n_b: int | None = None) -> DataFrame:
+    """Directed Hausdorff² when BOTH sides are large: the inner min is
+    a k=1 expanding-ring kNN join over the cell index (ops/knn.py) —
+    no broadcast of either side, shuffles keyed on ring prefixes.
+    a/b: (id, cell_id, x, y, z).  Bit-identical to the broadcast plan
+    (the k=1 minimum is the same double)."""
+    from . import knn as knn_ops
+    if level is None:
+        if n_b is None:
+            from .. import dataset  # noqa: F401 — stats preferred
+            n_b = b.count()
+        level = knn_ops.pick_level(n_b, 1)
+    nn = knn_ops.knn_join(b, a, 1, query_id=a_id, point_id=b_id,
+                          level=level)
+    return nn.agg(F.max("dist2").alias("hausdorff2"))
 
 
 def chain_quantile(events: DataFrame, entity: str,

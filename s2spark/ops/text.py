@@ -192,6 +192,9 @@ def ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     recomputing it."""
     cand = (candidates if candidates is not None
             else lsh_candidate_pairs(docs)).select("doc_a", "doc_b")
+    # the pair frame feeds BOTH the id semi-join and the final join —
+    # materialize once so the LSH stage doesn't execute twice
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
