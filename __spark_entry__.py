@@ -488,6 +488,37 @@ def q_density_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("weight"), "is_leaf")
 
 
+def _validation_fixture_rows():
+    """Fixed loop set for loop_validation: 6 valid synth loops + 4
+    constructed invalid ones (bowtie, duplicate vertex, 2-vertex,
+    degenerate edge)."""
+    import numpy as np
+    from s2spark.kernels.loops import parse_vertices
+    from s2spark.ops import pip
+    rows = []
+    for pid, lp in pip.synth_loops(6).items():
+        rows.append((pid, [float(x) for x in lp.vertices.ravel()]))
+    bad = [parse_vertices("0:0, 0:10, 10:0, 10:10"),
+           parse_vertices("0:0, 0:10, 10:10, 0:0, 10:0"),
+           parse_vertices("0:0, 0:10"),
+           np.vstack([parse_vertices("0:0, 0:10, 10:10"),
+                      parse_vertices("10:10")])]
+    for k, v in enumerate(bad):
+        rows.append((100 + k, [float(x) for x in v.ravel()]))
+    return rows
+
+
+def q_loop_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ValidationQuery / S2Loop::FindValidationError analogue
+    (s2loop.cc:189-260): per-loop validity verdicts over a fixed loop
+    table.  Oracle materializes the driver-side kernel verdicts;
+    rule coverage is pinned by tests/test_validate.py."""
+    from s2spark.ops import validate
+    df = spark.createDataFrame(_validation_fixture_rows(),
+                               "poly_id long, vertices array<double>")
+    return validate.validate_loops(df)
+
+
 def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user track compression (S2Polyline::SubsampleVertices,
     s2polyline.cc:560-655).  Rows-only: the greedy tangent-wedge scan
@@ -559,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_dtw": q_track_dtw,
         "density_tree": q_density_tree,
         "polygon_buffer": q_polygon_buffer,
+        "loop_validation": q_loop_validation,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -1147,7 +1179,23 @@ def _geometry_oracles() -> dict[str, str]:
         "chain_interp": chain_interp,
         "density_tree": density_sql,
         "polygon_buffer": _buffer_oracle(),
+        "loop_validation": _validation_oracle(),
     }
+
+
+def _validation_oracle() -> str:
+    import numpy as np
+
+    from s2spark.ops import validate as _val
+    rows = []
+    for pid, flat in _validation_fixture_rows():
+        err = _val._loop_error(np.asarray(flat,
+                                          dtype=np.float64).reshape(-1, 3))
+        rows.append(f"({pid}, {str(err is None).upper()}, "
+                    f"'{err or 'ok'}')")
+    return ("SELECT CAST(poly_id AS BIGINT) AS poly_id, is_valid, "
+            "error FROM (VALUES " + ", ".join(rows)
+            + ") AS _v(poly_id, is_valid, error)")
 
 
 def _buffer_oracle() -> str:

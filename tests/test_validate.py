@@ -1,0 +1,57 @@
+"""Validation + nesting vs reference rules (s2loop.cc:189-260)."""
+
+import numpy as np
+
+from s2spark.kernels.loops import Loop, parse_vertices
+from s2spark.ops import pip, validate
+
+
+def test_valid_synth_loops(spark):
+    loops = pip.synth_loops(6)
+    df = validate.validate_loops(pip.loops_to_df(spark, loops))
+    got = {r["poly_id"]: (r["is_valid"], r["error"])
+           for r in df.collect()}
+    assert all(v == (True, "ok") for v in got.values())
+
+
+def test_invalid_cases(spark):
+    import pandas as pd
+    bowtie = parse_vertices("0:0, 0:10, 10:0, 10:10")  # figure-8
+    dup = parse_vertices("0:0, 0:10, 10:10, 0:0, 10:0")  # revisits 0:0
+    two = parse_vertices("0:0, 0:10")
+    degen = np.vstack([parse_vertices("0:0, 0:10, 10:10"),
+                       parse_vertices("10:10")])  # repeated last vertex
+    rows = [(0, [float(x) for x in bowtie.ravel()]),
+            (1, [float(x) for x in dup.ravel()]),
+            (2, [float(x) for x in two.ravel()]),
+            (3, [float(x) for x in degen.ravel()])]
+    df = spark.createDataFrame(rows, "poly_id long, "
+                                     "vertices array<double>")
+    got = {r["poly_id"]: r["error"]
+           for r in validate.validate_loops(df).collect()}
+    assert got[0] == "edges_cross"
+    assert got[1] == "duplicate_vertex"
+    assert got[2] == "not_enough_vertices"
+    assert got[3] == "degenerate_edge"
+
+
+def test_loop_nesting_shell_hole():
+    """Concentric loops nest with alternating hole flags."""
+    from s2spark.ops.pip import synth_loops
+
+    def ring(radius_deg, n=8):
+        ang = np.radians(np.linspace(0, 360, n, endpoint=False))
+        r = np.radians(radius_deg)
+        return Loop(np.stack([
+            np.sin(r) * np.cos(ang), np.sin(r) * np.sin(ang),
+            np.full(n, np.cos(r))], axis=1))
+
+    loops = {0: ring(30), 1: ring(20), 2: ring(10),
+             3: synth_loops(40)[35]}  # unrelated distant loop
+    nest = validate.loop_nesting(loops).set_index("loop_id")
+    assert nest.loc[0, "depth"] == 0 and not nest.loc[0, "is_hole"]
+    assert nest.loc[1, "depth"] == 1 and nest.loc[1, "is_hole"]
+    assert nest.loc[1, "parent_id"] == 0
+    assert nest.loc[2, "depth"] == 2 and not nest.loc[2, "is_hole"]
+    assert nest.loc[2, "parent_id"] == 1
+    assert nest.loc[3, "depth"] == 0
