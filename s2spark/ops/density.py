@@ -35,9 +35,14 @@ def cell_weights(df: DataFrame, cell_col: str, max_level: int,
     `df`, then rollups of the reduced frame."""
     w = (F.sum(weight_col) if weight_col
          else F.count(F.lit(1))).alias("weight")
+    # materialize the finest aggregate: every coarser level and every
+    # visited-chain branch derives from it, and Spark does NOT share
+    # common subplans across union branches — without this the base
+    # table is re-scanned once per tree level (measured 15 scans)
     finest = (df.select(s2f.prefix_col(F.col(cell_col), max_level)
                         .alias("cell"))
-              .groupBy("cell").agg(w))
+              .groupBy("cell").agg(w)
+              .localCheckpoint(eager=True))
     out = {max_level: finest}
     cur = finest
     for lv in range(max_level - 1, -1, -1):

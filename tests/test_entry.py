@@ -38,3 +38,21 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_near_dup_banding_recall(spark):
+    """Recall evidence for the banded-LSH near-dup vs the exact
+    all-pairs baseline at the driver threshold (documents the
+    deterministic approximation the oracle mirrors)."""
+    from pyspark.sql import functions as F
+    from s2spark.ops import ann
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    exact = {(r["id_a"], r["id_b"])
+             for r in ann.cosine_pairs_exact(emb, 0.4).collect()}
+    banded = {(r["id_a"], r["id_b"])
+              for r in ann.cosine_pairs(emb, 0.4).collect()}
+    assert banded <= exact  # no false positives (exact rerank)
+    if exact:
+        recall = len(banded) / len(exact)
+        assert recall >= 0.7, recall

@@ -220,3 +220,28 @@ def test_closest_edge_join_is_indexed(spark):
     # brute-force straggler branch must not appear
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_density_tree_single_scan_partial_agg(spark):
+    """The density tree must scan the base table ONCE (rollups reduce
+    the already-aggregated frame) with map-side partial aggregation."""
+    from s2spark import dataset
+    from s2spark.ops import density
+    ev = dataset.geotagged_events(spark, SF_DIR).select("cell_id")
+    df = density.density_tree(ev, "cell_id", threshold=16, max_level=4)
+    plan = plan_of(df)
+    # the base parquet is scanned ZERO times in the tree plan — every
+    # branch derives from the materialized finest aggregate
+    assert "FileScan parquet" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final rollups
+
+
+def test_polygon_overlay_groups_per_pair(spark):
+    """Overlay fans out per pair via applyInPandas — no cross join."""
+    from s2spark.ops import boolean as bops
+    from s2spark.ops import pip
+    la = pip.synth_loops(3)
+    lb = pip.synth_loops(3, shift_u=0.06)
+    plan = plan_of(bops.polygon_overlay(spark, la, lb, max_level=5))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
