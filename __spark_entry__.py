@@ -519,6 +519,21 @@ def q_loop_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate.validate_loops(df)
 
 
+SNAP_LEVEL = 2
+
+
+def q_track_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapped per-user polylines (S2Builder CellIdSnapFunction slice
+    / S2Polyline::InitToSnapped): vertices to level-2 cell centers,
+    consecutive duplicates collapsed.  Pure bit math + windows — full
+    SQL oracle."""
+    from s2spark.ops import snap
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "user_id", "ts", "cell_id")
+    return snap.snap_track(ev, "user_id", ["ts", "event_id"],
+                           SNAP_LEVEL)
+
+
 def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user track compression (S2Polyline::SubsampleVertices,
     s2polyline.cc:560-655).  Rows-only: the greedy tangent-wedge scan
@@ -591,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_tree": q_density_tree,
         "polygon_buffer": q_polygon_buffer,
         "loop_validation": q_loop_validation,
+        "track_snap": q_track_snap,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -1180,6 +1196,17 @@ def _geometry_oracles() -> dict[str, str]:
         "density_tree": density_sql,
         "polygon_buffer": _buffer_oracle(),
         "loop_validation": _validation_oracle(),
+        "track_snap": (
+            f"WITH t AS (SELECT user_id, ts, event_id, "
+            f"{geo.parent_sql('cell', SNAP_LEVEL)} AS sc FROM "
+            f"{geo.geo_table_sql('events', dataset.geo_key_sql('event_id', 'events'), ['event_id', 'user_id', 'ts'], with_xyz=False)}), "
+            f"d AS (SELECT user_id, ts, event_id, sc, LAG(sc) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            f"FROM t), "
+            f"f AS (SELECT * FROM d WHERE prev IS NULL OR prev <> sc) "
+            f"SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY "
+            f"user_id ORDER BY ts, event_id) AS INTEGER) AS seq_out, "
+            f"sc AS snap_cell FROM f"),
     }
 
 
