@@ -220,6 +220,43 @@ def angle_contains_vertex(a, b, c) -> bool:
     return not ordered_ccw(ref_dir(b), c, a, b)
 
 
+WEDGE_EQUALS = 0
+WEDGE_PROPERLY_CONTAINS = 1
+WEDGE_IS_PROPERLY_CONTAINED = 2
+WEDGE_PROPERLY_OVERLAPS = 3
+WEDGE_IS_DISJOINT = 4
+
+
+def wedge_contains(a0, ab1, a2, b0, b2) -> bool:
+    """Does wedge A (a0, ab1, a2) contain wedge B at the shared vertex
+    ab1 (s2wedge_relations.cc:28-38): CCW order a2 b2 b0 a0."""
+    return (ordered_ccw(a2, b2, b0, ab1)
+            and ordered_ccw(b0, a0, a2, ab1))
+
+
+def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
+    """Do the wedge interiors intersect (s2wedge_relations.cc:40-50):
+    negation of the disjoint order a0 b2 b0 a2 — written as negatives
+    so shared vertices resolve correctly."""
+    return not (ordered_ccw(a0, b2, b0, ab1)
+                and ordered_ccw(b0, a2, a0, ab1))
+
+
+def get_wedge_relation(a0, ab1, a2, b0, b2) -> int:
+    """Full wedge relation (s2wedge_relations.cc:52-88)."""
+    if a0 == b0 and a2 == b2:
+        return WEDGE_EQUALS
+    if ordered_ccw(a0, a2, b2, ab1):
+        if ordered_ccw(b2, b0, a0, ab1):
+            return WEDGE_PROPERLY_CONTAINS
+        return (WEDGE_IS_PROPERLY_CONTAINED if a2 == b2
+                else WEDGE_PROPERLY_OVERLAPS)
+    if ordered_ccw(a0, b0, b2, ab1):
+        return WEDGE_IS_PROPERLY_CONTAINED
+    return (WEDGE_IS_DISJOINT if ordered_ccw(a0, b0, a2, ab1)
+            else WEDGE_PROPERLY_OVERLAPS)
+
+
 def vertex_crossing(a, b, c, d) -> bool:
     """Shared-vertex crossing parity rule (s2edge_crossings.cc:369-389)."""
     if a == b or c == d:
