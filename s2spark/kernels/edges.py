@@ -52,6 +52,80 @@ def point_segment_chord2(p: np.ndarray, a: np.ndarray, b: np.ndarray
     return np.where(n2 > 0, out, ends)
 
 
+def edge_intersection(a0: np.ndarray, a1: np.ndarray,
+                      b0: np.ndarray, b1: np.ndarray) -> np.ndarray:
+    """Intersection point of two crossing geodesic edges
+    (S2::GetIntersection, s2edge_crossings.cc:663-770 semantics):
+    normalize(cross(cross(a0,a1), cross(b0,b1))) with the antipode
+    resolved by Sign(a0, a1, b1); escalates to exact rational cross
+    products when the double-precision normals are too short (nearly
+    parallel edges), and to the reference's endpoint heuristic for
+    exactly collinear inputs."""
+    from fractions import Fraction
+
+    from . import predicates
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    na = np.cross(a0, a1)
+    nb = np.cross(b0, b1)
+    x = np.cross(na, nb)
+    norm = float(np.linalg.norm(x))
+    # double path is safe when the result norm is far above its error
+    # (~1e-14 relative); otherwise recompute the crosses exactly
+    if norm < 1e-9:
+        def xf(v):
+            return tuple(Fraction(float(c)) for c in v)
+
+        def cross_f(u, v):
+            return (u[1] * v[2] - u[2] * v[1],
+                    u[2] * v[0] - u[0] * v[2],
+                    u[0] * v[1] - u[1] * v[0])
+
+        axf = cross_f(xf(a0), xf(a1))
+        bxf = cross_f(xf(b0), xf(b1))
+        xf3 = cross_f(axf, bxf)
+        if any(v != 0 for v in xf3):
+            x = np.array([float(v) for v in xf3], dtype=np.float64)
+            norm = float(np.linalg.norm(x))
+            # scale exact coords into double range if needed
+            if norm == 0.0 or not np.isfinite(norm):
+                mx = max(abs(v) for v in xf3)
+                x = np.array([float(v / mx) for v in xf3])
+                norm = float(np.linalg.norm(x))
+        else:
+            # exactly collinear: the reference's endpoint heuristic
+            # (s2edge_crossings.cc:689-705) — of the two endpoints
+            # interior to the other edge, the lexicographically least
+            an = np.array([float(v) for v in axf]) \
+                if any(v != 0 for v in axf) else np.cross(a0, a1)
+            bn = np.array([float(v) for v in bxf]) \
+                if any(v != 0 for v in bxf) else np.cross(b0, b1)
+            best = None
+            for p, (c0, c1, nrm) in ((a0, (b0, b1, bn)),
+                                     (a1, (b0, b1, bn)),
+                                     (b0, (a0, a1, an)),
+                                     (b1, (a0, a1, an))):
+                if predicates.ordered_ccw(tuple(c0), tuple(p),
+                                          tuple(c1), tuple(nrm)):
+                    key = tuple(p)
+                    if best is None or key < best:
+                        best = key
+            if best is None:
+                raise ValueError("degenerate collinear edges")
+            return np.array(best, dtype=np.float64)
+    x = x / norm
+    # antipode resolution (s2edge_crossings.cc:679): the true
+    # intersection is Sign(a0, a1, b1) * normalize(na x nb)
+    s = int(predicates.sign(np.array([a0[0]]), np.array([a0[1]]),
+                            np.array([a0[2]]), np.array([a1[0]]),
+                            np.array([a1[1]]), np.array([a1[2]]),
+                            np.array([b1[0]]), np.array([b1[1]]),
+                            np.array([b1[2]]))[0])
+    return float(s) * x
+
+
 class EdgeRegion:
     """A single geodesic segment as a coverable region (duck-typed for
     RegionCoverer): may_intersect = endpoint-in-cell or crossing with

@@ -60,3 +60,65 @@ def test_pip_inverted_loops(spark):
            pip.pip_join(ev, spark, inv, point_id="event_id").collect()}
     assert got == expected
     assert len(expected) > len(rows) * 3  # complements cover most points
+
+
+def test_buffer_extreme_radii():
+    """Buffer guarantees at the extremes: radius >= pi covers the
+    sphere; huge negative radius erodes to nothing; the certified
+    interior never exceeds the sphere's leaf total."""
+    from s2spark.kernels import buffer as bu
+    from s2spark.kernels import cellid as ci
+    loop = pip.synth_loops(3)[0]
+    total = 6 * 4 ** 30
+    interior, band = bu.classify_buffer(loop, np.pi, max_level=3)
+    leaves = int(ci.lsb(np.asarray(interior, dtype=np.int64)
+                        .view(np.uint64)).sum())
+    assert leaves == total and len(band) == 0  # whole sphere, no band
+    interior, band = bu.classify_buffer(loop, -np.pi, max_level=3)
+    assert len(interior) == 0 and len(band) == 0  # eroded away
+
+
+def test_overlay_identical_and_inverted_loops():
+    """op(A, A): intersection == difference-complement; op(A, A^c):
+    empty intersection at any subdivision."""
+    from s2spark.kernels import boolean as bk
+    from s2spark.kernels import cellid as ci
+    a = pip.synth_loops(3)[1]
+    inv = Loop(a.vertices[::-1].copy())
+    cells = bk.classify_pair(a, a, 7)
+    c = bk.op_counts(cells)
+    assert c["difference"]["interior_leaves"] == 0
+    assert c["symmetric_difference"]["interior_leaves"] == 0
+    assert c["intersection"]["interior_leaves"] \
+        == c["union"]["interior_leaves"]
+    cells2 = bk.classify_pair(a, inv, 7)
+    c2 = bk.op_counts(cells2)
+    assert c2["intersection"]["interior_leaves"] == 0
+    # A union A^c covers everything outside the boundary band
+    total = 6 * 4 ** 30
+    bnd = cells2["cell"][(cells2["sa"] == bk.BND)
+                         | (cells2["sb"] == bk.BND)].view(np.uint64)
+    band_leaves = int(ci.lsb(bnd).sum())
+    assert c2["union"]["interior_leaves"] + band_leaves == total
+
+
+def test_hull_degenerate_collinear_points():
+    """Points along one geodesic: the hull is the degenerate lune —
+    every input point must still be within the hull loop or on it."""
+    from s2spark.kernels import hull as hk
+    t = np.linspace(0.1, 1.2, 9)
+    pts = np.stack([np.cos(t), np.sin(t), np.zeros_like(t)], axis=1)
+    got = hk.convex_hull(pts)
+    assert got is not None
+    # endpoints of the chain must be the extremes
+    keys = {tuple(p) for p in got}
+    assert tuple(pts[0]) in keys and tuple(pts[-1]) in keys
+
+
+def test_snap_level0_collapses_to_faces(spark):
+    from s2spark.ops import snap as snap_ops
+    ev = dataset.geotagged_events(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "cell_id")
+    out = snap_ops.snap_track(ev, "user_id", ["ts", "event_id"], 0) \
+        .select("snap_cell").distinct().collect()
+    assert 1 <= len(out) <= 6  # only face cells survive

@@ -93,3 +93,60 @@ def test_crossing_edge_join_vs_brute(spark):
                     expect.add((qid, pid, e))
     assert got == expect
     assert len(expect) > 0
+
+
+def test_edge_intersection_accuracy():
+    """GetIntersection: the result lies on both edges (within the
+    reference's kIntersectionError class of tolerance) and matches an
+    exact-rational recomputation."""
+    from fractions import Fraction
+    rng = np.random.default_rng(17)
+    n_checked = 0
+    for _ in range(300):
+        a0, a1, b0, b1 = [v / np.linalg.norm(v)
+                          for v in rng.normal(size=(4, 3))]
+        from s2spark.kernels import predicates
+        if int(predicates.crossing_sign(a0[None], a1[None],
+                                        b0[None], b1[None])[0]) <= 0:
+            continue
+        x = ek.edge_intersection(a0, a1, b0, b1)
+        assert abs(np.linalg.norm(x) - 1) < 1e-14
+        # on both edges
+        d1 = float(ek.point_segment_chord2(x[None], a0[None],
+                                           a1[None])[0])
+        d2 = float(ek.point_segment_chord2(x[None], b0[None],
+                                           b1[None])[0])
+        assert max(d1, d2) < 1e-28  # ~1e-14 rad
+        # exact-rational oracle
+        def cx(u, v):
+            return (u[1]*v[2]-u[2]*v[1], u[2]*v[0]-u[0]*v[2],
+                    u[0]*v[1]-u[1]*v[0])
+        fa = tuple(Fraction(float(c)) for c in a0)
+        fb = tuple(Fraction(float(c)) for c in a1)
+        fc = tuple(Fraction(float(c)) for c in b0)
+        fd = tuple(Fraction(float(c)) for c in b1)
+        xe = cx(cx(fa, fb), cx(fc, fd))
+        xe = np.array([float(v) for v in xe])
+        xe /= np.linalg.norm(xe)
+        if np.dot(xe, x) < 0:
+            xe = -xe
+        assert np.abs(xe - x).max() < 1e-12
+        n_checked += 1
+    assert n_checked > 20
+
+
+def test_edge_intersection_near_parallel():
+    """Edges crossing at a tiny angle still land on both edges."""
+    a0 = np.array([1.0, 0.0, 0.0])
+    a1 = np.array([0.0, 1.0, 0.0])
+    eps = 1e-10
+    b0v = np.array([1.0, 0.0, eps]); b0v /= np.linalg.norm(b0v)
+    b1v = np.array([0.0, 1.0, -eps]); b1v /= np.linalg.norm(b1v)
+    from s2spark.kernels import predicates
+    assert int(predicates.crossing_sign(a0[None], a1[None],
+                                        b0v[None], b1v[None])[0]) > 0
+    x = ek.edge_intersection(a0, a1, b0v, b1v)
+    d1 = float(ek.point_segment_chord2(x[None], a0[None], a1[None])[0])
+    d2 = float(ek.point_segment_chord2(x[None], b0v[None],
+                                       b1v[None])[0])
+    assert max(d1, d2) < 1e-24
