@@ -197,6 +197,14 @@ def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_ann(emb.select("vec_id", "embedding"), qs, k=5)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the MinHash-
+    LSH candidate pairs (iterative min-label propagation; the oracle
+    recomputes components with a recursive CTE)."""
+    pairs = text.lsh_candidate_pairs(_docs(spark, sf_dir))
+    return text.dedup_groups(pairs)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = dataset.load(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding")
@@ -581,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -738,6 +747,26 @@ def _text_oracles() -> dict[str, str]:
             f"CAST({sig_matches} AS BIGINT) AS sig_matches "
             f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             f"AND ({band_conds})"),
+        "dedup_groups": (
+            f"WITH RECURSIVE {codes_cte}, "
+            f"sig AS (SELECT doc_id, {sig_cols} FROM codes "
+            f"GROUP BY doc_id), "
+            f"p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            f"AND ({band_conds})), "
+            f"e AS (SELECT doc_a AS src, doc_b AS dst FROM p "
+            f"UNION SELECT doc_b, doc_a FROM p), "
+            f"n AS (SELECT DISTINCT src AS doc_id FROM e), "
+            f"r AS (SELECT doc_id AS doc, doc_id AS label FROM n "
+            f"UNION SELECT e.dst, r.label FROM r JOIN e "
+            f"ON e.src = r.doc), "
+            f"g AS (SELECT doc, MIN(label) AS group_id FROM r "
+            f"GROUP BY 1), "
+            f"s AS (SELECT group_id, COUNT(*) AS group_size FROM g "
+            f"GROUP BY 1) "
+            f"SELECT g.doc AS doc_id, g.group_id, "
+            f"CAST(s.group_size AS BIGINT) AS group_size "
+            f"FROM g JOIN s USING (group_id)"),
         "simhash": (
             f"WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             f"AS tok FROM documents), hv AS (SELECT doc_id, {h_sql} AS h "

@@ -222,6 +222,51 @@ def ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
 
 
+def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs -> dedup groups:
+    (doc_id, group_id, group_size) where group_id is the component's
+    minimum doc id (the canonical representative).
+
+    Iterative min-label propagation — the classic Spark pattern for
+    training-data dedup at scale: each round is one equi-join + one
+    map-side-combinable min aggregation over the (small) node frame;
+    rounds = O(component diameter), with an eager checkpoint per round
+    so lineage stays flat.  Convergence is detected by a changed-label
+    count (a driver action per round — inherent to iterative
+    algorithms; the frame it scans is |nodes|, not |corpus|).
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        prop = (edges.join(labels,
+                           edges["src"] == labels["doc_id"])
+                .select(F.col("dst").alias("doc_id"), "label"))
+        new_labels = (labels.select("doc_id", "label")
+                      .unionByName(prop)
+                      .groupBy("doc_id")
+                      .agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(
+            labels.withColumnRenamed("label", "_old"), "doc_id")
+            .where(F.col("label") != F.col("_old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("group_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("group_id"),
+                    F.col("group_size").cast("long")
+                    .alias("group_size")))
+
+
 def phash_near_dup(images: DataFrame, id_col: str = "image_id",
                    phash_col: str = "phash", n_bands: int = 4,
                    band_bits: int = 16) -> DataFrame:

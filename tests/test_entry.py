@@ -56,3 +56,17 @@ def test_near_dup_banding_recall(spark):
     if exact:
         recall = len(banded) / len(exact)
         assert recall >= 0.7, recall
+
+
+def test_dedup_groups_components(spark):
+    """Connected components: transitive closure property + canonical
+    representative = component min."""
+    import pandas as pd
+    from s2spark.ops import text
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": ["a", "b", "x", "m"],
+                      "doc_b": ["b", "c", "y", "a"]}))
+    got = {r["doc_id"]: (r["group_id"], r["group_size"])
+           for r in text.dedup_groups(pairs).collect()}
+    assert got == {"a": ("a", 4), "b": ("a", 4), "c": ("a", 4),
+                   "m": ("a", 4), "x": ("x", 2), "y": ("x", 2)}
