@@ -528,6 +528,37 @@ def q_loop_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SNAP_LEVEL = 2
+N_WINDING_SHELLS = 6
+WINDING_SHIFT = 0.03
+
+
+def _winding_loops():
+    """6 CCW shells + 6 CW (inverted, shifted) loops whose disks
+    punch holes through them — a mixed-orientation winding fixture."""
+    from s2spark.kernels.loops import Loop
+    from s2spark.ops import pip
+    shells = pip.synth_loops(N_WINDING_SHELLS)
+    cw = {pid + N_WINDING_SHELLS: Loop(lp.vertices[::-1].copy())
+          for pid, lp in pip.synth_loops(N_WINDING_SHELLS,
+                                         shift_u=WINDING_SHIFT).items()}
+    loops = dict(shells)
+    loops.update(cw)
+    signs = {pid: (1 if pid < N_WINDING_SHELLS else -1)
+             for pid in loops}
+    return loops, signs
+
+
+def q_winding_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2WindingOperation MVP (s2winding_operation.h:25-33): per-event
+    winding number over a mixed-orientation loop set (shells +1, CW
+    hole loops −1).  Oracle: the brute-force per-loop containment SQL
+    counted per point minus the CW offset."""
+    from s2spark.ops import boolean as bops
+    loops, signs = _winding_loops()
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    return bops.winding_number(ev, spark, loops, point_id="event_id",
+                               signs=signs)
 
 
 def q_track_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_buffer": q_polygon_buffer,
         "loop_validation": q_loop_validation,
         "track_snap": q_track_snap,
+        "winding_number": q_winding_number,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
     }
@@ -1213,6 +1245,17 @@ def _geometry_oracles() -> dict[str, str]:
         for lv in range(maxl + 1))
     density_sql = "WITH " + ", ".join(ctes) + " " + union
 
+    # --- winding_number: brute-force containment counts - n_cw ---
+    wloops, wsigns = _winding_loops()
+    n_cw = sum(1 for v in wsigns.values() if v < 0)
+    winding_sql = (
+        f"WITH {_pip_inside_sql(f'({ev_geo})', 'event_id', wloops)}, "
+        f"cnt AS (SELECT event_id, COUNT(*) AS n FROM ins "
+        f"GROUP BY 1) "
+        f"SELECT p.event_id, CAST(COALESCE(cnt.n, 0) - {n_cw} AS "
+        f"BIGINT) AS winding FROM ({ev_geo}) p "
+        f"LEFT JOIN cnt ON cnt.event_id = p.event_id")
+
     return {
         "closest_edge": closest,
         "crossing_edges": crossing,
@@ -1223,6 +1266,7 @@ def _geometry_oracles() -> dict[str, str]:
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
+        "winding_number": winding_sql,
         "polygon_buffer": _buffer_oracle(),
         "loop_validation": _validation_oracle(),
         "track_snap": (

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernels import boolean as bk
 from ..kernels.loops import Loop
@@ -64,6 +64,47 @@ def polygon_overlay(spark: SparkSession, loops_a: dict[int, Loop],
 
     return (pairs_df.groupBy("a_id", "b_id")
             .applyInPandas(run, OVERLAY_SCHEMA))
+
+
+def loop_orientation_sign(loop: Loop) -> int:
+    """+1 for a CCW (positive-area) loop, -1 for a CW/inverted one —
+    via the Gauss-Bonnet curvature (s2loop_measures.cc GetCurvature:
+    +2pi for tiny CCW, -2pi for tiny CW)."""
+    return 1 if loop.get_curvature() >= 0 else -1
+
+
+def winding_number(points: DataFrame, spark: SparkSession,
+                   loops: dict[int, Loop],
+                   point_id: str = "point_id",
+                   signs: dict[int, int] | None = None) -> DataFrame:
+    """S2WindingOperation MVP (s2winding_operation.h:25-33): per-point
+    winding number over a set of ORIENTED loops; winding rules
+    (positive / non-zero / odd) become filters on the output.
+
+    A CCW loop winds +1 around its disk; a CW loop winds −1 around
+    its disk — and a CW loop's S2 interior (the left side) is the
+    COMPLEMENT of that disk, so with S2 containment verdicts:
+
+        w(p) = Σ_ccw [p∈in_i] − Σ_cw [p∈disk_i]
+             = Σ_all [p∈interior_i] − n_cw
+
+    Plan: the indexed PIP join supplies containment pairs; one
+    map-side-combinable count per point, a constant offset, and a
+    left join back to the point set (points inside nothing still have
+    winding −n_cw)."""
+    if signs is None:
+        signs = {pid: loop_orientation_sign(lp)
+                 for pid, lp in loops.items()}
+    n_cw = sum(1 for v in signs.values() if v < 0)
+    from . import pip as _pip
+    per = _pip.pip_join(points, spark, loops, point_id=point_id)
+    counts = per.groupBy(point_id).agg(
+        F.count(F.lit(1)).alias("_n"))
+    return (points.select(point_id)
+            .join(counts, point_id, "left")
+            .select(point_id,
+                    (F.coalesce(F.col("_n"), F.lit(0)) - n_cw)
+                    .cast("long").alias("winding")))
 
 
 def buffer_covering(spark: SparkSession, loops: dict[int, Loop],

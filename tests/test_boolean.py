@@ -207,3 +207,38 @@ def test_chain_interpolate_point_geometry(spark):
     # midpoint of a 30-degree meridian arc = latitude 15
     assert abs(pm["iz"] - np.sin(np.radians(15))) < 1e-12
     assert abs(pm["iy"]) < 1e-12
+
+
+def test_winding_number_hole_semantics(spark):
+    """Shell (+1) with a CW hole loop: shell-only points wind +1,
+    hole-disk-only points wind -1, points in both (the hole cut
+    through the shell) wind 0, far points wind 0."""
+    import pandas as pd
+    from s2spark.ops import boolean as bops
+    shell = pip.synth_loops(4)[1]
+    cw_disk = Loop(pip.synth_loops(4, shift_u=0.05)[1]
+                   .vertices[::-1].copy())
+    assert bops.loop_orientation_sign(shell) == 1
+    assert bops.loop_orientation_sign(cw_disk) == -1
+    loops = {0: shell, 1: cw_disk}
+    signs = {0: 1, 1: -1}
+    # classify candidate points by brute force first
+    from s2spark.sources import geo
+    keys = np.arange(30000, dtype=np.int64)
+    xs, ys, zs = geo.xyz_np(keys)
+    pts = np.stack([xs, ys, zs], axis=1)
+    in_shell = shell.contains_points(pts)
+    in_disk = ~cw_disk.contains_points(pts)  # CW interior = complement
+    import s2spark.functions  # noqa: F401
+    from s2spark import dataset as ds
+    pdf = pd.DataFrame({"point_id": keys})
+    df = ds.geotag(spark.createDataFrame(pdf), "point_id", "wind")
+    got = {r["point_id"]: r["winding"] for r in
+           bops.winding_number(df, spark, loops, signs=signs)
+           .collect()}
+    want = in_shell.astype(int) - in_disk.astype(int)
+    classes = set()
+    for k in range(len(keys)):
+        assert got[int(keys[k])] == want[k]
+        classes.add(int(want[k]))
+    assert {-1, 0, 1} <= classes  # all three regimes exercised
