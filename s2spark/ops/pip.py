@@ -155,9 +155,10 @@ def build_edge_index_distributed(loops_df: DataFrame,
     """
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, row in pdf.iterrows():
-            pid = int(row["poly_id"])
-            loop = Loop(np.asarray(row["vertices"],
+        for pid, verts in zip(pdf["poly_id"].to_numpy(),
+                              pdf["vertices"].to_numpy()):
+            pid = int(pid)
+            loop = Loop(np.asarray(verts,
                                    dtype=np.float64).reshape(-1, 3))
             cr, er = _index_loop_rows(pid, loop, max_edges_per_cell,
                                       max_level, min_level)

@@ -59,12 +59,11 @@ def validate_loops(loops_df: DataFrame) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, row in pdf.iterrows():
-            v = np.asarray(row["vertices"],
-                           dtype=np.float64).reshape(-1, 3)
+        for pid, verts in zip(pdf["poly_id"].to_numpy(),
+                              pdf["vertices"].to_numpy()):
+            v = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
             err = _loop_error(v)
-            rows.append((int(row["poly_id"]), err is None,
-                         err or "ok"))
+            rows.append((int(pid), err is None, err or "ok"))
         return pd.DataFrame(rows, columns=["poly_id", "is_valid",
                                            "error"])
 
