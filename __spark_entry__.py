@@ -1267,6 +1267,7 @@ def _geometry_oracles() -> dict[str, str]:
         "chain_interp": chain_interp,
         "density_tree": density_sql,
         "winding_number": winding_sql,
+        "raster_cell_map": _raster_oracle(),
         "polygon_buffer": _buffer_oracle(),
         "loop_validation": _validation_oracle(),
         "track_snap": (
@@ -1281,6 +1282,100 @@ def _geometry_oracles() -> dict[str, str]:
             f"user_id ORDER BY ts, event_id) AS INTEGER) AS seq_out, "
             f"sc AS snap_cell FROM f"),
     }
+
+
+def _raster_oracle() -> str:
+    """SQL mirror of ops/raster.py's tangent-offset cell mapping —
+    every step is cross products / normalize / the quadratic uv->st
+    projection / the Hilbert encode: no trig, so each double op is
+    IEEE-identical to the NumPy kernel when written in the same
+    order (verified at sf0.01 and sf0.1)."""
+    from s2spark.ops import raster as _r
+    grid, extent, level = 4, 2e-4, 14
+    step = 2.0 * extent / grid
+    off = -extent + step / 2.0
+    _w = f"(256 + ({geo.mix_sql('id', 13)} % 768))"  # unused cols ok
+    _ph = (f"({geo.mix_sql('id', 11)} * 2147483647 "
+           f"+ {geo.mix_sql('id', 12)})")
+    img_base = f"(SELECT o_orderkey AS id, {_ph} AS phash FROM orders)"
+    img_geo = geo.geo_table_sql(img_base, "phash", ["id"],
+                                with_xyz=True)
+    sql = (
+        # grid fan-out + tangent offsets (literal arithmetic mirrors
+        # F.lit(off) + tx * F.lit(step))
+        f"SELECT id, x, y, z, tx, ty, "
+        f"({_f17(off)} + tx * {_f17(step)}) AS du, "
+        f"({_f17(off)} + ty * {_f17(step)}) AS dv "
+        f"FROM {img_geo}, (SELECT unnest(generate_series(0, {grid - 1}"
+        f")) AS tx), (SELECT unnest(generate_series(0, {grid - 1})) "
+        f"AS ty)")
+    # tangent basis: ref = (1,0,0) near poles else (0,0,1)
+    sql = (
+        f"SELECT id, x, y, z, du, dv, "
+        f"(CASE WHEN abs(z) >= 0.9 THEN 1.0 ELSE 0.0 END) AS rx, "
+        f"0.0 AS ry, "
+        f"(CASE WHEN abs(z) >= 0.9 THEN 0.0 ELSE 1.0 END) AS rz "
+        f"FROM ({sql})")
+    sql = (  # e1 = cross(c, ref)
+        f"SELECT id, x, y, z, du, dv, "
+        f"(y*rz - z*ry) AS ex, (z*rx - x*rz) AS ey, "
+        f"(x*ry - y*rx) AS ez FROM ({sql})")
+    sql = (f"SELECT *, sqrt(ex*ex + ey*ey + ez*ez) AS en "
+           f"FROM ({sql})")
+    sql = (f"SELECT id, x, y, z, du, dv, ex/en AS e1x, ey/en AS e1y, "
+           f"ez/en AS e1z FROM ({sql})")
+    sql = (  # e2 = cross(c, e1)
+        f"SELECT *, (y*e1z - z*e1y) AS e2x, (z*e1x - x*e1z) AS e2y, "
+        f"(x*e1y - y*e1x) AS e2z FROM ({sql})")
+    sql = (  # p = c + du*e1 + dv*e2, then normalize
+        f"SELECT id, ((x + du*e1x) + dv*e2x) AS px, "
+        f"((y + du*e1y) + dv*e2y) AS py, "
+        f"((z + du*e1z) + dv*e2z) AS pz FROM ({sql})")
+    sql = (f"SELECT id, px, py, pz, "
+           f"sqrt(px*px + py*py + pz*pz) AS pn FROM ({sql})")
+    sql = (f"SELECT id, px/pn AS px, py/pn AS py, pz/pn AS pz "
+           f"FROM ({sql})")
+    # face = largest-|component| axis (+3 if negative), kernel order
+    sql = (
+        f"SELECT id, px, py, pz, "
+        f"(CASE WHEN abs(px) > abs(py) THEN "
+        f"(CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END) ELSE "
+        f"(CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END) AS ax "
+        f"FROM ({sql})")
+    sql = (
+        f"SELECT id, px, py, pz, "
+        f"(CASE WHEN (CASE ax WHEN 0 THEN px WHEN 1 THEN py "
+        f"ELSE pz END) < 0.0 THEN ax + 3 ELSE ax END) AS face "
+        f"FROM ({sql})")
+    u = ("(CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py "
+         "WHEN 2 THEN -px/pz WHEN 3 THEN pz/px WHEN 4 THEN pz/py "
+         "ELSE -py/pz END)")
+    v = ("(CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py "
+         "WHEN 2 THEN -py/pz WHEN 3 THEN py/px WHEN 4 THEN -px/py "
+         "ELSE -px/pz END)")
+    sql = f"SELECT id, face, {u} AS u, {v} AS v FROM ({sql})"
+
+    def uv2st(c):
+        return (f"(CASE WHEN {c} >= 0.0 THEN "
+                f"0.5*sqrt(GREATEST(1.0 + 3.0*{c}, 0.0)) "
+                f"ELSE 1.0 - 0.5*sqrt(GREATEST(1.0 - 3.0*{c}, 0.0)) "
+                f"END)")
+
+    lim = 1 << 30
+    sql = (f"SELECT id, face, {uv2st('u')} AS s, {uv2st('v')} AS t "
+           f"FROM ({sql})")
+    sql = (
+        f"SELECT id, face, "
+        f"LEAST(GREATEST(CAST(trunc({float(lim)} * s) AS BIGINT), 0), "
+        f"{lim - 1}) AS i, "
+        f"LEAST(GREATEST(CAST(trunc({float(lim)} * t) AS BIGINT), 0), "
+        f"{lim - 1}) AS j FROM ({sql})")
+    enc = geo.encode_table_sql(f"({sql})", ["id"])
+    return (
+        f"SELECT {geo.parent_sql('cell', level)} AS rcell, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_tiles, "
+        f"CAST(COUNT(DISTINCT id) AS BIGINT) AS n_images "
+        f"FROM {enc} GROUP BY 1")
 
 
 def _validation_oracle() -> str:

@@ -294,6 +294,30 @@ def parent_sql(cell: str, level: int) -> str:
     return f"((({cell}) & {-lsb}) | {lsb})"
 
 
+def encode_table_sql(table: str, keep: list[str]) -> str:
+    """Derived-table SQL running the Hilbert ENCODE over an input
+    relation that already provides integer `face, i, j` columns ->
+    (keep..., cell).  Same chained-SELECT structure as geo_table_sql
+    (the 1024-entry lookup literal appears once; arithmetic identical
+    to the NumPy kernel, so results are bit-exact)."""
+    k = ", ".join(keep)
+    cur = (f"SELECT {k}, face, i, j, {_LOOKUP_POS_LIST} AS lt "
+           f"FROM {table}")
+    cur = (f"SELECT {k}, face, i, j, lt, (face::BIGINT << 60) AS n, "
+           f"(face & 1)::BIGINT AS bits FROM ({cur})")
+    for r in range(7, -1, -1):
+        idx = (f"(bits + (((i >> {4 * r}) & 15) << 6)"
+               f" + (((j >> {4 * r}) & 15) << 2))")
+        val = f"((lt[{idx} + 1])::BIGINT)"
+        cur = (f"SELECT {k}, face, i, j, lt, "
+               f"(n | (({val} >> 2) << {8 * r})) AS n, "
+               f"({val} & 3) AS bits FROM ({cur})")
+    half = 1 << 62
+    cell = (f"(CASE WHEN n >= {half} THEN (n - {half} - {half}) * 2 + 1 "
+            f"ELSE n * 2 + 1 END)")
+    return f"(SELECT {k}, {cell} AS cell FROM ({cur}))"
+
+
 def geo_table_sql(table: str, key_sql: str, keep: list[str],
                   with_xyz: bool = True) -> str:
     """Compact oracle emitter: a derived-table SQL string computing
