@@ -573,31 +573,67 @@ def q_track_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
                            SNAP_LEVEL)
 
 
+N_TRACKS = 16
+TRACK_LEN = 40
+SIMPLIFY_TOL = 0.05
+
+
+def _synth_tracks_pdf():
+    """Deterministic SMOOTH tracks (so simplification has work to
+    do): per entity, a cumulative mix-derived lat/lng walk with
+    ~0.6-degree steps — shared verbatim by the Spark queries and the
+    materialized oracles."""
+    import numpy as np
+    import pandas as pd
+
+    from s2spark.kernels import coords
+    ent = np.repeat(np.arange(N_TRACKS, dtype=np.int64), TRACK_LEN)
+    seq = np.tile(np.arange(TRACK_LEN, dtype=np.int64), N_TRACKS)
+    keys = ent * 100000 + seq
+    dlat = ((geo.mix_np(keys, 61) % 1000).astype(np.float64)
+            / 1000.0 - 0.5) * 1.2
+    dlng = ((geo.mix_np(keys, 62) % 1000).astype(np.float64)
+            / 1000.0 - 0.5) * 1.2
+    lat = np.concatenate([np.cumsum(dlat[ent == e]) for e in
+                          range(N_TRACKS)])
+    lng = np.concatenate([np.cumsum(dlng[ent == e]) for e in
+                          range(N_TRACKS)])
+    # anchor each track at a mix-derived start
+    lat0 = ((geo.mix_np(np.arange(N_TRACKS, dtype=np.int64), 63)
+             % 120).astype(np.float64) - 60.0)
+    lng0 = ((geo.mix_np(np.arange(N_TRACKS, dtype=np.int64), 64)
+             % 360).astype(np.float64) - 180.0)
+    lat = np.clip(lat + np.repeat(lat0, TRACK_LEN), -89.0, 89.0)
+    lng = lng + np.repeat(lng0, TRACK_LEN)
+    xs, ys, zs = coords.latlng_to_xyz(lat, lng)
+    return pd.DataFrame({"user_id": ent, "ts": seq,
+                         "x": xs, "y": ys, "z": zs})
+
+
 def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user track compression (S2Polyline::SubsampleVertices,
-    s2polyline.cc:560-655).  Rows-only: the greedy tangent-wedge scan
-    is not SQL-expressible; semantics are pinned by the reference's
-    own fixture table in tests/test_simplify.py."""
-    ev = dataset.geotagged_events(spark, sf_dir) \
-        .where(F.col("user_id") % 10 == 0) \
-        .select("user_id", "ts", "event_id", "x", "y", "z")
-    return measures.simplify_track(ev, "user_id", ["ts", "event_id"],
-                                   tolerance_rad=0.02) \
+    """Per-track compression (S2Polyline::SubsampleVertices,
+    s2polyline.cc:560-655) over the fixed synthetic tracks.  The
+    greedy tangent-wedge scan is not SQL-expressible — the oracle
+    materializes the driver-side kernel (plumbing check); the scan
+    itself is pinned by the reference's fixture table in
+    tests/test_simplify.py."""
+    df = spark.createDataFrame(_synth_tracks_pdf())
+    return measures.simplify_track(df, "user_id", ["ts"],
+                                   tolerance_rad=SIMPLIFY_TOL) \
         .select("user_id", F.col("kept_seq").cast("int")
                 .alias("kept_seq"))
 
 
 def q_track_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise trajectory similarity by exact DTW alignment cost
-    (S2PolylineAlignment, s2polyline_alignment.h:16-27).  Rows-only:
-    the DP recurrence is not ANSI-SQL-expressible; correctness is
-    pinned against the brute-force DP in tests/test_simplify.py."""
-    ev = dataset.geotagged_events(spark, sf_dir) \
-        .where(F.col("user_id") <= 8) \
-        .select("user_id", "ts", "event_id", "x", "y", "z")
-    pairs = [(a, b) for a in range(9) for b in range(a + 1, 9)]
-    return measures.track_alignment(ev, "user_id",
-                                    ["ts", "event_id"], pairs)
+    (S2PolylineAlignment, s2polyline_alignment.h:16-27) over the
+    fixed synthetic tracks.  The DP recurrence is not ANSI-SQL-
+    expressible — materialized-kernel oracle (doubles are identical:
+    the workers run the same DP); brute-force DP equality is pinned
+    in tests/test_simplify.py."""
+    df = spark.createDataFrame(_synth_tracks_pdf())
+    pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    return measures.track_alignment(df, "user_id", ["ts"], pairs)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1270,6 +1306,8 @@ def _geometry_oracles() -> dict[str, str]:
         "raster_cell_map": _raster_oracle(),
         "polygon_buffer": _buffer_oracle(),
         "loop_validation": _validation_oracle(),
+        "track_simplify": _track_simplify_oracle(),
+        "track_dtw": _track_dtw_oracle(),
         "track_snap": (
             f"WITH t AS (SELECT user_id, ts, event_id, "
             f"{geo.parent_sql('cell', SNAP_LEVEL)} AS sc FROM "
@@ -1376,6 +1414,43 @@ def _raster_oracle() -> str:
         f"CAST(COUNT(*) AS BIGINT) AS n_tiles, "
         f"CAST(COUNT(DISTINCT id) AS BIGINT) AS n_images "
         f"FROM {enc} GROUP BY 1")
+
+
+def _track_simplify_oracle() -> str:
+    """Materialized kernel rows for the fixed synthetic tracks."""
+    import numpy as np
+
+    from s2spark.kernels.simplify import subsample_vertices
+    pdf = _synth_tracks_pdf()
+    rows = []
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts", ignore_index=True)
+        v = grp[["x", "y", "z"]].to_numpy(np.float64)
+        for k in subsample_vertices(v, SIMPLIFY_TOL):
+            rows.append(f"({int(uid)}, {k})")
+    return ("SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(kept_seq AS INTEGER) AS kept_seq FROM (VALUES "
+            + ", ".join(rows) + ") AS _t(user_id, kept_seq)")
+
+
+def _track_dtw_oracle() -> str:
+    """Materialized kernel DTW costs (same doubles: workers run the
+    identical DP)."""
+    import numpy as np
+
+    from s2spark.kernels.simplify import dtw_cost
+    pdf = _synth_tracks_pdf()
+    tracks = {int(uid): grp.sort_values("ts")[["x", "y", "z"]]
+              .to_numpy(np.float64)
+              for uid, grp in pdf.groupby("user_id")}
+    rows = []
+    for a in range(8):
+        for b in range(a + 1, 8):
+            rows.append(f"({a}, {b}, "
+                        f"{_f17(dtw_cost(tracks[a], tracks[b]))})")
+    return ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS "
+            "BIGINT) AS id_b, dtw_cost FROM (VALUES "
+            + ", ".join(rows) + ") AS _d(id_a, id_b, dtw_cost)")
 
 
 def _validation_oracle() -> str:
