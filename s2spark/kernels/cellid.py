@@ -207,6 +207,37 @@ def intersects(a, b) -> np.ndarray:
 _WRAP_OFFSET = _U(NUM_FACES) << _U(POS_BITS)  # kWrapOffset (s2cell_id.cc:125)
 
 
+def _expand_endpoint(u: float, max_v: float, sin_dist: float) -> float:
+    """Shift a u-coordinate so the line u=u' sits exactly sin_dist
+    from the edge (u,v0)-(u,v1) (s2cell_id.cc:436-444)."""
+    import math
+    sin_u_shift = sin_dist * math.sqrt((1 + u * u + max_v * max_v)
+                                       / (1 + u * u))
+    cos_u_shift = math.sqrt(1 - sin_u_shift * sin_u_shift)
+    return ((cos_u_shift * u + sin_u_shift)
+            / (cos_u_shift - sin_u_shift * u))
+
+
+def expanded_by_distance_uv(uv: tuple, distance_rad: float) -> tuple:
+    """Expand a face uv-rect ((u0,u1),(v0,v1)) so it includes all
+    points within `distance_rad` of it on the sphere (negative
+    distance shrinks) — S2CellId::ExpandedByDistanceUV
+    (s2cell_id.cc:446-468).  Returns the new ((u0,u1),(v0,v1)); a
+    shrink past empty collapses to the first corner."""
+    import math
+    (u0, u1), (v0, v1) = uv
+    max_u = max(abs(u0), abs(u1))
+    max_v = max(abs(v0), abs(v1))
+    sin_dist = math.sin(distance_rad)
+    xi = (_expand_endpoint(u0, max_v, -sin_dist),
+          _expand_endpoint(u1, max_v, sin_dist))
+    yi = (_expand_endpoint(v0, max_u, -sin_dist),
+          _expand_endpoint(v1, max_u, sin_dist))
+    if xi[0] > xi[1] or yi[0] > yi[1]:
+        return ((u0, u0), (v0, v0))
+    return (xi, yi)
+
+
 def advance(ids, n) -> np.ndarray:
     """Advance n positions along the Hilbert curve at the cell's own
     level, CLAMPED so the result stays within [Begin(level), End(level)]

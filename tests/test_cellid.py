@@ -288,3 +288,76 @@ class TestMaximumTile:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_expanded_by_distance_uv():
+    """Mirror of the reference's randomized guarantee test
+    (s2cell_id_test.cc:700-744): expansion contains everything within
+    `distance` of the rect; shrink excludes the collar."""
+    import math
+
+    import numpy as np
+
+    from s2spark.kernels import cellid as ci
+    from s2spark.kernels.region import Cell
+
+    rng = np.random.default_rng(23)
+    for _ in range(25):
+        # random cell's uv bound on a random face
+        leaf = int(ci.as_i64(ci.parent(
+            np.array([(rng.integers(0, 6) << 61) | (1 << 60)],
+                     dtype=np.uint64),
+            np.int64(int(rng.integers(0, 10)))))[0])
+        c = Cell(leaf)
+        bound = ((c.u_lo, c.u_hi), (c.v_lo, c.v_hi))
+        dist = math.radians(rng.uniform(0.1, 10.0))
+        grown = ci.expanded_by_distance_uv(bound, dist)
+        shrunk = ci.expanded_by_distance_uv(bound, -dist)
+
+        def contains(rect, u, v):
+            return (rect[0][0] <= u <= rect[0][1]
+                    and rect[1][0] <= v <= rect[1][1])
+
+        def closest_on_boundary(u, v, rect):
+            """Nearest uv point on the rect BOUNDARY (reference's
+            ProjectToBoundary: interior points project to the nearest
+            edge, exterior points clamp)."""
+            (a0, a1), (b0, b1) = rect
+            cu = min(max(u, a0), a1)
+            cv = min(max(v, b0), b1)
+            if (cu, cv) != (u, v):
+                return cu, cv
+            cands = [(a0, cv), (a1, cv), (cu, b0), (cu, b1)]
+            return min(cands,
+                       key=lambda t: (t[0] - u) ** 2 + (t[1] - v) ** 2)
+
+        from s2spark.kernels import coords
+        for _ in range(60):
+            # sample uv near the rect, measure spherical distance to it
+            u = rng.uniform(bound[0][0] - 0.8, bound[0][1] + 0.8)
+            v = rng.uniform(bound[1][0] - 0.8, bound[1][1] + 0.8)
+            cu, cv = closest_on_boundary(u, v, bound)
+            f = np.full(1, c.face, dtype=np.int64)
+            px, py, pz = coords.face_uv_to_xyz(f, np.array([u]),
+                                               np.array([v]))
+            qx, qy, qz = coords.face_uv_to_xyz(f, np.array([cu]),
+                                               np.array([cv]))
+            p = np.array([px[0], py[0], pz[0]])
+            q = np.array([qx[0], qy[0], qz[0]])
+            p /= np.linalg.norm(p)
+            q /= np.linalg.norm(q)
+            ang = math.atan2(float(np.linalg.norm(np.cross(p, q))),
+                             float(np.dot(p, q)))
+            # growth guarantee: everything in the rect or within
+            # `dist` of it lands inside the expanded rect
+            if contains(bound, u, v) or ang < dist * 0.999:
+                assert contains(grown, u, v), (u, v, ang, dist)
+            # shrink guarantee: points within `dist` of the boundary
+            # are excluded from the shrunk rect
+            if ang < dist * 0.999:
+                assert not contains(shrunk, u, v), (u, v, ang, dist)
+        # a shrink never grows
+        assert shrunk[0][0] >= bound[0][0] - 1e-15
+        assert shrunk[0][1] <= bound[0][1] + 1e-15
+        assert shrunk[1][0] >= bound[1][0] - 1e-15
+        assert shrunk[1][1] <= bound[1][1] + 1e-15
