@@ -1,0 +1,344 @@
+"""S2Builder snap-rounding MVP + exact boolean output GEOMETRY.
+
+The reference assembles output polygons from edge soups via a
+snap-rounding graph (s2builder.h:30-61, s2builder_graph.h) and layers
+(s2builderutil_s2polygon_layer.h); S2BooleanOperation rides on it to
+emit the actual vertex chains of A∩B / A∪B / A−B / AΔB
+(s2boolean_operation.h:16-60).  This module re-derives the same
+*semantics* with a compact arrangement-tracing formulation:
+
+1. **Crossing subdivision** — every edge of A is split at its interior
+   crossings with edges of B (and vice versa), using the robust
+   CrossingSign ladder (kernels/predicates.py) and the exact-escalating
+   GetIntersection (kernels/edges.edge_intersection).  Each crossing
+   point is computed ONCE per edge pair and inserted into both chains,
+   so the two sides share bit-identical vertices.
+2. **Edge classification** — a sub-edge's midpoint is strictly inside
+   or outside the other region (crossing parity, multi-loop even/odd);
+   the per-op keep/reverse table is the reference's boundary algebra:
+     intersection:  A-edges in B,   B-edges in A
+     union:         A-edges out B,  B-edges out A
+     difference:    A-edges out B,  B-edges in A REVERSED
+     symmetric_difference: every edge; reversed when inside the other
+3. **Snap rounding** — vertices map to snap SITES (CellIdSnapFunction:
+   center of the level-L cell, like the reference's
+   s2builderutil::S2CellIdSnapFunction; IdentitySnapFunction keeps the
+   exact doubles).  Edges whose endpoints snap together collapse;
+   duplicate directed edges dedupe; sibling pairs (u→v and v→u)
+   cancel — the degenerate-edge handling of the polygon layer.
+4. **Stitching** — walk the directed-edge graph keeping the interior on
+   the LEFT: at a degree>2 site the successor of (q→p) is the outgoing
+   edge with the minimum CLOCKWISE tangent-plane angle from the
+   reversed incoming direction (the face-tracing rule of a DCEL).
+   Chains are canonically rotated (lexicographically smallest site
+   first) and ordered, so output is deterministic.
+
+Exactness: for inputs whose crossings are transverse (or meet at
+shared vertices), the output chains consist of input vertices and
+computed crossing points only, and equal the reference's published
+result loops bit-for-bit on the s2loop_test.cc:186-198 diamond pair
+(tests/test_builder.py).  Out of MVP scope (documented): overlapping
+collinear boundary segments, inverted (full-sphere-complement) loops,
+and snap levels coarse enough to create NEW crossings between snapped
+edges (the reference iterates snap rounding until stable; callers here
+must pick snap_level fine relative to the geometry — validated by
+tests via loop_validation on the outputs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import cellid, predicates
+from .edges import edge_intersection
+from .loops import Loop
+
+OPS = ("intersection", "union", "difference", "symmetric_difference")
+
+
+# ---------------------------------------------------------------------------
+# snap functions (s2builder.h:30-61 snap-function contract)
+
+class IdentitySnapFunction:
+    """No-op snap: sites are the exact input doubles (keyed by their
+    IEEE bytes, so shared crossing points unify exactly)."""
+
+    def site_key(self, p: np.ndarray):
+        return (float(p[0]), float(p[1]), float(p[2]))
+
+    def site_point(self, key, p: np.ndarray) -> np.ndarray:
+        return np.asarray(p, dtype=np.float64)
+
+
+class CellIdSnapFunction:
+    """Snap to level-L cell centers (s2builderutil S2CellIdSnapFunction
+    semantics): the site key is the level-L cell id holding the point,
+    the site point is that cell's center."""
+
+    def __init__(self, level: int):
+        self.level = int(level)
+
+    def site_key(self, p: np.ndarray):
+        leaf = cellid.from_xyz(np.array([p[0]]), np.array([p[1]]),
+                               np.array([p[2]]))
+        return int(cellid.parent(leaf, self.level)[0])
+
+    def site_point(self, key, p: np.ndarray) -> np.ndarray:
+        from .region import Cell
+        return np.asarray(Cell(int(key)).get_center(), dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# crossing subdivision
+
+def _parity_contains(loops: list[Loop], points: np.ndarray) -> np.ndarray:
+    """Multi-loop even/odd containment (s2polygon.h:116-259 parity)."""
+    acc = np.zeros(points.shape[0], dtype=np.int64)
+    for lp in loops:
+        acc += lp.contains_points(points)
+    return (acc % 2) == 1
+
+
+def _loop_edges(loops: list[Loop]) -> list[tuple[np.ndarray, np.ndarray]]:
+    out = []
+    for lp in loops:
+        v = lp.vertices
+        w = np.roll(v, -1, axis=0)
+        out.extend((v[i], w[i]) for i in range(v.shape[0]))
+    return out
+
+
+def _edge_param(a0: np.ndarray, a1: np.ndarray, x: np.ndarray) -> float:
+    """Angle of x along the geodesic a0→a1 (0 at a0), used only to
+    ORDER crossing points along an edge."""
+    e2 = a1 - float(np.dot(a1, a0)) * a0
+    n = float(np.linalg.norm(e2))
+    if n == 0.0:
+        return 0.0
+    e2 /= n
+    return math.atan2(float(np.dot(x, e2)), float(np.dot(x, a0)))
+
+
+def subdivide_at_crossings(
+        ea: list[tuple[np.ndarray, np.ndarray]],
+        eb: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[list[tuple[np.ndarray, np.ndarray]],
+           list[tuple[np.ndarray, np.ndarray]]]:
+    """Split every edge of each side at its interior crossings with the
+    other side.  Vectorized CrossingSign over the full pair set; the
+    (few) crossing pairs get one exact GetIntersection each, and the
+    SAME point object lands in both sides' splits."""
+    na, nb = len(ea), len(eb)
+    if na == 0 or nb == 0:
+        return list(ea), list(eb)
+    a0 = np.repeat(np.array([e[0] for e in ea]), nb, axis=0)
+    a1 = np.repeat(np.array([e[1] for e in ea]), nb, axis=0)
+    b0 = np.tile(np.array([e[0] for e in eb]), (na, 1))
+    b1 = np.tile(np.array([e[1] for e in eb]), (na, 1))
+    cs = predicates.crossing_sign(a0, a1, b0, b1).reshape(na, nb)
+    splits_a: list[list] = [[] for _ in range(na)]
+    splits_b: list[list] = [[] for _ in range(nb)]
+    for i, j in zip(*np.nonzero(cs > 0)):
+        x = edge_intersection(ea[i][0], ea[i][1], eb[j][0], eb[j][1])
+        splits_a[int(i)].append(x)
+        splits_b[int(j)].append(x)
+
+    def apply(edges, splits):
+        out = []
+        for (p0, p1), xs in zip(edges, splits):
+            if not xs:
+                out.append((p0, p1))
+                continue
+            xs = sorted(xs, key=lambda x: _edge_param(p0, p1, x))
+            chain = [p0, *xs, p1]
+            out.extend((chain[k], chain[k + 1])
+                       for k in range(len(chain) - 1))
+        return out
+
+    return apply(ea, splits_a), apply(eb, splits_b)
+
+
+# ---------------------------------------------------------------------------
+# classification
+
+def _keep_rule(op: str, side: str, inside_other: bool):
+    """-> None (drop) | +1 (keep) | -1 (keep reversed)."""
+    if op == "intersection":
+        return 1 if inside_other else None
+    if op == "union":
+        return None if inside_other else 1
+    if op == "difference":
+        if side == "a":
+            return None if inside_other else 1
+        return -1 if inside_other else None
+    if op == "symmetric_difference":
+        return -1 if inside_other else 1
+    raise ValueError(op)
+
+
+def classify_edges(subs: list[tuple[np.ndarray, np.ndarray]],
+                   other: list[Loop], side: str, op: str
+                   ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Keep/reverse sub-edges of one side per the op's boundary
+    algebra; midpoint = normalized chord midpoint (sub-edges are
+    never antipodal for valid inputs)."""
+    if not subs:
+        return []
+    mids = np.array([s[0] + s[1] for s in subs], dtype=np.float64)
+    mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+    inside = _parity_contains(other, mids)
+    out = []
+    for (p0, p1), ins in zip(subs, inside):
+        r = _keep_rule(op, side, bool(ins))
+        if r == 1:
+            out.append((p0, p1))
+        elif r == -1:
+            out.append((p1, p0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# graph assembly + stitching
+
+def _tangent_angles(p: np.ndarray, targets: list[np.ndarray]) -> list[float]:
+    """CCW tangent-plane bearings (viewed from outside the sphere) of
+    each target direction at site p."""
+    ref = np.array([0.0, 0.0, 1.0]) if abs(p[2]) < 0.9 \
+        else np.array([1.0, 0.0, 0.0])
+    e1 = np.cross(ref, p)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(p, e1)
+    out = []
+    for t in targets:
+        d = t - float(np.dot(t, p)) * p
+        out.append(math.atan2(float(np.dot(d, e2)), float(np.dot(d, e1))))
+    return out
+
+
+def stitch_loops(edges: list[tuple], sites: dict) -> list[list]:
+    """Assemble directed site-key edges into closed chains, interior on
+    the left: successor of (q→p) = outgoing edge at p with the minimum
+    clockwise angle from the reverse-incoming direction (DCEL face
+    tracing).  Deterministic: edges consumed in sorted order.
+    Returns loops as lists of site keys, canonically rotated/ordered."""
+    from collections import defaultdict
+    adj: dict = defaultdict(list)
+    for u, v in sorted(edges):
+        adj[u].append(v)
+    for u in adj:
+        adj[u].sort()
+    loops = []
+    for u0, v0 in sorted(edges):
+        if u0 not in adj or v0 not in adj[u0]:
+            continue  # already consumed
+        adj[u0].remove(v0)
+        chain = [u0]
+        prev, cur = u0, v0
+        for _ in range(len(edges) + 1):
+            if cur == u0:
+                break
+            chain.append(cur)
+            outs = adj.get(cur, [])
+            if not outs:
+                chain = None  # dangling — degenerate input
+                break
+            if len(outs) == 1:
+                nxt = outs[0]
+            else:
+                p = sites[cur]
+                angs = _tangent_angles(
+                    p, [sites[prev]] + [sites[k] for k in outs])
+                back = angs[0]
+                best, nxt = None, None
+                for k, ang in zip(outs, angs[1:]):
+                    cw = (back - ang) % (2.0 * math.pi)
+                    if cw < 1e-15:
+                        cw = 2.0 * math.pi  # don't immediately backtrack
+                    if best is None or cw < best:
+                        best, nxt = cw, k
+            adj[cur].remove(nxt)
+            prev, cur = cur, nxt
+        else:
+            chain = None
+        if chain and len(chain) >= 3:
+            k = chain.index(min(chain))
+            loops.append(chain[k:] + chain[:k])
+    loops.sort(key=lambda c: c[0])
+    return loops
+
+
+def build_loops(kept: list[tuple[np.ndarray, np.ndarray]],
+                snap=None) -> list[np.ndarray]:
+    """Snap + dedupe + sibling-cancel + stitch -> list of (k,3) vertex
+    arrays (snapped site points)."""
+    if snap is None:
+        snap = IdentitySnapFunction()
+    sites: dict = {}
+    seen: dict = {}
+    for p0, p1 in kept:
+        k0, k1 = snap.site_key(p0), snap.site_key(p1)
+        if k0 == k1:
+            continue  # edge collapsed by snapping
+        sites.setdefault(k0, snap.site_point(k0, p0))
+        sites.setdefault(k1, snap.site_point(k1, p1))
+        seen[(k0, k1)] = seen.get((k0, k1), 0) + 1
+    # dedupe duplicates (multiplicity -> 1), cancel sibling pairs
+    # (degenerate-edge layer semantics: an edge plus its reverse
+    # bounds zero area and is discarded)
+    edges = [(u, v) for (u, v) in sorted(seen)
+             if (v, u) not in seen]
+    chains = stitch_loops(edges, sites)
+    return [np.array([sites[k] for k in chain], dtype=np.float64)
+            for chain in chains]
+
+
+# ---------------------------------------------------------------------------
+# the boolean operation
+
+def overlay_geometry(a_loops: list[Loop] | Loop,
+                     b_loops: list[Loop] | Loop, op: str,
+                     snap=None) -> list[np.ndarray]:
+    """Exact boolean output geometry: vertex chains of op(A, B) for
+    two even/odd multi-loop regions (S2BooleanOperation semantics,
+    s2boolean_operation.h:16-60).  Returns a list of (k,3) loops —
+    shells CCW, holes CW (parity interpretation, as S2Polygon's loop
+    nesting)."""
+    if isinstance(a_loops, Loop):
+        a_loops = [a_loops]
+    if isinstance(b_loops, Loop):
+        b_loops = [b_loops]
+    if op not in OPS:
+        raise ValueError(op)
+    ea = _loop_edges(a_loops)
+    eb = _loop_edges(b_loops)
+    sa, sb = subdivide_at_crossings(ea, eb)
+    kept = (classify_edges(sa, b_loops, "a", op)
+            + classify_edges(sb, a_loops, "b", op))
+    return build_loops(kept, snap=snap)
+
+
+class ResultRegion:
+    """Even/odd multi-loop region over output chains — duck-typed for
+    classify_loop / RegionCoverer (edge_intersects_cell + contains),
+    so exact interior leaf counts of ∪/Δ come from classifying cells
+    against the OUTPUT geometry (closing the conservative band of
+    kernels/boolean.py)."""
+
+    def __init__(self, chains: list[np.ndarray]):
+        self.loops = [Loop(c) for c in chains]
+
+    def edge_intersects_cell(self, cell) -> np.ndarray:
+        return np.concatenate(
+            [lp.edge_intersects_cell(cell) for lp in self.loops]) \
+            if self.loops else np.zeros(0, dtype=bool)
+
+    def contains_points(self, points: np.ndarray) -> np.ndarray:
+        if not self.loops:
+            return np.zeros(np.asarray(points).shape[0], dtype=bool)
+        return _parity_contains(self.loops, np.asarray(points,
+                                                      dtype=np.float64))
+
+    def contains_point(self, p) -> bool:
+        return bool(self.contains_points(np.asarray([p]))[0])
