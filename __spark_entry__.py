@@ -212,12 +212,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both frames carry (id, cell_id, x, y, z) so hausdorff2's size
+    # dispatch can choose the kNN path when B outgrows a broadcast
+    # (supplier is a small dim at every test SF -> broadcast regime)
     cu = dataset.geotagged_customers(spark, sf_dir) \
-        .select("c_custkey", "x", "y", "z")
+        .select("c_custkey", "cell_id", "x", "y", "z")
     su = dataset.geotag(dataset.load(spark, sf_dir, "supplier"),
                         "s_suppkey", "supplier") \
-        .select("s_suppkey", "x", "y", "z")
-    return measures.hausdorff2(cu, su, "c_custkey")
+        .select("s_suppkey", "cell_id", "x", "y", "z")
+    return measures.hausdorff2(cu, su, "c_custkey",
+                               b_id="s_suppkey")
 
 
 def q_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +466,26 @@ def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "boundary_cells")
 
 
+GEOM_SNAP_LEVEL = 14
+
+
+def q_polygon_overlay_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT boolean output geometry (S2Builder snap-rounding MVP,
+    kernels/builder.py; s2boolean_operation.h:16-60, s2builder.h:30-61):
+    per (pair, op) the snap-rounded output vertex chains as
+    (loop_idx, seq, site_cell) rows — site_cell is the level-14 snap
+    site, an integer, so the oracle value-hash is tri-dialect safe.
+    Chains are pinned bit-exact against the reference's published
+    result loops in tests/test_builder.py; the oracle materializes the
+    driver-side kernel rows."""
+    from s2spark.ops import boolean as bops
+    from s2spark.ops import pip
+    la = pip.synth_loops(N_OVERLAY_PAIRS)
+    lb = pip.synth_loops(N_OVERLAY_PAIRS, shift_u=OVERLAY_SHIFT)
+    return bops.polygon_overlay_geom(spark, la, lb,
+                                     snap_level=GEOM_SNAP_LEVEL)
+
+
 DENSITY_THRESHOLD = 64
 DENSITY_MAX_LEVEL = 6
 BUFFER_RADIUS = 0.04
@@ -675,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
         "polygon_overlay": q_polygon_overlay,
+        "polygon_overlay_geom": q_polygon_overlay_geom,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -1299,6 +1324,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_pip": poly_sql,
         "region_covering": covering,
         "polygon_overlay": overlay,
+        "polygon_overlay_geom": _overlay_geom_oracle(),
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
@@ -1489,6 +1515,36 @@ def _buffer_oracle() -> str:
             "CAST(b AS BIGINT) AS interior_cells, "
             "CAST(c AS BIGINT) AS band_cells FROM (VALUES "
             + ", ".join(rows) + ") AS _b(loop_id, a, b, c)")
+
+
+def _overlay_geom_oracle() -> str:
+    """Driver-kernel materialized expected vertex-chain rows for
+    polygon_overlay_geom (chains pinned against the reference's
+    published result loops in tests/test_builder.py)."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    from s2spark.ops import pip as _pip
+    la = _pip.synth_loops(N_OVERLAY_PAIRS)
+    lb = _pip.synth_loops(N_OVERLAY_PAIRS, shift_u=OVERLAY_SHIFT)
+    snap = _bld.CellIdSnapFunction(GEOM_SNAP_LEVEL)
+    rows = []
+    for pid in range(N_OVERLAY_PAIRS):
+        for op in _bld.OPS:
+            for li, chain in enumerate(_bld.overlay_geometry(
+                    la[pid], lb[pid], op, snap=snap)):
+                cells = _ck.as_i64(_ck.parent(
+                    _ck.from_xyz(chain[:, 0], chain[:, 1], chain[:, 2]),
+                    GEOM_SNAP_LEVEL))
+                rows.extend(f"({pid}, {pid}, '{op}', {li}, {s}, "
+                            f"{int(c)})"
+                            for s, c in enumerate(cells))
+    return ("SELECT CAST(a_id AS BIGINT) AS a_id, "
+            "CAST(b_id AS BIGINT) AS b_id, op, "
+            "CAST(loop_idx AS INTEGER) AS loop_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _g(a_id, b_id, op, loop_idx, seq, site_cell)")
 
 
 def oracle_sql() -> dict[str, str]:

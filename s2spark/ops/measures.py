@@ -23,11 +23,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .. import functions as s2f
 
 
-def hausdorff2(a: DataFrame, b: DataFrame, a_id: str) -> DataFrame:
-    """Directed Hausdorff² from A to B, broadcast inner min.
-    a/b: (id, x, y, z).  The B side broadcasts — right when B is a
-    small dim; for two LARGE sets use hausdorff2_knn (identical
-    values: min/max of doubles has no accumulation order)."""
+BRUTE_HAUSDORFF_THRESHOLD = 100_000
+
+
+def hausdorff2(a: DataFrame, b: DataFrame, a_id: str,
+               b_id: str | None = None, n_b: int | None = None,
+               brute_threshold: int = BRUTE_HAUSDORFF_THRESHOLD
+               ) -> DataFrame:
+    """Directed Hausdorff² from A to B with SIZE DISPATCH (the
+    brute-below-threshold regime of ops/edges.py:127): when B fits a
+    broadcast (n_b <= brute_threshold) the inner min is one broadcast
+    sweep; above it — and when b_id names B's key so rows are
+    identifiable — the k=1 expanding-ring kNN join takes over (both
+    frames then need (id, cell_id, x, y, z)).  The two plans are
+    bit-identical: min/max of doubles has no accumulation order."""
+    if n_b is None:
+        n_b = b.count()
+    if b_id is not None and n_b > brute_threshold:
+        return hausdorff2_knn(a, b, a_id, b_id, n_b=n_b)
     bb = F.broadcast(b.select(F.col("x").alias("_bx"),
                               F.col("y").alias("_by"),
                               F.col("z").alias("_bz")))

@@ -222,7 +222,9 @@ def ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
 
 
-def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_groups(pairs: DataFrame, max_iters: int = 20,
+                 check_every: int = 2,
+                 stats: dict | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs -> dedup groups:
     (doc_id, group_id, group_size) where group_id is the component's
     minimum doc id (the canonical representative).
@@ -231,9 +233,13 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     training-data dedup at scale: each round is one equi-join + one
     map-side-combinable min aggregation over the (small) node frame;
     rounds = O(component diameter), with an eager checkpoint per round
-    so lineage stays flat.  Convergence is detected by a changed-label
-    count (a driver action per round — inherent to iterative
-    algorithms; the frame it scans is |nodes|, not |corpus|).
+    so lineage stays flat.  Convergence (a changed-label count — a
+    driver job barrier) is probed only every `check_every` rounds
+    (VERDICT r2 #4): labels are monotone non-increasing, so a
+    converged state stays converged and the probe can lag at the cost
+    of <= check_every-1 extra (cheap) propagation rounds while halving
+    the number of full-job barriers.  `stats`, when given, receives
+    {"rounds", "convergence_checks"} for tests/telemetry.
     """
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
@@ -244,7 +250,8 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iters):
+    rounds = checks = 0
+    for it in range(max_iters):
         prop = (edges.join(labels,
                            edges["src"] == labels["doc_id"])
                 .select(F.col("dst").alias("doc_id"), "label"))
@@ -253,12 +260,22 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                       .groupBy("doc_id")
                       .agg(F.min("label").alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.join(
-            labels.withColumnRenamed("label", "_old"), "doc_id")
-            .where(F.col("label") != F.col("_old")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        rounds += 1
+        probe = ((it + 1) % max(1, check_every) == 0
+                 or it == max_iters - 1)
+        if probe:
+            checks += 1
+            changed = (new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "doc_id")
+                .where(F.col("label") != F.col("_old")).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["convergence_checks"] = checks
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("group_size"))
     return (labels.join(sizes, "label")

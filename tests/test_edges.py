@@ -150,3 +150,28 @@ def test_edge_intersection_near_parallel():
     d2 = float(ek.point_segment_chord2(x[None], b0v[None],
                                        b1v[None])[0])
     assert max(d1, d2) < 1e-24
+
+
+def test_crossing_edge_join_unhinted_above_limit(spark):
+    """With the broadcast-term limit forced to 0 the ancestor-term
+    joins drop the broadcast hint (shuffle equi-joins; AQE free to
+    choose) and the result rows are identical (VERDICT r2 #3)."""
+    loops = pip.synth_loops(5)
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .where(F.col("c_custkey") <= 12) \
+        .select("c_custkey", "x", "y", "z").collect()
+    cu = sorted(cu, key=lambda r: r["c_custkey"])
+    rows = [(i, cu[i]["x"], cu[i]["y"], cu[i]["z"],
+             cu[i + 1]["x"], cu[i + 1]["y"], cu[i + 1]["z"])
+            for i in range(len(cu) - 1)]
+    qe = spark.createDataFrame(
+        rows, "qedge_id long, ax double, ay double, az double, "
+              "bx double, by double, bz double")
+    hinted = eops.crossing_edge_join(qe, spark, loops)
+    plain = eops.crossing_edge_join(qe, spark, loops,
+                                    broadcast_term_limit=0)
+    key = lambda r: (r["qedge_id"], r["poly_id"], r["edge_id"])  # noqa
+    assert sorted(map(key, hinted.collect())) \
+        == sorted(map(key, plain.collect()))
+    plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()

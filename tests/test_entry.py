@@ -70,3 +70,24 @@ def test_dedup_groups_components(spark):
            for r in text.dedup_groups(pairs).collect()}
     assert got == {"a": ("a", 4), "b": ("a", 4), "c": ("a", 4),
                    "m": ("a", 4), "x": ("x", 2), "y": ("x", 2)}
+
+
+def test_dedup_groups_lazy_convergence_probe(spark):
+    """check_every>1 halves the driver job barriers (VERDICT r2 #4)
+    and produces identical components; stats expose the counts."""
+    import pandas as pd
+    from s2spark.ops import text
+    # a path graph (diameter 6 -> several rounds) + an isolated pair
+    edges = [(i, i + 1) for i in range(7)] + [(100, 101)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    s1, s3 = {}, {}
+    r1 = {(r["doc_id"], r["group_id"], r["group_size"])
+          for r in text.dedup_groups(pairs, check_every=1,
+                                     stats=s1).collect()}
+    r3 = {(r["doc_id"], r["group_id"], r["group_size"])
+          for r in text.dedup_groups(pairs, check_every=3,
+                                     stats=s3).collect()}
+    assert r1 == r3
+    assert s3["convergence_checks"] < s1["convergence_checks"]
+    assert all(g == 0 for (_, g, n) in r1 if n == 8)  # path comp root

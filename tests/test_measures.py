@@ -18,3 +18,22 @@ def test_hausdorff_knn_equals_broadcast(spark):
     via_knn = measures.hausdorff2_knn(cu, su, "c_custkey",
                                       "s_suppkey").collect()[0][0]
     assert base == via_knn
+
+
+def test_hausdorff_size_dispatch(spark):
+    """Above the threshold hausdorff2 switches to the kNN path (no
+    cartesian/broadcast-nested-loop in the plan) and the value is
+    bit-identical; below it the broadcast sweep remains."""
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .select("c_custkey", "cell_id", "x", "y", "z")
+    su = dataset.geotag(dataset.load(spark, SF_DIR, "supplier"),
+                        "s_suppkey", "supplier") \
+        .select("s_suppkey", "cell_id", "x", "y", "z")
+    small = measures.hausdorff2(cu, su, "c_custkey",
+                                b_id="s_suppkey")
+    big = measures.hausdorff2(cu, su, "c_custkey", b_id="s_suppkey",
+                              brute_threshold=1)  # force kNN path
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert small.collect()[0][0] == big.collect()[0][0]
