@@ -280,6 +280,49 @@ def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   point_id="event_id")
 
 
+CLOSEST_CELL_K = 2
+
+
+def _closest_cell_index_rows() -> list[tuple[int, int]]:
+    """Deterministic (icell, label) index: coverings of the 15 synth
+    loops at levels 4..10 (min_level pins the ring-join key level)."""
+    import numpy as _np
+
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels.coverer import RegionCoverer
+    from s2spark.ops import pip
+    rows = []
+    for pid, lp in pip.synth_loops(15).items():
+        rc = RegionCoverer(max_cells=12, min_level=4, max_level=10)
+        rows.extend((int(c), pid) for c in _ck.as_i64(
+            _np.array(rc.get_covering(lp), dtype=_np.uint64)))
+    return rows
+
+
+def q_closest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ClosestCellQuery analogue (s2closest_cell_query.h:16-24): per
+    event point the k=2 nearest (cell, label) index entries by exact
+    chord² cell distance (0 inside).  Indexed expanding-ring plan;
+    the oracle recomputes brute-force in SQL (4-edge min + leaf-range
+    containment, identical double op order)."""
+    import pandas as _pd
+
+    from s2spark.ops import cells as cops
+    idx = spark.createDataFrame(
+        _pd.DataFrame(_closest_cell_index_rows(),
+                      columns=["icell", "label"]))
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("event_id") % 10 == 0) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    # size dispatch picks the broadcast sweep here (a few hundred
+    # index cells is the brute regime — s2closest_point_query_base.h:
+    # 534-537); the expanding-ring plan engages for large indexes and
+    # is pinned ring==brute in tests/test_cells_op.py
+    return cops.closest_cell_join(ev, idx, point_id="event_id",
+                                  k=CLOSEST_CELL_K,
+                                  n_index=len(_closest_cell_index_rows()))
+
+
 def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2CrossingEdgeQuery analogue (rows-only; validated in
     tests/test_edges.py)."""
@@ -696,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_covering": q_region_covering,
         "chain_midpoint": q_chain_midpoint,
         "closest_edge": q_closest_edge,
+        "closest_cell": q_closest_cell,
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
         "polygon_overlay": q_polygon_overlay,
@@ -1325,6 +1369,7 @@ def _geometry_oracles() -> dict[str, str]:
         "region_covering": covering,
         "polygon_overlay": overlay,
         "polygon_overlay_geom": _overlay_geom_oracle(),
+        "closest_cell": _closest_cell_oracle(),
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
@@ -1515,6 +1560,47 @@ def _buffer_oracle() -> str:
             "CAST(b AS BIGINT) AS interior_cells, "
             "CAST(c AS BIGINT) AS band_cells FROM (VALUES "
             + ", ".join(rows) + ") AS _b(loop_id, a, b, c)")
+
+
+def _closest_cell_oracle() -> str:
+    """Brute-force S2ClosestCellQuery oracle: per point, min over each
+    index cell's 4 boundary geodesics (the kernel's exact double op
+    order via _seg_chord2_cte) with leaf-range containment override,
+    ranked to k=CLOSEST_CELL_K."""
+    import numpy as _np
+
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels.region import Cell
+    ev_geo = _geo_view("events", "event_id")
+    rows = []
+    for icell, label in _closest_cell_index_rows():
+        cell = Cell(icell)
+        vs = [cell.get_vertex(k) for k in range(4)]
+        u = _np.array([icell], dtype=_np.int64).view(_np.uint64)
+        lo = int(_ck.as_i64(_ck.range_min(u))[0])
+        hi = int(_ck.as_i64(_ck.range_max(u))[0])
+        for k in range(4):
+            a, b = vs[k], vs[(k + 1) % 4]
+            rows.append(f"({icell}, {label}, {lo}, {hi}, "
+                        f"{_f17(a[0])}, {_f17(a[1])}, {_f17(a[2])}, "
+                        f"{_f17(b[0])}, {_f17(b[1])}, {_f17(b[2])})")
+    keep = "event_id, cell, icell, label, lo, hi"
+    pairs = (f"(SELECT p.event_id, p.cell, p.x, p.y, p.z, e.icell, "
+             f"e.label, e.lo, e.hi, e.ax, e.ay, e.az, e.bx, e.by, "
+             f"e.bz FROM (SELECT * FROM {ev_geo} WHERE event_id % 10 "
+             f"= 0) p, (VALUES " + ", ".join(rows)
+             + ") AS e(icell, label, lo, hi, ax, ay, az, bx, by, bz))")
+    return (
+        f"WITH {_seg_chord2_cte(pairs, keep)}, "
+        f"percell AS (SELECT event_id, icell, label, "
+        f"CASE WHEN MAX(CASE WHEN cell BETWEEN lo AND hi THEN 1 "
+        f"ELSE 0 END) = 1 THEN CAST(0.0 AS DOUBLE) ELSE MIN(dist2) "
+        f"END AS dist2 FROM dist GROUP BY 1, 2, 3), "
+        f"r AS (SELECT event_id, CAST(icell AS BIGINT) AS icell, "
+        f"CAST(label AS BIGINT) AS label, dist2, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY "
+        f"dist2, label, icell) AS INTEGER) AS rank FROM percell) "
+        f"SELECT * FROM r WHERE rank <= {CLOSEST_CELL_K}")
 
 
 def _overlay_geom_oracle() -> str:
