@@ -138,12 +138,21 @@ class Loop:
         True iff an endpoint is inside the cell or the edge crosses one of
         the 4 geodesic cell edges.
         """
+        from . import clipping
         ec = self.vertices
         ed = np.roll(self.vertices, -1, axis=0)
-        inside_c = np.array([cell.contains_point(tuple(v)) for v in ec])
+        inside_c = clipping.cell_contains_points(cell, ec)
         inside_d = np.roll(inside_c, -1)
         result = inside_c | inside_d
         todo = np.nonzero(~result)[0]
+        if todo.size:
+            # conservative gnomonic uv prefilter (ClipToPaddedFace
+            # slice, kernels/clipping.py): never rejects a true
+            # intersection, so only survivors pay the robust
+            # CrossingSign ladder — the index rows are identical
+            maybe = clipping.edges_may_intersect_cell(ec[todo],
+                                                      ed[todo], cell)
+            todo = todo[maybe]
         if todo.size:
             cv = self._cell_vertices(cell)
             cv_next = np.roll(cv, -1, axis=0)

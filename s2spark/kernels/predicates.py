@@ -330,3 +330,74 @@ def edge_or_vertex_crossing(a, b, c, d) -> np.ndarray:
         out[k] = vertex_crossing(tuple(a[k]), tuple(b[k]), tuple(c[k]),
                                  tuple(d[k]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# CompareDistances (s2predicates.h:106-146): sign of d(x,a) - d(x,b)
+# with triage -> exact-rational escalation
+# ---------------------------------------------------------------------------
+
+_DBL_EPS = 2.220446049250313e-16
+# conservative error bound on (|x-a|^2 - |x-b|^2) computed in doubles:
+# each squared-chord sum carries ~5.5 ulp relative error; 32 eps of
+# the larger magnitude safely covers both sides plus the subtraction
+_CMP_DIST_REL_ERR = 32.0 * _DBL_EPS
+
+
+def triage_compare_distances(x: np.ndarray, a: np.ndarray,
+                             b: np.ndarray) -> np.ndarray:
+    """Vectorized triage: (n,3) arrays -> int8 sign of
+    chord2(x,a) - chord2(x,b), 0 where the doubles cannot decide
+    (|diff| within the error bound) — the cheap first rung of the
+    reference's CompareDistances ladder."""
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d2a = ((x - a) ** 2).sum(axis=1)
+    d2b = ((x - b) ** 2).sum(axis=1)
+    diff = d2a - d2b
+    err = _CMP_DIST_REL_ERR * np.maximum(np.maximum(d2a, d2b),
+                                         _DBL_EPS)
+    out = np.zeros(diff.shape[0], dtype=np.int8)
+    out[diff > err] = 1
+    out[diff < -err] = -1
+    return out
+
+
+def exact_compare_distances_scalar(x, a, b) -> int:
+    """Exact rung: the inputs are exact doubles, so the squared chord
+    distances are exact rationals — Fraction arithmetic gives the true
+    sign (the analogue of the reference's ExactCompareDistances over
+    exact arithmetic, s2predicates.cc).  Returns 0 only for genuinely
+    equidistant inputs (callers break those ties symbolically, by
+    id — documented divergence from the reference's full symbolic
+    perturbation)."""
+    from fractions import Fraction
+    d2a = sum((Fraction(float(xi)) - Fraction(float(ai))) ** 2
+              for xi, ai in zip(x, a))
+    d2b = sum((Fraction(float(xi)) - Fraction(float(bi))) ** 2
+              for xi, bi in zip(x, b))
+    if d2a > d2b:
+        return 1
+    if d2a < d2b:
+        return -1
+    return 0
+
+
+def compare_distances(x: np.ndarray, a: np.ndarray, b: np.ndarray
+                      ) -> np.ndarray:
+    """Robust vectorized CompareDistances: triage decides almost all
+    rows; uncertain rows escalate to exact rational arithmetic."""
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = triage_compare_distances(x, a, b).astype(np.int64)
+    d2a = ((x - a) ** 2).sum(axis=1)
+    d2b = ((x - b) ** 2).sum(axis=1)
+    # escalate only true triage uncertainty (both equal doubles pass
+    # through too: the exact rung is what distinguishes them)
+    unsure = np.nonzero((out == 0) & ~((d2a == d2b) & (a == b).all(axis=1)))[0]
+    for k in unsure:
+        out[k] = exact_compare_distances_scalar(
+            tuple(x[k]), tuple(a[k]), tuple(b[k]))
+    return out

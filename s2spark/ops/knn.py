@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -123,3 +124,67 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def refine_rank_exact(nn: DataFrame, queries: DataFrame,
+                      points: DataFrame, query_id: str, point_id: str,
+                      k: int) -> DataFrame:
+    """Exact tie-break re-rank (the CompareDistances ladder of
+    s2predicates.h:106-146, kernels/predicates.compare_distances):
+    joins candidate + query xyz back and re-sorts each query group
+    with triage -> exact-rational comparisons, so orderings no longer
+    depend on double-rounded chord² ties; exactly-equidistant pairs
+    break by point_id (symbolic-id tie-break — documented divergence
+    from the reference's full symbolic perturbation).  Groups are <= a
+    few rows, so the pandas comparator cost is negligible next to the
+    join."""
+    import functools
+
+    import pandas as pd
+
+    from ..kernels import predicates as _pr
+    q = queries.select(F.col(query_id),
+                       F.col("x").alias("_qx"),
+                       F.col("y").alias("_qy"),
+                       F.col("z").alias("_qz"))
+    p = points.select(F.col(point_id),
+                      F.col("x").alias("_cx"),
+                      F.col("y").alias("_cy"),
+                      F.col("z").alias("_cz"))
+    joined = nn.join(q, query_id).join(p, point_id)
+    schema = f"{query_id} long, {point_id} long, dist2 double, rank int"
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (float(pdf["_qx"].iloc[0]), float(pdf["_qy"].iloc[0]),
+             float(pdf["_qz"].iloc[0]))
+        rows = list(pdf[[point_id, "dist2", "_cx", "_cy", "_cz"]]
+                    .itertuples(index=False, name=None))
+
+        def cmp(r1, r2):
+            s = _pr.compare_distances(
+                np.array([x]), np.array([r1[2:5]]),
+                np.array([r2[2:5]]))[0]
+            if s != 0:
+                return int(s)
+            return -1 if r1[0] < r2[0] else (1 if r1[0] > r2[0] else 0)
+
+        rows.sort(key=functools.cmp_to_key(cmp))
+        qid = pdf[query_id].iloc[0]
+        out = [(qid, r[0], r[1], i + 1)
+               for i, r in enumerate(rows[:k])]
+        return pd.DataFrame(out, columns=[query_id, point_id, "dist2",
+                                          "rank"])
+
+    return joined.groupBy(query_id).applyInPandas(rerank, schema)
+
+
+def knn_join_exact_ties(points: DataFrame, queries: DataFrame, k: int,
+                        query_id: str, point_id: str, level: int,
+                        slack: int = 2, **kw) -> DataFrame:
+    """knn_join with exact tie-breaking: over-fetch k+slack candidates
+    (so boundary ties double-rounded onto rank k are still in the
+    pool), then exact re-rank and cut to k."""
+    nn = knn_join(points, queries, k + slack, query_id, point_id,
+                  level, **kw)
+    return refine_rank_exact(nn, queries, points, query_id, point_id,
+                             k)

@@ -122,3 +122,85 @@ def test_snap_level0_collapses_to_faces(spark):
     out = snap_ops.snap_track(ev, "user_id", ["ts", "event_id"], 0) \
         .select("snap_cell").distinct().collect()
     assert 1 <= len(out) <= 6  # only face cells survive
+
+
+# --- exact CompareDistances (round 3): double-tied chord² pairs -------
+
+# Adversarial fixtures found by ulp-perturbation search: for each,
+# the double-computed chord² distances are EXACTLY EQUAL while the
+# exact rational distances differ (a is truly farther in all three).
+CMP_DIST_FIXTURES = [
+    ([-0.7232125608564248, 0.6643997988720267, 0.1885112704277984],
+     [-0.652390855906025, -0.2505973831822934, 0.7152531878100167],
+     [-0.6523908559060251, -0.2505973831822934, 0.7152531878100167]),
+    ([0.7698530935518757, 0.2961064089492611, 0.565373512757522],
+     [0.7042543049031721, -0.44210831863196765, 0.5554872713409054],
+     [0.7042543049031722, -0.44210831863196765, 0.5554872713409054]),
+    ([-0.7490984809866346, -0.3810080927337672, 0.5419264701552176],
+     [-0.853286789973443, -0.0836567531195539, -0.5146874796556755],
+     [-0.853286789973443, -0.08365675311955391, -0.5146874796556755]),
+]
+
+
+def test_compare_distances_resolves_double_ties():
+    from fractions import Fraction
+
+    from s2spark.kernels import predicates as pr
+    for x, a, b in CMP_DIST_FIXTURES:
+        xa = np.array([x]); aa = np.array([a]); bb = np.array([b])
+        # the doubles cannot tell them apart...
+        assert float(((xa - aa) ** 2).sum()) == float(((xa - bb) ** 2).sum())
+        assert pr.triage_compare_distances(xa, aa, bb)[0] == 0
+        # ...the exact ladder can, and agrees with ground truth
+        da = sum((Fraction(u) - Fraction(v)) ** 2 for u, v in zip(x, a))
+        db = sum((Fraction(u) - Fraction(v)) ** 2 for u, v in zip(x, b))
+        truth = 1 if da > db else -1
+        assert pr.compare_distances(xa, aa, bb)[0] == truth
+        # antisymmetry
+        assert pr.compare_distances(xa, bb, aa)[0] == -truth
+
+
+def test_compare_distances_matches_doubles_when_clear():
+    from s2spark.kernels import predicates as pr
+    rng = np.random.RandomState(17)
+    x = rng.randn(500, 3); a = rng.randn(500, 3); b = rng.randn(500, 3)
+    for v in (x, a, b):
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+    s = pr.compare_distances(x, a, b)
+    d = ((x - a) ** 2).sum(1) - ((x - b) ** 2).sum(1)
+    clear = np.abs(d) > 1e-10
+    assert (s[clear] == np.sign(d[clear])).all()
+
+
+def test_knn_exact_ties_orders_by_true_distance(spark):
+    """A point index containing a double-tied pair: the default kNN
+    breaks the tie by id, knn_join_exact_ties by the TRUE (rational)
+    distance — pinned to the fixture's ground truth."""
+    import pandas as pd
+
+    from s2spark.kernels import cellid as ci
+    from s2spark.ops import knn as knn_ops
+    x, a, b = CMP_DIST_FIXTURES[0]
+    # point 1 = a (truly farther), point 2 = b (truly nearer)
+    pts = pd.DataFrame({
+        "point_id": [1, 2],
+        "x": [a[0], b[0]], "y": [a[1], b[1]], "z": [a[2], b[2]]})
+    qs = pd.DataFrame({"query_id": [7], "x": [x[0]], "y": [x[1]],
+                       "z": [x[2]]})
+    for pdf in (pts, qs):
+        pdf["cell_id"] = ci.as_i64(ci.from_xyz(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+            pdf["z"].to_numpy()))
+    P = spark.createDataFrame(pts)
+    Q = spark.createDataFrame(qs)
+    exact = knn_ops.knn_join_exact_ties(
+        P, Q, 2, "query_id", "point_id", level=0, max_rounds=1) \
+        .orderBy("rank").collect()
+    # true order: b (id 2) nearer than a (id 1)
+    assert [r["point_id"] for r in exact] == [2, 1]
+    default = knn_ops.knn_join(P, Q, 2, "query_id", "point_id",
+                               level=0, max_rounds=1) \
+        .orderBy("rank").collect()
+    # the double path ties and falls back to id order — the fixture
+    # would silently invert without the exact ladder
+    assert [r["point_id"] for r in default] == [1, 2]
