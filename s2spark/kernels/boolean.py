@@ -146,6 +146,46 @@ def op_counts(cells: np.ndarray) -> dict[str, dict[str, int]]:
     return out
 
 
+def exact_op_counts(a, b, max_level: int) -> dict[str, dict[str, int]]:
+    """EXACT cell classification for ALL FOUR ops — closes the
+    conservative ∪/Δ band of `op_counts` (reference exactness:
+    s2boolean_operation.h:16-60 decides every region point exactly).
+
+    Method: build the exact boolean output geometry with the S2Builder
+    MVP (builder.overlay_geometry, identity snap — output vertices are
+    the exact input doubles plus exact-escalated crossing points), wrap
+    it as an even/odd region (builder.ResultRegion), and run the
+    single-region decomposition `classify_loop` against it.  A cell is
+    IN iff it truly lies in int(op(A,B)) — including cells that
+    straddle BOTH input boundaries while sitting inside A∪B, which the
+    state-pair mask of `op_counts` can only call boundary — and the
+    boundary band is exactly the max_level cells meeting ∂(op(A,B)):
+    for B ⊆ A the union's band is ∂A's alone, with ∂B contributing
+    nothing (asserted against the single-loop decomposition in
+    tests/test_boolean.py).  Zero refinement term remains: the
+    interval identity |A∪B| = |A|+|B|−|A∩B| holds exactly on the
+    region MEASURES these decompositions converge to, while at fixed
+    max_level exact_op_counts ≥ op_counts with the surplus contained
+    in the old band (also asserted).
+
+    ∩ and − were already exact in `op_counts` (a cell inside int(A∩B)
+    cannot meet either boundary), so for those two ops the interior
+    sets coincide; ∪/Δ may gain cells.  Scope matches the builder MVP
+    (no inverted loops / full-sphere results).
+    """
+    from .builder import ResultRegion, overlay_geometry
+    out = {}
+    for op in OPS:
+        region = ResultRegion(overlay_geometry(a, b, op))
+        interior, boundary = classify_loop(region, max_level)
+        leaves = int(cellid.lsb(interior.view(np.uint64))
+                     .astype(np.int64).sum()) if len(interior) else 0
+        out[op] = {"interior_leaves": leaves,
+                   "interior_cells": int(len(interior)),
+                   "boundary_cells": int(len(boundary))}
+    return out
+
+
 def refine_boundary(cells: np.ndarray, a, b, op: str) -> int:
     """Center-sampled leaf count of the boundary band's contribution
     to `op` (exact crossing-parity verdicts at each boundary cell

@@ -144,6 +144,145 @@ def test_refined_boundary_center_verdicts_are_exact():
     assert bk.refine_boundary(cells, a, b, "intersection") == want
 
 
+def _cap_loop(lat_deg: float, lng_deg: float, radius_rad: float,
+              nv: int = 16) -> Loop:
+    """Regular nv-gon inscribed in the cap of `radius_rad` around the
+    given center, CCW (contains its center)."""
+    lat, lng = np.radians(lat_deg), np.radians(lng_deg)
+    c = np.array([np.cos(lat) * np.cos(lng),
+                  np.cos(lat) * np.sin(lng), np.sin(lat)])
+    ref = np.array([0.0, 0.0, 1.0]) if abs(c[2]) < 0.9 \
+        else np.array([1.0, 0.0, 0.0])
+    u = np.cross(ref, c)
+    u /= np.linalg.norm(u)
+    v = np.cross(c, u)
+    t = 2.0 * np.pi * np.arange(nv) / nv
+    verts = (np.cos(radius_rad) * c[None, :]
+             + np.sin(radius_rad) * (np.cos(t)[:, None] * u[None, :]
+                                     + np.sin(t)[:, None] * v[None, :]))
+    lp = Loop(verts)
+    if not lp.contains_point(c):
+        lp = Loop(verts[::-1].copy())
+    return lp
+
+
+def test_exact_op_counts_matches_reference_result_loops():
+    """exact_op_counts (classification against the S2Builder output
+    geometry) reproduces the single-loop decomposition of every one of
+    the reference's published result loops — INCLUDING union and
+    symmetric difference, which op_counts can only bound."""
+    import s2spark.kernels.cellid as ci
+    a = Loop.from_text(LOOP_A)
+    b = Loop.from_text(LOOP_B)
+    got = bk.exact_op_counts(a, b, MAX_LEVEL)
+
+    def leaves_of(texts):
+        tot = 0
+        for t in texts:
+            cells, _ = bk.classify_loop(Loop.from_text(t), MAX_LEVEL)
+            tot += int(ci.lsb(cells.view(np.uint64)).sum())
+        return tot
+
+    assert got["intersection"]["interior_leaves"] == \
+        leaves_of([A_INTERSECT_B])
+    assert got["difference"]["interior_leaves"] == leaves_of([A_MINUS_B])
+    assert got["union"]["interior_leaves"] == leaves_of([A_UNION_B])
+    # AΔB = (A−B) ⊔ (B−A): the pieces meet only at shared vertices, so
+    # the Δ interior cells are exactly the pieces' interior cells
+    assert got["symmetric_difference"]["interior_leaves"] == \
+        leaves_of([A_MINUS_B, B_MINUS_A])
+    assert got["union"]["interior_leaves"] > 0
+
+
+def test_exact_union_of_nested_loops_is_outer_loop():
+    """B ⊆ A: the exact union decomposition equals A's own (∂B
+    contributes nothing to ∂(A∪B)), the exact intersection equals B's,
+    and the conservative op_counts provably over-counts the union's
+    boundary band (it includes ∂B cells) while under-counting its
+    interior."""
+    import s2spark.kernels.cellid as ci
+    a = _cap_loop(20.0, 30.0, 0.10)
+    b = _cap_loop(20.0, 30.0, 0.04)
+    level = 9
+    got = bk.exact_op_counts(a, b, level)
+    ia, ba = bk.classify_loop(a, level)
+    ib, bb = bk.classify_loop(b, level)
+    a_leaves = int(ci.lsb(ia.view(np.uint64)).sum())
+    b_leaves = int(ci.lsb(ib.view(np.uint64)).sum())
+    assert got["union"]["interior_leaves"] == a_leaves
+    assert got["union"]["boundary_cells"] == len(ba)
+    assert got["intersection"]["interior_leaves"] == b_leaves
+    assert got["intersection"]["boundary_cells"] == len(bb)
+    # AΔB here is the annulus A − B: interior leaves match difference
+    assert got["symmetric_difference"]["interior_leaves"] == \
+        got["difference"]["interior_leaves"]
+    cons = bk.op_counts(bk.classify_pair(a, b, level))
+    # with B strictly nested the state-pair union interior is already
+    # complete ((IN,·) covers it) — the conservative gap is confined to
+    # both-BND cells, which don't arise here; but its boundary band
+    # wrongly includes ∂B's cells, which exact_op_counts drops
+    assert cons["union"]["interior_leaves"] == a_leaves
+    assert cons["union"]["boundary_cells"] > len(ba)
+
+
+def test_exact_union_gains_cells_straddling_both_boundaries():
+    """A thin-lens pair (two caps of radius 0.15 whose centers are
+    0.295 rad apart → a ~0.005-wide, ~0.054-long lens): cells spanning
+    the lens middle straddle BOTH boundaries yet lie inside A∪B — the
+    exact case the state-pair mask of op_counts can only call
+    boundary.  Every gained leaf is validated to lie in the old
+    boundary band, and gained cells are spot-checked inside A∪B via
+    vertex+center containment."""
+    import s2spark.kernels.cellid as ci
+    from s2spark.kernels.region import Cell
+    a = _cap_loop(0.0, 30.0, 0.15, nv=64)
+    b = _cap_loop(0.0, 30.0 + np.degrees(0.295), 0.15, nv=64)
+    level = 8  # cell width ~0.006 spans the ~0.005 lens width
+    cells = bk.classify_pair(a, b, level)
+    cons = bk.op_counts(cells)["union"]
+    got = bk.exact_op_counts(a, b, level)["union"]
+    band_ids = cells["cell"][(cells["sa"] == bk.BND)
+                             | (cells["sb"] == bk.BND)].view(np.uint64)
+    band = int(ci.lsb(band_ids).sum())
+    surplus = got["interior_leaves"] - cons["interior_leaves"]
+    assert 0 < surplus <= band
+    # identify the gained cells and sample descendants' centers
+    from s2spark.kernels.builder import ResultRegion, overlay_geometry
+    region = ResultRegion(overlay_geometry(a, b, "union"))
+    gained, _ = bk.classify_loop(region, level)
+    cons_mask = bk._op_mask(cells["sa"], cells["sb"], "union")
+    cons_set = {int(x) for x in cells["cell"][cons_mask]}
+    truly_new = [int(g) for g in gained if int(g) not in cons_set]
+    assert truly_new
+    for g in truly_new[:8]:
+        cell = Cell(g)
+        pts = [cell.get_center()] + [cell.get_vertex(k)
+                                     for k in range(4)]
+        pts = np.array(pts)
+        inside = a.contains_points(pts) | b.contains_points(pts)
+        assert inside.all()
+
+
+def test_polygon_overlay_exact_operator(spark):
+    """Distributed polygon_overlay_exact (applyInPandas per pair)
+    agrees with the driver-side exact kernel."""
+    from s2spark.ops import boolean as bops
+    la = pip.synth_loops(3)
+    lb = pip.synth_loops(3, shift_u=0.06)
+    df = bops.polygon_overlay_exact(spark, la, lb, max_level=6)
+    got = {(r["a_id"], r["op"]): (r["interior_leaves"],
+                                  r["interior_cells"],
+                                  r["boundary_cells"])
+           for r in df.collect()}
+    assert len(got) == 3 * len(bk.OPS)
+    for k in range(3):
+        counts = bk.exact_op_counts(la[k], lb[k], 6)
+        for op, c in counts.items():
+            assert got[(k, op)] == (c["interior_leaves"],
+                                    c["interior_cells"],
+                                    c["boundary_cells"])
+
+
 @pytest.mark.parametrize("a_text,b_text,expected", [
     (NORTH_HEMI, ARCTIC_80, "contains"),
     (NORTH_HEMI, ANTARCTIC_80, "disjoint"),
