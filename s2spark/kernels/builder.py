@@ -269,12 +269,9 @@ def stitch_loops(edges: list[tuple], sites: dict) -> list[list]:
     return loops
 
 
-def build_loops(kept: list[tuple[np.ndarray, np.ndarray]],
-                snap=None) -> list[np.ndarray]:
-    """Snap + dedupe + sibling-cancel + stitch -> list of (k,3) vertex
-    arrays (snapped site points)."""
-    if snap is None:
-        snap = IdentitySnapFunction()
+def _snap_edges(kept, snap) -> tuple[dict, dict]:
+    """Map input edges to directed site-key edges (multiplicity kept),
+    collapsing edges whose endpoints snap together."""
     sites: dict = {}
     seen: dict = {}
     for p0, p1 in kept:
@@ -284,14 +281,178 @@ def build_loops(kept: list[tuple[np.ndarray, np.ndarray]],
         sites.setdefault(k0, snap.site_point(k0, p0))
         sites.setdefault(k1, snap.site_point(k1, p1))
         seen[(k0, k1)] = seen.get((k0, k1), 0) + 1
-    # dedupe duplicates (multiplicity -> 1), cancel sibling pairs
-    # (degenerate-edge layer semantics: an edge plus its reverse
-    # bounds zero area and is discarded)
-    edges = [(u, v) for (u, v) in sorted(seen)
-             if (v, u) not in seen]
+    return seen, sites
+
+
+def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
+                         max_rounds: int = 8) -> list[tuple]:
+    """Snap rounding can create NEW crossings between snapped edges
+    (the reference iterates until the arrangement is stable —
+    s2builder.h:30-61 'idempotent snapping' discussion).  Each round
+    finds proper crossings among the snapped edges with the robust
+    CrossingSign ladder, splits both participants at the (snapped)
+    intersection point, and repeats until crossing-free.  Shared-
+    endpoint touches are legal output (CrossingSign <= 0) and don't
+    trigger splits."""
+    edges = list(edges)
+    for _ in range(max_rounds):
+        n = len(edges)
+        if n < 2:
+            return edges
+        p0 = np.array([sites[u] for u, _ in edges])
+        p1 = np.array([sites[v] for _, v in edges])
+        a0 = np.repeat(p0, n, axis=0)
+        a1 = np.repeat(p1, n, axis=0)
+        b0 = np.tile(p0, (n, 1))
+        b1 = np.tile(p1, (n, 1))
+        cs = predicates.crossing_sign(a0, a1, b0, b1).reshape(n, n)
+        iu = np.triu_indices(n, k=1)
+        crossing = [(int(i), int(j)) for i, j in zip(*iu)
+                    if cs[i, j] > 0]
+        if not crossing:
+            return edges
+        splits: dict[int, list] = {}
+        for i, j in crossing:
+            x = edge_intersection(p0[i], p1[i], p0[j], p1[j])
+            k = snap.site_key(x)
+            if k not in sites:
+                sites[k] = snap.site_point(k, x)
+            splits.setdefault(i, []).append(k)
+            splits.setdefault(j, []).append(k)
+        out = []
+        for idx, (u, v) in enumerate(edges):
+            ks = [k for k in splits.get(idx, ())
+                  if k != u and k != v]
+            if not ks:
+                out.append((u, v))
+                continue
+            ks = sorted(set(ks),
+                        key=lambda k: _edge_param(sites[u], sites[v],
+                                                  sites[k]))
+            chain = [u, *ks, v]
+            out.extend((chain[t], chain[t + 1])
+                       for t in range(len(chain) - 1)
+                       if chain[t] != chain[t + 1])
+        edges = out
+    return edges
+
+
+def _cancel_siblings(seen: dict) -> list[tuple]:
+    """Dedupe duplicate directed edges (multiplicity -> 1) and cancel
+    sibling pairs (u→v plus v→u bounds zero area — the degenerate-edge
+    handling of the polygon layer)."""
+    return [(u, v) for (u, v) in sorted(seen) if (v, u) not in seen]
+
+
+def build_loops(kept: list[tuple[np.ndarray, np.ndarray]],
+                snap=None, stabilize: bool = True) -> list[np.ndarray]:
+    """Snap + dedupe + sibling-cancel + crossing-stabilize + stitch ->
+    list of (k,3) vertex arrays (snapped site points)."""
+    if snap is None:
+        snap = IdentitySnapFunction()
+    seen, sites = _snap_edges(kept, snap)
+    edges = _cancel_siblings(seen)
+    if stabilize:
+        edges = _stabilize_crossings(edges, sites, snap)
+        # splitting can mint new duplicate/sibling pairs — re-cancel
+        # until the edge set is a fixed point
+        for _ in range(4):
+            n0 = len(edges)
+            edges = _cancel_siblings({e: 1 for e in edges})
+            if len(edges) == n0:
+                break
     chains = stitch_loops(edges, sites)
     return [np.array([sites[k] for k in chain], dtype=np.float64)
             for chain in chains]
+
+
+def build_polylines(kept: list[tuple[np.ndarray, np.ndarray]],
+                    snap=None, stabilize: bool = True
+                    ) -> list[np.ndarray]:
+    """S2PolylineVectorLayer semantics (reference
+    s2builderutil_s2polyline_vector_layer.h:16-24): assemble the
+    snapped directed-edge soup into maximal polylines.  Duplicate
+    directed edges merge; sibling pairs are KEPT (a polyline may
+    legitimately backtrack); open chains start at vertices with
+    out-degree > in-degree, remaining cycles are emitted as closed
+    chains (first == last).  Deterministic: starts and successors are
+    taken in sorted site-key order."""
+    if snap is None:
+        snap = IdentitySnapFunction()
+    seen, sites = _snap_edges(kept, snap)
+    edges = sorted(seen)
+    if stabilize:
+        edges = _stabilize_crossings(edges, sites, snap)
+        edges = sorted(set(edges))
+    from collections import defaultdict
+    adj: dict = defaultdict(list)
+    indeg: dict = defaultdict(int)
+    for u, v in edges:
+        adj[u].append(v)
+        indeg[v] += 1
+    for u in adj:
+        adj[u].sort()
+
+    def walk(start):
+        chain = [start]
+        cur = start
+        while adj.get(cur):
+            cur = adj[cur].pop(0)
+            chain.append(cur)
+        return chain
+
+    starts = []
+    for u in sorted(adj):
+        starts.extend([u] * max(0, len(adj[u]) - indeg[u]))
+    chains = []
+    for u in starts:
+        if adj.get(u):
+            chains.append(walk(u))
+    for u in sorted(adj):  # leftover cycles
+        while adj[u]:
+            chains.append(walk(u))
+    return [np.array([sites[k] for k in chain], dtype=np.float64)
+            for chain in chains]
+
+
+class S2Builder:
+    """Public facade mirroring the reference's S2Builder surface
+    (s2builder.h:30-61): accumulate edges / polylines / loops, then
+    assemble snap-rounded output through a layer.  build_polygon() is
+    the S2PolygonLayer (closed chains, siblings cancelled),
+    build_polylines() the S2PolylineVectorLayer (open chains kept).
+    Snap rounding is iterated until the snapped arrangement is
+    crossing-free (idempotence), which lifts the round-2 MVP
+    restriction that callers pick a snap level fine enough to avoid
+    snap-induced crossings."""
+
+    def __init__(self, snap=None):
+        self.snap = snap or IdentitySnapFunction()
+        self._edges: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add_edge(self, p0, p1) -> "S2Builder":
+        self._edges.append((np.asarray(p0, dtype=np.float64),
+                            np.asarray(p1, dtype=np.float64)))
+        return self
+
+    def add_polyline(self, pts) -> "S2Builder":
+        pts = np.asarray(pts, dtype=np.float64)
+        for i in range(pts.shape[0] - 1):
+            self.add_edge(pts[i], pts[i + 1])
+        return self
+
+    def add_loop(self, loop) -> "S2Builder":
+        v = loop.vertices if isinstance(loop, Loop) \
+            else np.asarray(loop, dtype=np.float64)
+        for i in range(v.shape[0]):
+            self.add_edge(v[i], v[(i + 1) % v.shape[0]])
+        return self
+
+    def build_polygon(self) -> list[np.ndarray]:
+        return build_loops(self._edges, snap=self.snap)
+
+    def build_polylines(self) -> list[np.ndarray]:
+        return build_polylines(self._edges, snap=self.snap)
 
 
 # ---------------------------------------------------------------------------
