@@ -239,6 +239,43 @@ def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("token"))
 
 
+CODEC_TILE_LEVEL = 6
+N_CODEC_POLYS = 12
+
+
+def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncodedS2CellIdVector wire-format round-trip, distributed
+    (encoded_s2cell_id_vector.cc:61-180; kernels/codecs.py): per
+    level-6 tile the sorted event cell ids are packed into the
+    base+shift+delta byte format and unpacked again — any bit error in
+    either direction changes the emitted cell_id rows.  Byte-level
+    format parity is pinned against the reference's 16 published
+    golden encodings in tests/test_codecs.py.  Oracle: plain SQL
+    (grouping + ROW_NUMBER) — the round-trip must be the identity."""
+    from s2spark.ops import codec
+    ev = dataset.geotagged_events(spark, sf_dir).select(
+        s2f.prefix_col(F.col("cell_id"), CODEC_TILE_LEVEL).alias("tile"),
+        "cell_id")
+    return codec.cell_vector_roundtrip(ev, "tile")
+
+
+def q_polygon_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Polygon compressed coder (v4) round-trip, distributed
+    (s2polygon.cc:1475-1500, s2loop.cc:1360-1426, s2point_compression
+    .cc; kernels/codecs.py): per synthetic polygon, vertices snapped
+    to level-14 cell centers, encoded (faces RLE + 2nd-derivative
+    zig-zag varints), decoded, and each decoded vertex re-emitted as
+    its leaf cell id together with the encoded byte length and format
+    version — integers only, so the value hash is tri-dialect safe.
+    Encoded sizes are pinned against the reference's published golden
+    sizes in tests/test_codecs.py.  Materialized driver-kernel
+    oracle."""
+    from s2spark.ops import codec, pip
+    loops = pip.synth_loops(N_CODEC_POLYS)
+    return codec.polygon_codec_roundtrip(spark, loops,
+                                         snap_level=GEOM_SNAP_LEVEL)
+
+
 def q_region_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap covering stats (RegionCoverer, max_cells=8) over a fixed
     synthetic cap set: covering size + exact leaf-cell coverage (sum
@@ -756,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_pipeline": q_image_pipeline,
         "cell_tokens": q_cell_tokens,
+        "cell_vector_codec": q_cell_vector_codec,
+        "polygon_codec": q_polygon_codec,
         "region_covering": q_region_covering,
         "chain_midpoint": q_chain_midpoint,
         "closest_edge": q_closest_edge,
@@ -1392,6 +1431,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_overlay_exact": _overlay_exact_oracle(),
         "polygon_overlay_geom": _overlay_geom_oracle(),
         "closest_cell": _closest_cell_oracle(),
+        "polygon_codec": _polygon_codec_oracle(),
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
@@ -1649,6 +1689,26 @@ def _overlay_exact_oracle() -> str:
             "boundary_cells)")
 
 
+def _polygon_codec_oracle() -> str:
+    """Driver-kernel materialized expected rows for polygon_codec
+    (codec.polygon_codec_rows shared verbatim; byte-format parity vs
+    the reference goldens pinned in tests/test_codecs.py)."""
+    from s2spark.ops import codec as _codec
+    from s2spark.ops import pip as _pip
+    rows = []
+    for pid, lp in _pip.synth_loops(N_CODEC_POLYS).items():
+        rows.extend(f"({p}, {s}, {c}, {n}, {ver})"
+                    for p, s, c, n, ver in _codec.polygon_codec_rows(
+                        pid, lp.vertices, GEOM_SNAP_LEVEL))
+    return ("SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell, "
+            "CAST(enc_len AS INTEGER) AS enc_len, "
+            "CAST(version AS INTEGER) AS version FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _p(poly_id, seq, site_cell, enc_len, version)")
+
+
 def _overlay_geom_oracle() -> str:
     """Driver-kernel materialized expected vertex-chain rows for
     polygon_overlay_geom (chains pinned against the reference's
@@ -1755,6 +1815,21 @@ def oracle_sql() -> dict[str, str]:
         "cell_tokens": (
             f"SELECT event_id, rtrim(printf('%016x', cell), '0') AS "
             f"token FROM {ev_cells}"),
+        # codec round-trip == identity, so the oracle is the plain
+        # grouped enumeration (signed-ascending order matches
+        # sort_array on BIGINT); the tile is Spark's
+        # shiftrightunsigned mirrored per CLAUDE.md
+        "cell_vector_codec": (
+            f"SELECT ((cell >> {2 * (30 - CODEC_TILE_LEVEL) + 1}) & "
+            f"{(1 << (64 - (2 * (30 - CODEC_TILE_LEVEL) + 1))) - 1}) "
+            f"AS tile, CAST(ROW_NUMBER() OVER (PARTITION BY ((cell >> "
+            f"{2 * (30 - CODEC_TILE_LEVEL) + 1}) & "
+            f"{(1 << (64 - (2 * (30 - CODEC_TILE_LEVEL) + 1))) - 1}) "
+            f"ORDER BY cell) - 1 AS INTEGER) AS seq, cell AS cell_id, "
+            f"CAST(COUNT(*) OVER (PARTITION BY ((cell >> "
+            f"{2 * (30 - CODEC_TILE_LEVEL) + 1}) & "
+            f"{(1 << (64 - (2 * (30 - CODEC_TILE_LEVEL) + 1))) - 1})) "
+            f"AS INTEGER) AS n_ids FROM {ev_cells}"),
         "chain_midpoint": (
             f"WITH seg AS (SELECT user_id, CAST(ROW_NUMBER() OVER win AS "
             f"INTEGER) AS seq, {lag2} AS dist2 FROM {ev_track} "
