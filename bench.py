@@ -305,17 +305,23 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     real multi-executor cluster (one memory bus per node) does not
     have."""
     results = {}
+    all_runs: dict[int, list] = {c: [] for c in levels}
     # materialize input in its own JVM so no timed run pays (or is
     # perturbed by) generation
     env = dict(os.environ, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_SCALE_ROWS=str(n_rows))
     subprocess.run([sys.executable, __file__, "--ingest-only"], env=env,
                    capture_output=True, text=True, check=True)
-    # two interleaved sweeps, per-level best: the sandbox VM sees
-    # noisy-neighbor CPU steal, so a single bad window must not decide
-    # a level's number
-    for _sweep in range(2):
-        for cpus in levels:
+    # interleaved sweeps, per-level best AND per-sweep pairing: the
+    # sandbox VM sees noisy-neighbor CPU steal, so (a) a single bad
+    # window must not decide a level's number and (b) the primary-pair
+    # efficiency is also reported per sweep + as the median, so the
+    # spread is visible rather than hidden behind the best
+    n_sweeps = int(os.environ.get("SPARK_GRAFT_SCALING_SWEEPS", "5"))
+    primary_pair = (4, 16)
+    for sweep in range(n_sweeps):
+        sweep_levels = levels if sweep < 2 else primary_pair
+        for cpus in sweep_levels:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SCALE_ROWS=str(n_rows),
                        SPARK_GRAFT_BENCH_REPS="2")
@@ -323,6 +329,7 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
                                  env=env, capture_output=True, text=True,
                                  check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            all_runs[cpus].append(r["rows_per_sec"])
             if cpus not in results or (r["total_sec"]
                                        < results[cpus]["total_sec"]):
                 results[cpus] = r
@@ -331,8 +338,18 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     def eff(lo, hi):
         return round((thr[hi] / thr[lo]) / (hi / lo), 3)
 
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) & 1 else 0.5 * (s[m - 1] + s[m])
+
     pairs = {f"{lo}->{hi}": eff(lo, hi)
              for lo, hi in ((4, 16), (8, 32)) if lo in thr and hi in thr}
+    lo, hi = primary_pair
+    per_sweep = [round((b / a) / (hi / lo), 3)
+                 for a, b in zip(all_runs[lo], all_runs[hi])]
+    eff_median = round((median(all_runs[hi]) / median(all_runs[lo]))
+                       / (hi / lo), 3)
     primary = pairs.get("4->16") or next(iter(pairs.values()))
     report = {
         "metric": "scaling efficiency N->4N cores (primary local[4]->"
@@ -340,9 +357,13 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
         "value": primary,
         "unit": "ratio",
         "efficiency_pairs": pairs,
+        "efficiency_median_4_16": eff_median,
+        "efficiency_per_sweep_4_16": per_sweep,
         "throughput_rows_per_sec": thr,
+        "throughput_all_runs": all_runs,
         "total_sec": {c: results[c]["total_sec"] for c in levels},
         "phases": {c: results[c]["phases"] for c in levels},
+        "n_sweeps": n_sweeps,
         "n_rows": n_rows,
     }
     _append_bench_md(report)
@@ -358,8 +379,10 @@ def _append_bench_md(rep: dict) -> None:
         "encode + tile-assign L8 + spatial equi-join L6 + disc join "
         "r=0.01.  Identical deterministic input files at every "
         "parallelism level; per-phase time = min of %s reps, "
-        "best of 2 interleaved sweeps."
-        % (rep["n_rows"], os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),
+        "best of %d interleaved sweeps (all 4/16 sweeps also reported "
+        "pairwise below)."
+        % (rep["n_rows"], os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"),
+           rep.get("n_sweeps", 2)),
         "",
         "| parallelism | total sec | rows/s | phases |",
         "|---|---|---|---|",
@@ -372,6 +395,23 @@ def _append_bench_md(rep: dict) -> None:
     for pair, eff in rep["efficiency_pairs"].items():
         lines.append("**Scaling efficiency local[%s] -> local[%s] "
                      "(N→4N cores): %.3f**  " % (*pair.split("->"), eff))
+    if "efficiency_per_sweep_4_16" in rep:
+        sweeps = rep["efficiency_per_sweep_4_16"]
+        lines += [
+            "",
+            "Per-sweep 4→16 efficiency (same-sweep pairing): %s — "
+            "median %.3f, best-vs-best %.3f, spread ±%.3f."
+            % (", ".join("%.3f" % e for e in sweeps),
+               rep["efficiency_median_4_16"],
+               rep["efficiency_pairs"].get("4->16", float("nan")),
+               (max(sweeps) - min(sweeps)) / 2 if sweeps else 0.0),
+            "",
+            "Per-level throughput across sweeps (rows/s): "
+            + "; ".join(
+                "local[%d]: %s" % (c, ", ".join(
+                    f"{v:,}" for v in rep["throughput_all_runs"][c]))
+                for c in sorted(rep["throughput_all_runs"])),
+        ]
     lines += [
         "",
         "Note: this sandbox is one VM with a single shared memory bus; "

@@ -571,6 +571,288 @@ def decode_polygon(buf) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# EncodedStringVector (encoded_string_vector.cc:40-54)
+# ---------------------------------------------------------------------------
+
+def encode_string_vector(items: list[bytes]) -> bytes:
+    """EncodedUintVector of end-offsets (leading zero omitted) followed
+    by the concatenated data."""
+    ends = np.cumsum([len(b) for b in items]).astype(np.uint64) \
+        if items else np.empty(0, dtype=np.uint64)
+    return encode_uint_vector(ends) + b"".join(items)
+
+
+def decode_string_vector(buf, pos: int = 0) -> tuple[list[bytes], int]:
+    ends, pos = decode_uint_vector(buf, pos)
+    out = []
+    prev = 0
+    for e in ends:
+        out.append(bytes(buf[pos + prev:pos + int(e)]))
+        prev = int(e)
+    return out, pos + prev
+
+
+# ---------------------------------------------------------------------------
+# EncodedS2PointVector (encoded_s2point_vector.cc)
+# ---------------------------------------------------------------------------
+
+_PV_UNCOMPRESSED = 0
+_PV_CELL_IDS = 1
+_PV_FORMAT_BITS = 3
+_PV_BLOCK_SHIFT = 4
+_PV_BLOCK_SIZE = 1 << _PV_BLOCK_SHIFT      # 16 values per block
+_PV_EXCEPTION = _U64
+
+
+def _bit_mask(n: int) -> int:
+    return 0 if n == 0 else _U64 >> (64 - n)
+
+
+def _max_bits_for_level(level: int) -> int:
+    return 2 * level + 3
+
+
+def _base_shift(level: int, base_bits: int) -> int:
+    return max(0, _max_bits_for_level(level) - base_bits)
+
+
+def _interleave_bit_pairs(sj: int, tj: int) -> int:
+    """Interleave bit PAIRS (encoded_s2point_vector.cc:53-65): bits
+    1:0 of sj -> 1:0, bits 1:0 of tj -> 3:2, ..."""
+    def spread2(x: int) -> int:
+        x &= 0xFFFFFFFF
+        x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+        x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+        x = (x | (x << 2)) & 0x3333333333333333
+        return x
+    return spread2(sj) | (spread2(tj) << 2)
+
+
+def _deinterleave_bit_pairs(code: int) -> tuple[int, int]:
+    def compact2(x: int) -> int:
+        x &= 0x3333333333333333
+        x |= x >> 2
+        x &= 0x0F0F0F0F0F0F0F0F
+        x |= x >> 4
+        x &= 0x00FF00FF00FF00FF
+        x |= x >> 8
+        x &= 0x0000FFFF0000FFFF
+        x |= x >> 16
+        return x & 0xFFFFFFFF
+    return compact2(code), compact2(code >> 2)
+
+
+def _pv_can_encode(d_min: int, d_max: int, delta_bits: int,
+                   overlap_bits: int, have_exceptions: bool) -> bool:
+    d_min &= ~_bit_mask(delta_bits - overlap_bits) & _U64
+    max_delta = _bit_mask(delta_bits)
+    if have_exceptions:
+        if max_delta < _PV_BLOCK_SIZE:
+            return False
+        max_delta -= _PV_BLOCK_SIZE
+    return (d_min > (_U64 ^ max_delta)) or (d_min + max_delta >= d_max)
+
+
+def _pv_block_code(values: list[int], base: int,
+                   have_exceptions: bool) -> tuple[int, int, int]:
+    """(delta_bits, offset_bits, overlap_bits) for one block
+    (encoded_s2point_vector.cc GetBlockCode)."""
+    enc = [v for v in values if v != _PV_EXCEPTION]
+    if not enc:
+        return 4, 0, 0
+    b_min = min(enc) - base
+    b_max = max(enc) - base
+    delta_bits = (max(1, (b_max - b_min).bit_length() - 1) + 3) & ~3
+    overlap_bits = 0
+    if not _pv_can_encode(b_min, b_max, delta_bits, 0, have_exceptions):
+        if _pv_can_encode(b_min, b_max, delta_bits, 4, have_exceptions):
+            overlap_bits = 4
+        else:
+            delta_bits += 4
+            if not _pv_can_encode(b_min, b_max, delta_bits, 0,
+                                  have_exceptions):
+                overlap_bits = 4
+    if len(values) == 1 and not have_exceptions:
+        delta_bits = 8       # singleton blocks waste 4 bits otherwise
+    max_delta = _bit_mask(delta_bits) - \
+        (_PV_BLOCK_SIZE if have_exceptions else 0)
+    offset_bits = 0
+    if b_max > max_delta:
+        offset_shift = delta_bits - overlap_bits
+        mask = _bit_mask(offset_shift)
+        min_offset = (b_max - max_delta + mask) & ~mask
+        offset_bits = (min_offset.bit_length() - offset_shift + 7) & ~7
+        if offset_bits == 64:
+            overlap_bits = 4
+    return delta_bits, offset_bits, overlap_bits
+
+
+def encode_point_vector(pts: np.ndarray, hint: str = "compact") -> bytes:
+    """EncodeS2PointVector: UNCOMPRESSED (varint size|format + raw
+    doubles) for `fast`, CELL_IDS block format for `compact` when
+    enough points are cell centers (>=5%)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+    n = len(pts)
+
+    def fast() -> bytes:
+        out = bytearray()
+        put_varint(out, (n << _PV_FORMAT_BITS) | _PV_UNCOMPRESSED)
+        return bytes(out) + pts.astype("<f8").tobytes()
+
+    if hint == "fast" or n == 0:
+        return fast()
+    face, si, ti, cell_level = xyz_to_face_si_ti(pts)
+    counts = np.bincount(cell_level[cell_level >= 0], minlength=31) \
+        if (cell_level >= 0).any() else np.zeros(31, dtype=np.int64)
+    level = int(np.argmax(counts))
+    if counts[level] <= 0.05 * n:
+        return fast()
+    shift = MAX_LEVEL - level
+    values = []
+    have_exceptions = False
+    for k in range(n):
+        if cell_level[k] != level:
+            values.append(_PV_EXCEPTION)
+            have_exceptions = True
+        else:
+            sj = ((((int(face[k]) & 3) << 30) | (int(si[k]) >> 1))
+                  & 0xFFFFFFFF) >> shift
+            tj = ((((int(face[k]) & 4) << 29) | int(ti[k]))
+                  & 0xFFFFFFFF) >> (shift + 1)
+            values.append(_interleave_bit_pairs(sj, tj))
+    # global base: shared prefix of non-exception values, 0-7 bytes
+    enc_vals = [v for v in values if v != _PV_EXCEPTION]
+    v_min, v_max = min(enc_vals), max(enc_vals)
+    min_delta_bits = 8 if (have_exceptions or n == 1) else 4
+    excluded_bits = max((v_min ^ v_max).bit_length(),
+                        min_delta_bits, _base_shift(level, 56))
+    base = v_min & ~_bit_mask(excluded_bits)
+    if base == 0:
+        base_bits = 0
+    else:
+        low_bit = (base & -base).bit_length() - 1
+        base_bits = (_max_bits_for_level(level) - low_bit + 7) & ~7
+    base = v_min & ~_bit_mask(_base_shift(level, base_bits))
+    base_bytes = base_bits >> 3
+    num_blocks = (n + _PV_BLOCK_SIZE - 1) >> _PV_BLOCK_SHIFT
+    last_block_count = n - _PV_BLOCK_SIZE * (num_blocks - 1)
+    out = bytearray()
+    out.append(_PV_CELL_IDS | (int(have_exceptions) << 3)
+               | ((last_block_count - 1) << 4))
+    out.append(base_bytes | (level << 3))
+    out += (base >> _base_shift(level, base_bits)) \
+        .to_bytes(8, "little")[:base_bytes]
+    blocks = []
+    for i in range(0, n, _PV_BLOCK_SIZE):
+        bvals = values[i:i + _PV_BLOCK_SIZE]
+        delta_bits, offset_bits, overlap_bits = \
+            _pv_block_code(bvals, base, have_exceptions)
+        offset_bytes = offset_bits >> 3
+        delta_nibbles = delta_bits >> 2
+        overlap_nibbles = overlap_bits >> 2
+        block = bytearray()
+        block.append((offset_bytes - overlap_nibbles)
+                     | (overlap_nibbles << 3) | (delta_nibbles - 1) << 4)
+        enc_b = [v - base for v in bvals if v != _PV_EXCEPTION]
+        offset = min(enc_b) if enc_b else 0
+        offset_shift = delta_bits - overlap_bits
+        offset &= ~_bit_mask(offset_shift)
+        if offset > 0:
+            block += (offset >> offset_shift) \
+                .to_bytes(8, "little")[:offset_bytes]
+        delta_bytes = (delta_nibbles + 1) >> 1
+        exceptions = []
+        for j, v in enumerate(bvals):
+            if v == _PV_EXCEPTION:
+                delta = len(exceptions)
+                exceptions.append(pts[i + j])
+            else:
+                delta = v - (offset + base)
+                if have_exceptions:
+                    delta += _PV_BLOCK_SIZE
+            if (delta_nibbles & 1) and (j & 1):
+                # share a byte with the previous delta's high nibble
+                last = block.pop()
+                delta = (delta << 4) | (last & 0xF)
+            block += delta.to_bytes(8, "little")[:delta_bytes]
+        for exc in exceptions:
+            block += np.asarray(exc, dtype="<f8").tobytes()
+        blocks.append(bytes(block))
+    return bytes(out) + encode_string_vector(blocks)
+
+
+def decode_point_vector(buf) -> np.ndarray:
+    fmt = buf[0] & ((1 << _PV_FORMAT_BITS) - 1)
+    if fmt == _PV_UNCOMPRESSED:
+        size_fmt, pos = get_varint(buf, 0)
+        n = size_fmt >> _PV_FORMAT_BITS
+        return np.frombuffer(buf, dtype="<f8", count=3 * n,
+                             offset=pos).reshape(n, 3).copy()
+    if fmt != _PV_CELL_IDS:
+        raise ValueError(f"bad point vector format {fmt}")
+    header1, header2 = buf[0], buf[1]
+    have_exceptions = (header1 & 8) != 0
+    last_block_count = (header1 >> 4) + 1
+    base_bytes = header2 & 7
+    level = header2 >> 3
+    pos = 2
+    base = int.from_bytes(bytes(buf[pos:pos + base_bytes]) +
+                          b"\x00" * (8 - base_bytes), "little") \
+        << _base_shift(level, base_bytes << 3)
+    pos += base_bytes
+    blocks, _ = decode_string_vector(buf, pos)
+    n = _PV_BLOCK_SIZE * (len(blocks) - 1) + last_block_count
+    shift = MAX_LEVEL - level
+    pts = np.empty((n, 3), dtype=np.float64)
+    for bi, block in enumerate(blocks):
+        header = block[0]
+        overlap_nibbles = (header >> 3) & 1
+        offset_bytes = (header & 7) + overlap_nibbles
+        delta_nibbles = (header >> 4) + 1
+        p = 1
+        offset = 0
+        if offset_bytes > 0:
+            offset_shift = (delta_nibbles - overlap_nibbles) << 2
+            offset = int.from_bytes(
+                bytes(block[p:p + offset_bytes]) +
+                b"\x00" * (8 - offset_bytes), "little") << offset_shift
+            p += offset_bytes
+        block_size = min(_PV_BLOCK_SIZE, n - bi * _PV_BLOCK_SIZE)
+        deltas_end = p + ((block_size * delta_nibbles + 1) >> 1)
+        delta_bytes = (delta_nibbles + 1) >> 1
+        for j in range(block_size):
+            nib_off = j * delta_nibbles
+            dptr = p + (nib_off >> 1)
+            delta = int.from_bytes(
+                bytes(block[dptr:dptr + delta_bytes]) +
+                b"\x00" * (8 - delta_bytes), "little")
+            delta >>= (nib_off & 1) << 2
+            delta &= _bit_mask(delta_nibbles << 2)
+            idx = bi * _PV_BLOCK_SIZE + j
+            if have_exceptions:
+                if delta < _PV_BLOCK_SIZE:
+                    eptr = deltas_end + delta * 24
+                    pts[idx] = np.frombuffer(block, dtype="<f8",
+                                             count=3, offset=eptr)
+                    continue
+                delta -= _PV_BLOCK_SIZE
+            value = base + offset + delta
+            sj, tj = _deinterleave_bit_pairs(value)
+            si = (((sj << 1) | 1) << shift) & 0x7FFFFFFF
+            ti = (((tj << 1) | 1) << shift) & 0x7FFFFFFF
+            f = (((sj << shift) & 0xFFFFFFFF) >> 30) \
+                | ((((tj << (shift + 1)) & 0xFFFFFFFF) >> 29) & 4)
+            x, y, z = coords.face_uv_to_xyz(
+                np.array([f]),
+                coords.st_to_uv(coords.si_ti_to_st(np.array([si]))),
+                coords.st_to_uv(coords.si_ti_to_st(np.array([ti]))))
+            x, y, z = coords.normalize_xyz(x, y, z)
+            pts[idx] = [x[0], y[0], z[0]]
+    return pts
+
+
+# ---------------------------------------------------------------------------
 # trivial S2CellId coder (8 bytes, little-endian)
 # ---------------------------------------------------------------------------
 

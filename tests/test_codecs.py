@@ -289,6 +289,130 @@ def test_polygon_coder_v4_bound_for_big_loops():
     assert dec["bound"] is None
 
 
+# ---------------------------------------------------------------------------
+# EncodedS2PointVector (encoded_s2point_vector_test.cc goldens)
+# ---------------------------------------------------------------------------
+
+def _pt(cid: int):
+    x, y, z = ci.to_point(np.array([cid], dtype=np.uint64))
+    return [x[0], y[0], z[0]]
+
+
+def _pv(pts, hint, want_len=None):
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 3)
+    enc = cx.encode_point_vector(pts, hint)
+    assert np.array_equal(cx.decode_point_vector(enc), pts)
+    if want_len is not None:
+        assert len(enc) == want_len
+    return enc
+
+
+def _norm(v):
+    v = np.asarray(v, dtype=np.float64)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def test_point_vector_basic_goldens():
+    _pv(np.empty((0, 3)), "fast", 1)
+    _pv(np.empty((0, 3)), "compact", 1)
+    _pv([[1, 0, 0]], "fast", 25)
+    _pv([[1, 0, 0]], "compact", 6)
+    a = [1.0, 0.0, 0.0]
+    exc = _norm([1, 2, 3])
+    _pv([exc] + [a] * 15 + [a], "compact", 48)   # exceptions, no overlap
+    aa = _pt(0x946DF618D0000000)
+    bb = _pt(0x947209E070000000)
+    _pv([exc] + [aa] * 15 + [bb], "compact", 54)  # exceptions + overlap
+
+
+def test_point_vector_cellid_with_exception():
+    _pv([_pt(_cell_from_path(1, "23")), _norm([0.1, 0.2, 0.3])],
+        "compact", 31)
+
+
+def test_point_vector_multiple_levels():
+    # level with most points wins; others become exceptions
+    pts = [_pt(_cell_from_path(2, "11001310230102")),
+           _pt(_cell_from_path(1, "23322")),
+           _pt(_cell_from_path(3, "3")),
+           _pt(_cell_from_path(1, "23323")),
+           _pt(_cell_from_path(2, "12101023022012"))]
+    _pv(pts, "compact", 83)
+
+
+def _encoded_value_to_point(value: int, level: int):
+    """Reference test helper EncodedValueToPoint (single-bit
+    deinterleave) re-derived."""
+    sj, tj = cx._deinterleave_u32(np.array([value], dtype=np.uint64))
+    sj, tj = int(sj[0]), int(tj[0])
+    shift = 30 - level
+    si = (((sj << 1) | 1) << shift) & 0x7FFFFFFF
+    ti = (((tj << 1) | 1) << shift) & 0x7FFFFFFF
+    face = (((sj << shift) & 0xFFFFFFFF) >> 30) \
+        | ((((tj << (shift + 1)) & 0xFFFFFFFF) >> 29) & 4)
+    x, y, z = coords.face_uv_to_xyz(
+        np.array([face]),
+        coords.st_to_uv(coords.si_ti_to_st(np.array([si]))),
+        coords.st_to_uv(coords.si_ti_to_st(np.array([ti]))))
+    x, y, z = coords.normalize_xyz(x, y, z)
+    return [x[0], y[0], z[0]]
+
+
+@pytest.mark.parametrize("vals,level,want", [
+    ([0x72, 0x74, 0x75, 0x7E], 3, 18),    # min delta bits, no overlap
+    ([0x78, 0x7A, 0x7C, 0x84], 3, 18),    # overlap needed
+    ([0x08, 0x4E, 0x82, 0x104], 3, 21),   # extra delta bits
+    ([0xF08, 0xF4E, 0xF82, 0x1004], 5, 22),  # extra bits + overlap
+])
+def test_point_vector_block_code_cases(vals, level, want):
+    pts = [_encoded_value_to_point(0, level)] * 16 + \
+        [_encoded_value_to_point(v, level) for v in vals]
+    _pv(pts, "compact", want)
+
+
+def test_point_vector_sixty_four_bit_offset():
+    begin30 = _cell_from_path(0, "0" * 30)
+    last = 0xBFFFFFFFFFFFFFFF                 # End(30).prev()
+    _pv([_pt(begin30)] * 16 + [_pt(last), _pt(last - 2)], "compact", 24)
+
+
+def test_point_vector_all_exceptions_block():
+    pts = [_encoded_value_to_point(0, 30)] * 16 + \
+        [_norm([0.1, 0.2, 0.3]), _norm([0.3, 0.2, 0.1])]
+    _pv(pts, "compact", 72)
+    _pv(pts, "fast", 434)
+
+
+def test_point_vector_all_level_goldens():
+    last_leaf = np.array([0xBFFFFFFFFFFFFFFF], dtype=np.uint64)
+    for level in range(31):
+        first = _cell_from_path(0, "0" * level)
+        lastc = int(np.atleast_1d(ci.as_u64(
+            ci.parent(last_leaf, level)))[0])
+        prevc = int(np.atleast_1d(ci.as_u64(ci.prev_cell(
+            np.array([lastc], dtype=np.uint64))))[0])
+        maxc = int(np.atleast_1d(ci.as_u64(ci.parent(
+            ci.from_face_ij(np.array([5]), np.array([(1 << 30) - 1]),
+                            np.array([(1 << 30) - 1])), level)))[0])
+        _pv([_pt(first)], "compact", 6)               # FirstAtAllLevels
+        _pv([_pt(lastc)], "compact", 6 + level // 4)  # LastAtAllLevels
+        _pv([_pt(lastc), _pt(prevc)], "compact",
+            6 + (level + 2) // 4)                     # LastTwoPoints
+        _pv([_pt(lastc)] * 32, "compact",
+            23 + (level + 2) // 4 + (1 if level == 30 else 0))
+        _pv([_pt(maxc)], "compact",
+            6 if level < 4 else 6 + (level + 1) // 4)  # MaxFaceSiTi
+
+
+def test_string_vector_roundtrip():
+    items = [b"", b"a", b"hello", bytes(range(256))]
+    buf = cx.encode_string_vector(items)
+    dec, pos = cx.decode_string_vector(buf)
+    assert dec == items and pos == len(buf)
+    buf = cx.encode_string_vector([])
+    assert cx.decode_string_vector(buf)[0] == []
+
+
 def test_cellid_trivial_coder():
     cid = _u(ci.from_latlng(np.array([42.0]), np.array([7.0])))
     assert cx.decode_cellid(cx.encode_cellid(cid)) == cid
