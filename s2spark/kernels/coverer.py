@@ -41,6 +41,70 @@ class CellUnionRegion:
         return [int(v) for v in self.ids]
 
 
+class RegionUnion:
+    """S2RegionUnion (s2region_union.h, s2region_union.cc:81-100):
+    the union of N sub-regions.  Contains(cell) is true iff SOME
+    sub-region contains the cell (conservative false negatives are
+    allowed by the S2Region contract); MayIntersect(cell) iff some
+    sub-region may intersect.  Bound: the normalized union of the
+    sub-regions' cell-union bounds — a valid superset of the union
+    and tighter than the reference's cap-of-united-rects."""
+
+    def __init__(self, regions: list):
+        self.regions = list(regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return any(r.may_intersect_cell(cell) for r in self.regions)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return any(r.contains_cell(cell) for r in self.regions)
+
+    def contains_point(self, p) -> bool:
+        return any(r.contains_point(p) for r in self.regions)
+
+    def get_cell_union_bound(self) -> list:
+        ids: list[int] = []
+        for r in self.regions:
+            ids.extend(int(v) for v in r.get_cell_union_bound())
+        if not ids:
+            return []
+        return [int(v) for v in
+                cellunion.normalize(np.array(ids, dtype=np.uint64))]
+
+
+class RegionIntersection:
+    """S2RegionIntersection (s2region_intersection.cc:77-95): the
+    intersection of N sub-regions.  Contains(cell)/MayIntersect(cell)
+    iff EVERY sub-region does (MayIntersect may over-report, which the
+    contract allows).  Bound: the cell-union intersection of the
+    sub-regions' bounds — valid since ∩R_i ⊆ ∩B_i."""
+
+    def __init__(self, regions: list):
+        self.regions = list(regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return all(r.may_intersect_cell(cell) for r in self.regions)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return all(r.contains_cell(cell) for r in self.regions)
+
+    def contains_point(self, p) -> bool:
+        return all(r.contains_point(p) for r in self.regions)
+
+    def get_cell_union_bound(self) -> list:
+        if not self.regions:
+            return []
+        acc = cellunion.normalize(np.array(
+            [int(v) for v in self.regions[0].get_cell_union_bound()],
+            dtype=np.uint64))
+        for r in self.regions[1:]:
+            b = cellunion.normalize(np.array(
+                [int(v) for v in r.get_cell_union_bound()],
+                dtype=np.uint64))
+            acc = cellunion.intersection(acc, b)
+        return [int(v) for v in acc]
+
+
 class _Candidate:
     __slots__ = ("cell", "is_terminal", "children")
 

@@ -220,5 +220,76 @@ class TestCoverer:
         return local @ rot.T
 
 
+class TestRegionCompositions:
+    """RegionUnion / RegionIntersection (s2region_union.cc:81-100,
+    s2region_intersection.cc:77-95) as coverable regions."""
+
+    def _two_caps(self, overlap: bool):
+        a = Cap.from_latlng_radius(10.0, 20.0, 0.05)
+        lng = 20.0 + (2.0 if overlap else 60.0)
+        b = Cap.from_latlng_radius(10.0, lng, 0.05)
+        return a, b
+
+    def test_union_covering_covers_both_caps(self):
+        a, b = self._two_caps(overlap=False)
+        rc = cov.RegionCoverer(max_cells=16)
+        covering = rc.get_covering(cov.RegionUnion([a, b]))
+        rng = np.random.RandomState(3)
+        for cap in (a, b):
+            pts = TestCoverer._sample_cap_points(rng, cap, 200)
+            leaves = c.from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+            assert cu.contains_cell(covering, leaves).all()
+        # every covering cell may-intersect the union
+        for cid in covering:
+            cell = Cell(int(cid))
+            assert a.may_intersect_cell(cell) or b.may_intersect_cell(cell)
+
+    def test_union_contains_cell_any_semantics(self):
+        a, b = self._two_caps(overlap=False)
+        u = cov.RegionUnion([a, b])
+        inner = Cell(int(c.from_latlng(np.array([10.0]),
+                                       np.array([20.0]))[0]))
+        assert a.contains_cell(inner) == u.contains_cell(inner)
+        far = Cell(int(c.parent(c.from_latlng(np.array([-60.0]),
+                                              np.array([150.0])), 5)[0]))
+        assert not u.contains_cell(far)
+        assert not u.may_intersect_cell(far)
+
+    def test_intersection_covering_contains_common_points(self):
+        a, b = self._two_caps(overlap=True)
+        rc = cov.RegionCoverer(max_cells=16)
+        covering = rc.get_covering(cov.RegionIntersection([a, b]))
+        rng = np.random.RandomState(7)
+        pts = TestCoverer._sample_cap_points(rng, a, 2000)
+        in_both = np.array([b.contains_point(p) for p in pts])
+        pts = pts[in_both]
+        assert pts.size  # the caps do overlap
+        leaves = c.from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+        assert cu.contains_cell(covering, leaves).all()
+        # every covering cell must may-intersect BOTH caps
+        for cid in covering:
+            cell = Cell(int(cid))
+            assert a.may_intersect_cell(cell)
+            assert b.may_intersect_cell(cell)
+
+    def test_intersection_of_disjoint_caps_is_empty(self):
+        a, b = self._two_caps(overlap=False)
+        r = cov.RegionIntersection([a, b])
+        rc = cov.RegionCoverer(max_cells=16)
+        assert rc.get_covering(r).size == 0
+
+    def test_intersection_contains_cell_all_semantics(self):
+        a, b = self._two_caps(overlap=True)
+        r = cov.RegionIntersection([a, b])
+        # a cell inside cap A only is NOT contained in the intersection
+        cell_a = Cell(int(c.from_latlng(np.array([10.0]),
+                                        np.array([20.0]))[0]))
+        if a.contains_cell(cell_a) and not b.contains_cell(cell_a):
+            assert not r.contains_cell(cell_a)
+        # nested composition: union inside intersection
+        nested = cov.RegionIntersection([cov.RegionUnion([a, b]), a])
+        assert nested.may_intersect_cell(cell_a)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
