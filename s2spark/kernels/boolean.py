@@ -55,35 +55,80 @@ def _state(loop, cell: Cell) -> int:
     return IN if loop.contains_point(cell.get_center()) else OUT
 
 
+def _batch_states(loop, cids: np.ndarray, need: np.ndarray) -> np.ndarray:
+    """States (IN/OUT/BND) for cells where `need`, -1 elsewhere.  The
+    boundary test is per-cell (edge kernel is vectorized over EDGES);
+    centers + containment run as ONE vectorized call per level —
+    identical values to the per-cell path (same to_point / parity
+    kernels), just batched."""
+    states = np.full(len(cids), -1, dtype=np.int8)
+    idx = np.nonzero(need)[0]
+    if idx.size == 0:
+        return states
+    bnd = np.fromiter(
+        (bool(loop.edge_intersects_cell(Cell(int(cids[i]))).any())
+         for i in idx), dtype=bool, count=idx.size)
+    states[idx[bnd]] = BND
+    rest = idx[~bnd]
+    if rest.size:
+        x, y, z = cellid.to_point(cids[rest])
+        pts = np.stack([x, y, z], axis=1)
+        if hasattr(loop, "contains_points"):
+            ins = np.asarray(loop.contains_points(pts), dtype=bool)
+        else:
+            ins = np.fromiter((bool(loop.contains_point(p)) for p in pts),
+                              dtype=bool, count=rest.size)
+        states[rest[ins]] = IN
+        states[rest[~ins]] = OUT
+    return states
+
+
+def _dfs_order(cids: np.ndarray) -> np.ndarray:
+    """Pre-order DFS over Hilbert children == ascending interval
+    start; for disjoint cells that is range_min order."""
+    u = cids.view(np.uint64) if cids.dtype != np.uint64 else cids
+    return np.argsort(u - (cellid.lsb(u) - np.uint64(1)), kind="stable")
+
+
 def classify_pair(a, b, max_level: int) -> np.ndarray:
     """-> structured array (cell:int64, sa:int8, sb:int8) of terminal
     cells; cells decidedly outside BOTH loops are pruned (they
-    contribute to no op)."""
-    rows: list[tuple[int, int, int]] = []
-
-    def visit(cid: int, level: int, sa_parent: int, sb_parent: int):
-        cell = Cell(cid)
-        # a decided parent state is inherited — descendants of a fully
-        # inside/outside cell cannot change state
-        sa = sa_parent if sa_parent != BND else _state(a, cell)
-        sb = sb_parent if sb_parent != BND else _state(b, cell)
-        if sa != BND and sb != BND:
-            if sa == IN or sb == IN:
-                rows.append((cid, sa, sb))
-            return
-        if level >= max_level:
-            rows.append((cid, sa, sb))
-            return
-        for ch in cellid.child(np.full(4, cid, dtype=np.uint64),
-                               np.arange(4)):
-            visit(int(ch), level + 1, sa, sb)
-
-    for face in range(6):
-        visit(int(cellid.from_face(np.array([face]))[0]), 0, BND, BND)
-    out = np.zeros(len(rows), dtype=[("cell", np.int64),
-                                     ("sa", np.int8), ("sb", np.int8)])
-    for i, (c, sa, sb) in enumerate(rows):
-        out[i] = (np.int64(np.uint64(c).astype(np.int64)), sa, sb)
+    contribute to no op).  Level-synchronous BFS with batched
+    center/containment kernels; rows in DFS (Hilbert) order."""
+    cids = cellid.from_face(np.arange(6))
+    psa = np.full(6, BND, dtype=np.int8)  # parent states (BND ⇒ test)
+    psb = np.full(6, BND, dtype=np.int8)
+    out_c: list[np.ndarray] = []
+    out_sa: list[np.ndarray] = []
+    out_sb: list[np.ndarray] = []
+    for level in range(max_level + 1):
+        sa = np.where(psa != BND, psa, _batch_states(a, cids, psa == BND))
+        sb = np.where(psb != BND, psb, _batch_states(b, cids, psb == BND))
+        decided = (sa != BND) & (sb != BND)
+        keep = decided & ((sa == IN) | (sb == IN))
+        terminal = keep | (np.full(len(cids), level >= max_level) & ~decided)
+        if terminal.any():
+            out_c.append(cids[terminal])
+            out_sa.append(sa[terminal])
+            out_sb.append(sb[terminal])
+        descend = ~decided & (level < max_level)
+        if not descend.any():
+            break
+        par = cids[descend]
+        cids = cellid.child(np.repeat(par, 4),
+                            np.tile(np.arange(4), len(par)))
+        psa = np.repeat(sa[descend], 4)
+        psb = np.repeat(sb[descend], 4)
+    if not out_c:
+        return np.zeros(0, dtype=[("cell", np.int64),
+                                  ("sa", np.int8), ("sb", np.int8)])
+    cells = np.concatenate(out_c)
+    order = _dfs_order(cells)
+    out = np.zeros(len(cells), dtype=[("cell", np.int64),
+                                      ("sa", np.int8), ("sb", np.int8)])
+    out["cell"] = cellid.as_i64(cells)[order]
+    out["sa"] = np.concatenate(out_sa)[order]
+    out["sb"] = np.concatenate(out_sb)[order]
     return out
 
 
@@ -93,29 +138,32 @@ def classify_loop(loop, max_level: int
     boundary_cells) int64 ids.  Interior cells are *fully inside* (no
     max_cells pruning, unlike RegionCoverer); boundary cells are the
     max_level cells meeting ∂loop.  Used as the independent per-
-    polygon side of the overlay oracle."""
-    interior: list[int] = []
-    boundary: list[int] = []
-
-    def visit(cid: int, level: int):
-        cell = Cell(cid)
-        s = _state(loop, cell)
-        if s == IN:
-            interior.append(cid)
-            return
-        if s == OUT:
-            return
+    polygon side of the overlay oracle.  Level-synchronous BFS with
+    batched center/containment kernels; outputs in DFS order."""
+    cids = cellid.from_face(np.arange(6))
+    interior: list[np.ndarray] = []
+    boundary: list[np.ndarray] = []
+    for level in range(max_level + 1):
+        s = _batch_states(loop, cids, np.ones(len(cids), dtype=bool))
+        if (s == IN).any():
+            interior.append(cids[s == IN])
         if level >= max_level:
-            boundary.append(cid)
-            return
-        for ch in cellid.child(np.full(4, cid, dtype=np.uint64),
-                               np.arange(4)):
-            visit(int(ch), level + 1)
+            if (s == BND).any():
+                boundary.append(cids[s == BND])
+            break
+        par = cids[s == BND]
+        if not len(par):
+            break
+        cids = cellid.child(np.repeat(par, 4),
+                            np.tile(np.arange(4), len(par)))
 
-    for face in range(6):
-        visit(int(cellid.from_face(np.array([face]))[0]), 0)
-    as_i64 = lambda v: cellid.as_i64(np.array(v, dtype=np.uint64))  # noqa
-    return as_i64(interior), as_i64(boundary)
+    def pack(chunks: list[np.ndarray]) -> np.ndarray:
+        if not chunks:
+            return cellid.as_i64(np.zeros(0, dtype=np.uint64))
+        v = np.concatenate(chunks)
+        return cellid.as_i64(v[_dfs_order(v)])
+
+    return pack(interior), pack(boundary)
 
 
 def _op_mask(sa: np.ndarray, sb: np.ndarray, op: str) -> np.ndarray:
