@@ -606,6 +606,22 @@ def q_polygon_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_level=BUFFER_MAX_LEVEL)
 
 
+def q_polygon_buffer_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered OUTPUT GEOMETRY (S2BufferOperation polygon output,
+    s2buffer_operation.h:16-24): per loop the offset-curve boundary
+    chain (per-edge small-circle offsets + convex-vertex join arcs,
+    kernels/buffer.buffer_geometry), one row per vertex, snapped to
+    level-14 site cells.  Exactness pinned by tests/test_buffer.py
+    (cap fixture: buffer of a spherical circle IS the grown circle)
+    and the certification sandwich vs classify_buffer.  Materialized
+    driver-kernel oracle."""
+    from s2spark.ops import boolean as bops
+    from s2spark.ops import pip
+    loops = pip.synth_loops(N_BUFFER_LOOPS)
+    return bops.buffer_geom(spark, loops, BUFFER_RADIUS,
+                            snap_level=GEOM_SNAP_LEVEL)
+
+
 def q_density_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven cell density tree (S2DensityTree analogue,
     s2density_tree.h:16-40): adaptive per-cell weights subdivided
@@ -810,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_dtw": q_track_dtw,
         "density_tree": q_density_tree,
         "polygon_buffer": q_polygon_buffer,
+        "polygon_buffer_geom": q_polygon_buffer_geom,
         "loop_validation": q_loop_validation,
         "track_snap": q_track_snap,
         "winding_number": q_winding_number,
@@ -1438,6 +1455,7 @@ def _geometry_oracles() -> dict[str, str]:
         "winding_number": winding_sql,
         "raster_cell_map": _raster_oracle(),
         "polygon_buffer": _buffer_oracle(),
+        "polygon_buffer_geom": _buffer_geom_oracle(),
         "loop_validation": _validation_oracle(),
         "track_simplify": _track_simplify_oracle(),
         "track_dtw": _track_dtw_oracle(),
@@ -1622,6 +1640,27 @@ def _buffer_oracle() -> str:
             "CAST(b AS BIGINT) AS interior_cells, "
             "CAST(c AS BIGINT) AS band_cells FROM (VALUES "
             + ", ".join(rows) + ") AS _b(loop_id, a, b, c)")
+
+
+def _buffer_geom_oracle() -> str:
+    """Driver-kernel materialized expected chain rows for
+    polygon_buffer_geom (geometry pinned by tests/test_buffer.py cap
+    fixture + certification sandwich)."""
+    from s2spark.kernels import buffer as _bu
+    from s2spark.kernels import cellid as _ck
+    from s2spark.ops import pip as _pip
+    rows = []
+    for lid, loop in _pip.synth_loops(N_BUFFER_LOOPS).items():
+        chain = _bu.buffer_geometry(loop, BUFFER_RADIUS)
+        cells = _ck.as_i64(_ck.parent(
+            _ck.from_xyz(chain[:, 0], chain[:, 1], chain[:, 2]),
+            GEOM_SNAP_LEVEL))
+        rows.extend(f"({lid}, {s}, {int(c)})"
+                    for s, c in enumerate(cells))
+    return ("SELECT CAST(loop_id AS BIGINT) AS loop_id, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows) + ") AS _bg(loop_id, seq, site_cell)")
 
 
 def _closest_cell_oracle() -> str:

@@ -80,3 +80,86 @@ def classify_buffer(loop, radius_rad: float, max_level: int
         visit(int(cellid.from_face(np.array([face]))[0]), 0)
     as_i64 = lambda v: cellid.as_i64(np.array(v, dtype=np.uint64))  # noqa
     return as_i64(interior), as_i64(band)
+
+
+# ---------------------------------------------------------------------------
+# Buffered OUTPUT GEOMETRY (s2buffer_operation.cc layer semantics):
+# the boundary of B(loop, r) as a snapped vertex chain, built from
+# per-edge offset curves + per-vertex join arcs.
+
+
+def _slerp(a: np.ndarray, b: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Spherical interpolation a->b at fractions t (k,) -> (k,3)."""
+    d = float(np.clip(np.dot(a, b), -1.0, 1.0))
+    th = math.acos(d)
+    if th < 1e-12:
+        return np.repeat(a[None, :], len(t), axis=0)
+    s = math.sin(th)
+    return (np.sin((1.0 - t) * th)[:, None] * a[None, :]
+            + np.sin(t * th)[:, None] * b[None, :]) / s
+
+
+def buffer_geometry(loop, radius_rad: float,
+                    max_error_rad: float = 1e-3) -> np.ndarray:
+    """Boundary of the buffered region B(loop, r) as one closed (k,3)
+    vertex chain (CCW, same parity interpretation as the input).
+
+    Construction (the reference's s2buffer_operation.cc builds the
+    same offset curves, then snap-rounds through S2Builder):
+    - each edge a->b with great-circle pole n = (a×b)/|a×b| (interior
+      of a CCW loop lies on the +n side) offsets OUTWARD to the small
+      circle y(t) = cos(r)·x(t) − sin(r)·n — exactly the distance-r
+      level set of the edge's geodesic (|y| = 1 since x ⊥ n);
+    - each CONVEX vertex b joins adjacent offsets with the arc of the
+      distance-r circle around b: y(s) = cos(r)·b − sin(r)·u(s), u(s)
+      the in-tangent-plane slerp from the incoming to the outgoing
+      edge pole (both ⊥ b, so the sweep stays unit and ⊥ b) — this IS
+      the true buffer boundary near a convex vertex;
+    - REFLEX vertices get the same short-way sweep; the resulting
+      excursion is O(r·turn²) and stays within the certified
+      classify_buffer band for turning-angle-bounded (smooth) loops —
+      the MVP scope, asserted by the sandwich test.
+    - r < 0 erodes: offsets flip to the +n side and the convex/reflex
+      roles swap (same formulas with signed r).
+
+    Tessellation: angular step sqrt(8·max_error_rad), the sagitta
+    bound for unit-sphere arcs; the default 1e-3 rad error is far
+    inside the level-8..11 band widths the certification tests use.
+    """
+    v = np.asarray(loop.vertices, dtype=np.float64)
+    nv = len(v)
+    r = float(radius_rad)
+    if abs(r) < 1e-15:
+        return v.copy()
+    cr, sr = math.cos(r), math.sin(r)
+    nxt = np.roll(v, -1, axis=0)
+    poles = np.cross(v, nxt)
+    poles /= np.linalg.norm(poles, axis=1, keepdims=True)
+    step = math.sqrt(8.0 * max_error_rad)
+    out: list[np.ndarray] = []
+    for i in range(nv):
+        a, b = v[i], nxt[i]
+        n = poles[i]
+        # offset curve of the edge (excluding the far endpoint)
+        th = math.acos(float(np.clip(np.dot(a, b), -1.0, 1.0)))
+        m = max(1, int(math.ceil(th / step)))
+        t = np.arange(m) / m
+        x = _slerp(a, b, t)
+        out.append(cr * x - sr * n[None, :])
+        # join arc around b from this edge's pole to the next edge's —
+        # only where the adjacent offsets DIVERGE (convex turn for
+        # expansion, reflex turn for erosion); where they cross, the
+        # direct chain edge trims the corner instead (avoids the local
+        # reversed loop a crossing join arc would create)
+        n2 = poles[(i + 1) % nv]
+        turn = float(np.dot(np.cross(n, n2), b))
+        if turn * r > 0:
+            phi = math.acos(float(np.clip(np.dot(n, n2), -1.0, 1.0)))
+            if phi > 1e-12:
+                k = max(1, int(math.ceil(phi / step)))
+                s = np.arange(1, k) / k
+                u = _slerp(n, n2, s)
+                if len(u):
+                    out.append(cr * b[None, :] - sr * u)
+    chain = np.concatenate(out, axis=0)
+    return chain / np.linalg.norm(chain, axis=1, keepdims=True)

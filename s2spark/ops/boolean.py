@@ -250,6 +250,39 @@ def buffer_covering(spark: SparkSession,
     return verts.groupBy("loop_id").applyInPandas(run, schema)
 
 
+def buffer_geom(spark: SparkSession,
+                loops: dict[int, Loop] | DataFrame,
+                radius_rad: float, snap_level: int = 14) -> DataFrame:
+    """Buffered OUTPUT GEOMETRY (the reference's S2BufferOperation
+    emits polygons, s2buffer_operation.h:16-24): per loop the offset-
+    curve boundary chain (kernels/buffer.buffer_geometry), one row per
+    vertex, snapped to level-`snap_level` site cells (integers ⇒
+    tri-dialect oracle-safe).  Negative radius erodes.  Same parallel
+    shape as buffer_covering: one applyInPandas group per loop,
+    vertices riding the frame."""
+    from ..kernels import buffer as bu
+    from ..kernels import cellid as ci
+    from . import pip as _pip
+    verts = loops if isinstance(loops, DataFrame) \
+        else _pip.loops_to_df(spark, loops)
+    verts = verts.select(F.col("poly_id").alias("loop_id"), "vertices")
+    schema = "loop_id long, seq int, site_cell long"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lid, flat in zip(pdf["loop_id"], pdf["vertices"]):
+            chain = bu.buffer_geometry(_row_loop(flat), radius_rad)
+            cells = ci.as_i64(ci.parent(
+                ci.from_xyz(chain[:, 0], chain[:, 1], chain[:, 2]),
+                snap_level))
+            rows.extend((int(lid), s, int(c))
+                        for s, c in enumerate(cells))
+        return pd.DataFrame(rows, columns=["loop_id", "seq",
+                                           "site_cell"])
+
+    return verts.groupBy("loop_id").applyInPandas(run, schema)
+
+
 def overlay_refined(spark: SparkSession, loops_a: dict[int, Loop],
                     loops_b: dict[int, Loop], op: str,
                     pairs: list[tuple[int, int]] | None = None,

@@ -69,3 +69,82 @@ def test_buffer_monotone_and_contains_region():
     # erosion shrinks it
     i3, _ = bu.classify_buffer(loop, -0.03, 7)
     assert _leaves(i3) < _leaves(i1) or _leaves(i1) == 0
+
+
+# ---------------------------------------------------------------------------
+# buffer_geometry (output polygon, s2buffer_operation.cc layer)
+
+import math
+
+from s2spark.kernels.loops import Loop
+
+
+def _cap_loop(axis, rho, n=64):
+    axis = np.asarray(axis, dtype=np.float64)
+    axis /= np.linalg.norm(axis)
+    h = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+    e1 = np.cross(axis, h)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(axis, e1)
+    t = np.arange(n) / n * 2 * math.pi
+    pts = (math.cos(rho) * axis[None, :]
+           + math.sin(rho) * (np.cos(t)[:, None] * e1[None, :]
+                              + np.sin(t)[:, None] * e2[None, :]))
+    lp = Loop(pts)
+    return (lp if lp.contains_points(axis[None, :])[0]
+            else Loop(pts[::-1])), axis
+
+
+def test_buffer_geometry_cap_is_grown_circle():
+    """The buffer of a spherical circle is EXACTLY the grown circle:
+    every output vertex sits at rho+r from the center (within the
+    tessellation budget) and containment probes flip at rho+r."""
+    lp, axis = _cap_loop([0.3, -0.5, 0.81], 0.2)
+    for r in (0.1, -0.08):
+        chain = bu.buffer_geometry(lp, r)
+        ang = np.arccos(np.clip(chain @ axis, -1, 1))
+        assert abs(ang.min() - (0.2 + r)) < 2e-3
+        assert abs(ang.max() - (0.2 + r)) < 2e-3
+        blp = Loop(chain)
+        e1 = np.cross(axis, [1.0, 0, 0])
+        e1 /= np.linalg.norm(e1)
+        inner = math.cos(0.2 + r - 0.01) * axis + math.sin(0.2 + r - 0.01) * e1
+        outer = math.cos(0.2 + r + 0.01) * axis + math.sin(0.2 + r + 0.01) * e1
+        assert bool(blp.contains_points(inner[None, :])[0])
+        assert not bool(blp.contains_points(outer[None, :])[0])
+        assert bool(blp.contains_points(axis[None, :])[0])
+
+
+def test_buffer_geometry_certification_sandwich():
+    """classify_loop(Loop(buffer_geometry)) must sit inside the
+    certified classify_buffer envelope: interior ⊇ certified interior
+    and ⊆ certified interior ∪ band (the geometry's error budget is
+    far inside the level-7 band width)."""
+    from s2spark.kernels import cellunion as cu
+    loop = pip.synth_loops(4)[1]
+    for r in (0.05, -0.02):
+        cert_in, cert_band = bu.classify_buffer(loop, r, max_level=7)
+        chain = bu.buffer_geometry(loop, r)
+        geom_in, geom_band = bk.classify_loop(Loop(chain), 7)
+        cert_in_u = np.sort(np.asarray(cert_in, dtype=np.int64)
+                            .view(np.uint64))
+        cover_u = cu.normalize(np.concatenate([
+            np.asarray(cert_in, dtype=np.int64).view(np.uint64),
+            np.asarray(cert_band, dtype=np.int64).view(np.uint64)]))
+        geom_in_u = np.asarray(geom_in, dtype=np.int64).view(np.uint64)
+        # certified interior ⊆ geometry interior ∪ its band closure:
+        # every certified-interior cell is inside the geometry region
+        got = cu.contains_cell(
+            cu.normalize(np.concatenate([
+                geom_in_u,
+                np.asarray(geom_band, dtype=np.int64).view(np.uint64)])),
+            cert_in_u)
+        assert got.all()
+        # geometry interior never escapes the certified covering
+        assert cu.contains_cell(cover_u, geom_in_u).all()
+
+
+def test_buffer_geometry_zero_radius_identity():
+    loop = pip.synth_loops(2)[1]
+    chain = bu.buffer_geometry(loop, 0.0)
+    assert np.array_equal(chain, loop.vertices)
