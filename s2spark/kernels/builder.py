@@ -90,14 +90,46 @@ class CellIdSnapFunction:
         return np.asarray(Cell(int(key)).get_center(), dtype=np.float64)
 
 
+class IntLatLngSnapFunction:
+    """Snap to integer lat/lng at 10^exponent per degree
+    (s2builderutil_snap_functions.h IntLatLngSnapFunction): the site
+    key is the rounded (lat·s, lng·s) integer pair, the site point is
+    that grid point — the snap the reference's RoundToE(k) fixture
+    options use (s2boolean_operation_test.cc:60-75)."""
+
+    def __init__(self, exponent: int):
+        self.scale = 10.0 ** int(exponent)
+
+    def site_key(self, p: np.ndarray):
+        from .region import _latitude, _longitude
+        lat = math.degrees(_latitude(p))
+        lng = math.degrees(_longitude(p))
+        return (int(round(lat * self.scale)),
+                int(round(lng * self.scale)))
+
+    def site_point(self, key, p: np.ndarray) -> np.ndarray:
+        from .region import latlng_to_point
+        return np.asarray(latlng_to_point(
+            math.radians(key[0] / self.scale),
+            math.radians(key[1] / self.scale)), dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # crossing subdivision
 
 def _parity_contains(loops: list[Loop], points: np.ndarray) -> np.ndarray:
-    """Multi-loop even/odd containment (s2polygon.h:116-259 parity)."""
+    """Multi-loop even/odd containment (s2polygon.h:116-259 parity):
+    a point is inside iff it crosses an odd number of loop BOUNDARIES
+    from the outside — orientation-independent, so a CW hole (interior
+    on the left, S2Polygon nesting) contributes its DISK, not its
+    S2-interior complement.  Loop.contains_points is orientation-
+    aware; XOR-ing out the CW case (negative curvature) yields the
+    boundary-crossing parity.  (Inverted single loops as full-sphere
+    complements are outside the builder MVP scope.)"""
     acc = np.zeros(points.shape[0], dtype=np.int64)
     for lp in loops:
-        acc += lp.contains_points(points)
+        cw = lp.get_curvature() < 0
+        acc += lp.contains_points(points) ^ cw
     return (acc % 2) == 1
 
 

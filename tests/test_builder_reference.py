@@ -1,0 +1,157 @@
+"""S2Builder / boolean-operation parity against the reference's own
+published fixtures (s2boolean_operation_test.cc): inputs and expected
+output loops quoted verbatim; our overlay_geometry with the same
+IntLatLngSnapFunction rounding must reproduce the expected loops
+BIT-EXACTLY on the snapped integer lat/lng grid."""
+
+import math
+
+import pytest
+
+from s2spark.kernels import builder as bld
+from s2spark.kernels.loops import Loop, parse_vertices
+from s2spark.kernels.region import _latitude, _longitude
+
+
+def _loops_of(text: str) -> list:
+    return [Loop(parse_vertices(t.strip())) for t in text.split(";")]
+
+
+def _snap_key(chain, scale: float) -> tuple:
+    """Chain -> E(k)-integer lat/lng ring, rotated to its min vertex
+    (rotation-invariant, orientation-preserving)."""
+    out = [(round(math.degrees(_latitude(p)) * scale),
+            round(math.degrees(_longitude(p)) * scale)) for p in chain]
+    k = out.index(min(out))
+    return tuple(out[k:] + out[:k])
+
+
+def _check(a_text, b_text, exponent, op, want_text):
+    a, b = _loops_of(a_text), _loops_of(b_text)
+    snap = bld.IntLatLngSnapFunction(exponent)
+    scale = 10.0 ** exponent
+    got = sorted(_snap_key(c, scale)
+                 for c in bld.overlay_geometry(a, b, op, snap=snap))
+    want = sorted(_snap_key(parse_vertices(t.strip()), scale)
+                  for t in want_text.split(";"))
+    assert got == want, (op, got, want)
+
+
+# -- PolygonEdgePolygonEdgeCrossing (s2boolean_operation_test.cc:946) --
+CROSSING_A = "0:0, 0:2, 2:2, 2:0"
+CROSSING_B = "1:1, 1:3, 3:3, 3:1"
+CROSSING_EXPECT = {
+    "union": "0:0, 0:2, 1:2, 1:3, 3:3, 3:1, 2:1, 2:0",
+    "intersection": "1:1, 1:2, 2:2, 2:1",
+    "difference": "0:0, 0:2, 1:2, 1:1, 2:1, 2:0",
+    "symmetric_difference":
+        "0:0, 0:2, 1:2, 1:1, 2:1, 2:0; 1:2, 1:3, 3:3, 3:1, 2:1, 2:2",
+}
+
+
+@pytest.mark.parametrize("op", bld.OPS)
+def test_polygon_edge_crossing(op):
+    _check(CROSSING_A, CROSSING_B, 2, op, CROSSING_EXPECT[op])
+
+
+# -- PolygonPolygonInterior (s2boolean_operation_test.cc:1016) --
+INTERIOR_A = "0:0, 0:4, 4:4, 4:0"
+INTERIOR_B = "1:1, 1:2, 2:2, 2:1; 5:5, 5:6, 6:6, 6:5"
+INTERIOR_EXPECT = {
+    "union": "0:0, 0:4, 4:4, 4:0; 5:5, 5:6, 6:6, 6:5",
+    "intersection": "1:1, 1:2, 2:2, 2:1",
+    "difference": "0:0, 0:4, 4:4, 4:0; 2:1, 2:2, 1:2, 1:1",
+    "symmetric_difference":
+        "0:0, 0:4, 4:4, 4:0; 2:1, 2:2, 1:2, 1:1; 5:5, 5:6, 6:6, 6:5",
+}
+
+
+@pytest.mark.parametrize("op", bld.OPS)
+def test_polygon_polygon_interior(op):
+    _check(INTERIOR_A, INTERIOR_B, 2, op, INTERIOR_EXPECT[op])
+
+
+# -- ThreeOverlappingBars (s2boolean_operation_test.cc:1573) --
+BARS3_A = "0:0, 0:2, 3:2, 3:0; 0:3, 0:5, 3:5, 3:3"
+BARS3_B = "1:1, 1:4, 2:4, 2:1"
+BARS3_EXPECT = {
+    "union": "0:0, 0:2, 1:2, 1:3, 0:3, 0:5, 3:5, 3:3, 2:3, 2:2, 3:2, 3:0",
+    "intersection": "1:1, 1:2, 2:2, 2:1; 1:3, 1:4, 2:4, 2:3",
+    "difference": "0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0; "
+                  "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3",
+    "symmetric_difference":
+        "0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0; "
+        "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3; "
+        "1:2, 1:3, 2:3, 2:2",
+}
+
+
+@pytest.mark.parametrize("op", bld.OPS)
+def test_three_overlapping_bars(op):
+    _check(BARS3_A, BARS3_B, 2, op, BARS3_EXPECT[op])
+
+
+# -- FourOverlappingBars (s2boolean_operation_test.cc:1595) --
+BARS4_A = "1:88, 1:93, 2:93, 2:88; -1:88, -1:93, 0:93, 0:88"
+BARS4_B = "-2:89, -2:90, 3:90, 3:89; -2:91, -2:92, 3:92, 3:91"
+BARS4_EXPECT = {
+    "union": "-1:88, -1:89, -2:89, -2:90, -1:90, -1:91, -2:91, -2:92, "
+             "-1:92, -1:93, 0:93, 0:92, 1:92, 1:93, 2:93, 2:92, 3:92, "
+             "3:91, 2:91, 2:90, 3:90, 3:89, 2:89, 2:88, 1:88, 1:89, "
+             "0:89, 0:88; 0:90, 1:90, 1:91, 0:91",
+    "intersection": "1:89, 1:90, 2:90, 2:89; 1:91, 1:92, 2:92, 2:91; "
+                    "-1:89, -1:90, 0:90, 0:89; -1:91, -1:92, 0:92, 0:91",
+    "difference": "1:88, 1:89, 2:89, 2:88; 1:90, 1:91, 2:91, 2:90; "
+                  "1:92, 1:93, 2:93, 2:92; -1:88, -1:89, 0:89, 0:88; "
+                  "-1:90, -1:91, 0:91, 0:90; -1:92, -1:93, 0:93, 0:92",
+    "symmetric_difference":
+        "1:88, 1:89, 2:89, 2:88; -1:88, -1:89, 0:89, 0:88; "
+        "1:90, 1:91, 2:91, 2:90; -1:90, -1:91, 0:91, 0:90; "
+        "1:92, 1:93, 2:93, 2:92; -1:92, -1:93, 0:93, 0:92; "
+        "-2:89, -2:90, -1:90, -1:89; -2:91, -2:92, -1:92, -1:91; "
+        "0:89, 0:90, 1:90, 1:89; 0:91, 0:92, 1:92, 1:91; "
+        "2:89, 2:90, 3:90, 3:89; 2:91, 2:92, 3:92, 3:91",
+}
+
+
+@pytest.mark.parametrize("op", bld.OPS)
+def test_four_overlapping_bars(op):
+    _check(BARS4_A, BARS4_B, 2, op, BARS4_EXPECT[op])
+
+
+# -- OverlappingDoughnuts (s2boolean_operation_test.cc:1624) --
+# CW holes: exercises the orientation-normalized even/odd parity.
+DOUGH_A = "-1:-93, -1:-89, 3:-89, 3:-93; 0:-92, 2:-92, 2:-90, 0:-90"
+DOUGH_B = "-3:-91, -3:-87, 1:-87, 1:-91; -2:-90, 0:-90, 0:-88, -2:-88"
+DOUGH_EXPECT = {
+    "union": "-1:-93, -1:-91, -3:-91, -3:-87, 1:-87, 1:-89, 3:-89, "
+             "3:-93; 0:-92, 2:-92, 2:-90, 1:-90, 1:-91, 0:-91; "
+             "-2:-90, -1:-90, -1:-89, 0:-89, 0:-88, -2:-88",
+    "intersection": "-1:-91, -1:-90, 0:-90, 0:-91; "
+                    "0:-90, 0:-89, 1:-89, 1:-90",
+    "difference": "-1:-93, -1:-91, 0:-91, 0:-92, 2:-92, 2:-90, 1:-90, "
+                  "1:-89, 3:-89, 3:-93; -1:-90, -1:-89, 0:-89, 0:-90",
+    "symmetric_difference":
+        "-1:-93, -1:-91, 0:-91, 0:-92, 2:-92, 2:-90, 1:-90, 1:-89, "
+        "3:-89, 3:-93; "
+        "-3:-91, -3:-87, 1:-87, 1:-89, 0:-89, 0:-88,-2:-88,-2:-90,"
+        "-1:-90,-1:-91; "
+        "-1:-90, -1:-89, 0:-89, 0:-90; 1:-91, 0:-91, 0:-90, 1:-90",
+}
+
+
+@pytest.mark.parametrize("op", bld.OPS)
+def test_overlapping_doughnuts(op):
+    _check(DOUGH_A, DOUGH_B, 1, op, DOUGH_EXPECT[op])
+
+
+def test_int_latlng_snap_identity_on_grid_points():
+    """Grid-aligned inputs are fixed points of the snap."""
+    snap = bld.IntLatLngSnapFunction(2)
+    import numpy as np
+    from s2spark.kernels.region import latlng_to_point
+    p = np.asarray(latlng_to_point(math.radians(1.0), math.radians(2.0)))
+    key = snap.site_key(p)
+    assert key == (100, 200)
+    q = snap.site_point(key, p)
+    assert np.allclose(q, p, atol=1e-15)
