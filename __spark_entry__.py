@@ -750,6 +750,27 @@ def _synth_tracks_pdf():
                          "x": xs, "y": ys, "z": zs})
 
 
+TRACK_CLIP_LOOP = "0:0, 0:90, 0:179.9, 0:-90"  # northern hemisphere
+
+
+def q_track_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline × polygon boolean op, polyline dimension (the
+    reference's S2BooleanOperation over geometry collections,
+    s2boolean_operation.h:16-60): each synthetic track clipped to the
+    northern hemisphere (INTERSECTION keeps the inside parts; tracks
+    crossing the equator split at the exact crossing points, snapped
+    to the E1 grid).  Semantics pinned bit-exactly against the
+    reference's own polyline fixtures in
+    tests/test_builder_reference.py.  Materialized driver-kernel
+    oracle."""
+    from s2spark.kernels.loops import Loop, parse_vertices
+    from s2spark.ops import boolean as bops
+    df = spark.createDataFrame(_synth_tracks_pdf())
+    loops = [Loop(parse_vertices(TRACK_CLIP_LOOP))]
+    return bops.clip_tracks(df, "user_id", ["ts"], loops,
+                            op="intersection")
+
+
 def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-track compression (S2Polyline::SubsampleVertices,
     s2polyline.cc:560-655) over the fixed synthetic tracks.  The
@@ -827,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_tree": q_density_tree,
         "polygon_buffer": q_polygon_buffer,
         "polygon_buffer_geom": q_polygon_buffer_geom,
+        "track_clip": q_track_clip,
         "loop_validation": q_loop_validation,
         "track_snap": q_track_snap,
         "winding_number": q_winding_number,
@@ -1456,6 +1478,7 @@ def _geometry_oracles() -> dict[str, str]:
         "raster_cell_map": _raster_oracle(),
         "polygon_buffer": _buffer_oracle(),
         "polygon_buffer_geom": _buffer_geom_oracle(),
+        "track_clip": _track_clip_oracle(),
         "loop_validation": _validation_oracle(),
         "track_simplify": _track_simplify_oracle(),
         "track_dtw": _track_dtw_oracle(),
@@ -1565,6 +1588,36 @@ def _raster_oracle() -> str:
         f"CAST(COUNT(*) AS BIGINT) AS n_tiles, "
         f"CAST(COUNT(DISTINCT id) AS BIGINT) AS n_images "
         f"FROM {enc} GROUP BY 1")
+
+
+def _track_clip_oracle() -> str:
+    """Driver-kernel materialized expected rows for track_clip
+    (clip semantics pinned against the reference's polyline fixtures
+    in tests/test_builder_reference.py)."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels.loops import Loop as _Loop
+    from s2spark.kernels.loops import parse_vertices as _pv
+    pdf = _synth_tracks_pdf()
+    loops = [_Loop(_pv(TRACK_CLIP_LOOP))]
+    snap = _bld.IntLatLngSnapFunction(1)
+    rows = []
+    for ent, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        v = grp[["x", "y", "z"]].to_numpy()
+        for li, chain in enumerate(_bld.clip_polyline(
+                v, loops, "intersection", snap=snap)):
+            cells = _ck.as_i64(_ck.parent(
+                _ck.from_xyz(chain[:, 0], chain[:, 1], chain[:, 2]),
+                14))
+            rows.extend(f"({int(ent)}, {li}, {s}, {int(c)})"
+                        for s, c in enumerate(cells))
+    return ("SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(line_idx AS INTEGER) AS line_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows) + ") AS _tc(user_id, line_idx, seq, "
+            "site_cell)")
 
 
 def _track_simplify_oracle() -> str:

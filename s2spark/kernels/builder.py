@@ -447,6 +447,37 @@ def build_polylines(kept: list[tuple[np.ndarray, np.ndarray]],
             for chain in chains]
 
 
+def clip_polyline(vertices: np.ndarray, b_loops: list[Loop] | Loop,
+                  op: str, snap=None) -> list[np.ndarray]:
+    """Polyline × polygon boolean operation, polyline dimension only
+    (s2boolean_operation_test.cc:1654-1690 semantics): INTERSECTION
+    keeps the parts of the polyline inside the polygon; UNION /
+    DIFFERENCE / SYMMETRIC_DIFFERENCE keep the parts outside (the
+    polygon's boundary belongs to the result's polygon dimension —
+    emit it separately via the polygon layer when needed).  Polyline
+    SELF-intersections are NOT split (the reference guarantees this:
+    only crossings with the polygon's edges introduce vertices).
+    Returns maximal polylines (S2PolylineVectorLayer assembly)."""
+    if isinstance(b_loops, Loop):
+        b_loops = [b_loops]
+    if op not in OPS:
+        raise ValueError(op)
+    v = np.asarray(vertices, dtype=np.float64)
+    ea = [(v[i], v[i + 1]) for i in range(len(v) - 1)]
+    eb = _loop_edges(b_loops)
+    sa, _ = subdivide_at_crossings(ea, eb)
+    if not sa:
+        return []
+    mids = np.array([s[0] + s[1] for s in sa], dtype=np.float64)
+    mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+    inside = _parity_contains(b_loops, mids)
+    want_inside = op == "intersection"
+    kept = [e for e, ins in zip(sa, inside) if bool(ins) == want_inside]
+    # stabilize=False: polyline layers tolerate crossings, and the
+    # reference's split_all_crossing_polyline_edges defaults to false
+    return build_polylines(kept, snap=snap, stabilize=False)
+
+
 class S2Builder:
     """Public facade mirroring the reference's S2Builder surface
     (s2builder.h:30-61): accumulate edges / polylines / loops, then

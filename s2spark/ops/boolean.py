@@ -176,6 +176,51 @@ def polygon_overlay_geom(spark: SparkSession,
             .applyInPandas(run, GEOM_SCHEMA))
 
 
+def clip_tracks(df: DataFrame, entity_col: str, order_cols: list[str],
+                loops: list[Loop], op: str = "intersection",
+                snap_exponent: int = 1,
+                site_level: int = 14) -> DataFrame:
+    """Per-entity polyline × polygon boolean (the polyline dimension
+    of S2BooleanOperation; semantics pinned against the reference's
+    PolylineEnteringRectangle / PolylineCrossingRectangleTwice
+    fixtures in tests/test_builder_reference.py): each entity's
+    ordered (x,y,z) track is clipped against the clip region,
+    INTERSECTION keeping the inside parts, DIFFERENCE / UNION /
+    SYMMETRIC_DIFFERENCE the outside parts.  Output one row per
+    output-polyline vertex: (entity, line_idx, seq, site_cell), the
+    vertex snapped to the E(snap_exponent) lat/lng grid then encoded
+    as its level-`site_level` cell (integers ⇒ oracle-safe).
+
+    Scale shape: one applyInPandas group per entity; the clip region
+    is a small broadcast-by-closure fixture (same regime as query
+    rings) — a large polygon table would ride a join instead
+    (polygon_overlay_geom shows the shape)."""
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    loop_arrays = [np.asarray(lp.vertices, dtype=np.float64)
+                   for lp in loops]
+    schema = f"{entity_col} long, line_idx int, seq int, site_cell long"
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ent = int(key[0])
+        pdf = pdf.sort_values(order_cols)
+        v = pdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
+        snap = bld.IntLatLngSnapFunction(snap_exponent)
+        rows = []
+        chains = bld.clip_polyline(v, [Loop(a) for a in loop_arrays],
+                                   op, snap=snap)
+        for li, chain in enumerate(chains):
+            cells = ci.as_i64(ci.parent(
+                ci.from_xyz(chain[:, 0], chain[:, 1], chain[:, 2]),
+                site_level))
+            rows.extend((ent, li, s, int(c))
+                        for s, c in enumerate(cells))
+        return pd.DataFrame(rows, columns=[entity_col, "line_idx",
+                                           "seq", "site_cell"])
+
+    return df.groupBy(entity_col).applyInPandas(run, schema)
+
+
 def loop_orientation_sign(loop: Loop) -> int:
     """+1 for a CCW (positive-area) loop, -1 for a CW/inverted one —
     via the Gauss-Bonnet curvature (s2loop_measures.cc GetCurvature:

@@ -155,3 +155,45 @@ def test_int_latlng_snap_identity_on_grid_points():
     assert key == (100, 200)
     q = snap.site_point(key, p)
     assert np.allclose(q, p, atol=1e-15)
+
+
+# -- PolylineEnteringRectangle / PolylineCrossingRectangleTwice
+# (s2boolean_operation_test.cc:1654-1690), polyline dimension --
+
+def _pline_check(a_text, b_text, exponent, op, want_lines):
+    from s2spark.kernels.loops import parse_vertices as pv
+    a = pv(a_text)
+    b = _loops_of(b_text)
+    snap = bld.IntLatLngSnapFunction(exponent)
+    scale = 10.0 ** exponent
+
+    def pkey(chain):
+        return tuple((round(math.degrees(_latitude(p)) * scale),
+                      round(math.degrees(_longitude(p)) * scale))
+                     for p in chain)
+
+    got = sorted(pkey(c) for c in bld.clip_polyline(a, b, op, snap=snap))
+    want = sorted(pkey(pv(w)) for w in want_lines)
+    assert got == want, (op, got, want)
+
+
+@pytest.mark.parametrize("op,want", [
+    ("intersection", ["1:1, 2:2"]),
+    ("difference", ["0:0, 1:1"]),
+    ("union", ["0:0, 1:1"]),
+    ("symmetric_difference", ["0:0, 1:1"]),
+])
+def test_polyline_entering_rectangle(op, want):
+    _pline_check("0:0, 2:2", "1:1, 1:3, 3:3, 3:1", 1, op, want)
+
+
+@pytest.mark.parametrize("op,want", [
+    ("intersection", ["0:-1, 0:1", "1:0, -1:0"]),
+    ("difference", ["0:-5, 0:-1", "0:1, 0:5, 5:0, 1:0", "-1:0, -5:0"]),
+    ("union", ["0:-5, 0:-1", "0:1, 0:5, 5:0, 1:0", "-1:0, -5:0"]),
+])
+def test_polyline_crossing_rectangle_twice(op, want):
+    """Self-intersection at 0:0 must NOT be split (the reference
+    guarantees no vertex is added there)."""
+    _pline_check("0:-5, 0:5, 5:0, -5:0", "1:1, 1:-1, -1:-1, -1:1",
+                 1, op, want)
