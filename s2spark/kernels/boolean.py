@@ -221,10 +221,18 @@ def exact_op_counts(a, b, max_level: int) -> dict[str, dict[str, int]]:
     sets coincide; ∪/Δ may gain cells.  Scope matches the builder MVP
     (no inverted loops / full-sphere results).
     """
-    from .builder import ResultRegion, overlay_geometry
+    from .builder import ResultRegion, overlay_geometry, \
+        overlay_result_state
     out = {}
     for op in OPS:
-        region = ResultRegion(overlay_geometry(a, b, op))
+        chains = overlay_geometry(a, b, op)
+        if not chains and overlay_result_state(a, b, op,
+                                               chains) == "full":
+            # full sphere: 6 face cells, 4^30 leaves each, no boundary
+            out[op] = {"interior_leaves": 6 * 4 ** 30,
+                       "interior_cells": 6, "boundary_cells": 0}
+            continue
+        region = ResultRegion(chains)
         interior, boundary = classify_loop(region, max_level)
         leaves = int(cellid.lsb(interior.view(np.uint64))
                      .astype(np.int64).sum()) if len(interior) else 0

@@ -118,19 +118,41 @@ class IntLatLngSnapFunction:
 # crossing subdivision
 
 def _parity_contains(loops: list[Loop], points: np.ndarray) -> np.ndarray:
-    """Multi-loop even/odd containment (s2polygon.h:116-259 parity):
-    a point is inside iff it crosses an odd number of loop BOUNDARIES
-    from the outside — orientation-independent, so a CW hole (interior
-    on the left, S2Polygon nesting) contributes its DISK, not its
-    S2-interior complement.  Loop.contains_points is orientation-
-    aware; XOR-ing out the CW case (negative curvature) yields the
-    boundary-crossing parity.  (Inverted single loops as full-sphere
-    complements are outside the builder MVP scope.)"""
+    """Multi-loop even/odd containment with INTERIOR-ON-LEFT
+    orientation semantics (the reference's lax-polygon /
+    GetReferencePoint construction, s2shapeutil_get_reference_point.h):
+    membership is the XOR of per-loop oriented containment, CALIBRATED
+    so that a point just to the LEFT of any boundary edge tests inside
+    (by definition the region lies on the left of its oriented
+    boundary).  The raw XOR differs from the true crossing parity by a
+    constant (each loop's origin_inside convention); one probe at the
+    left-nudged midpoint of the first edge fixes the constant.  This
+    is exact for any oriented even/odd region — nested shells/holes
+    (CW holes) AND loops larger than a hemisphere, where curvature-
+    sign orientation tests fail (a CCW 100-degree cap has negative
+    curvature)."""
     acc = np.zeros(points.shape[0], dtype=np.int64)
     for lp in loops:
-        cw = lp.get_curvature() < 0
-        acc += lp.contains_points(points) ^ cw
-    return (acc % 2) == 1
+        acc += lp.contains_points(points)
+    member = (acc % 2) == 1
+    if not loops:
+        return member
+    v = loops[0].vertices
+    a0, a1 = v[0], v[1]
+    n = np.cross(a0, a1)
+    nn = float(np.linalg.norm(n))
+    if nn == 0.0:
+        return member
+    n /= nn
+    m = a0 + a1
+    m /= float(np.linalg.norm(m))
+    eps = 1e-9
+    m_left = m * math.cos(eps) + n * math.sin(eps)
+    probe = 0
+    for lp in loops:
+        probe += int(lp.contains_points(m_left[None, :])[0])
+    calib = (probe % 2) == 0  # raw XOR says outside at an inside point
+    return member ^ calib
 
 
 def _loop_edges(loops: list[Loop]) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -541,6 +563,38 @@ def overlay_geometry(a_loops: list[Loop] | Loop,
     kept = (classify_edges(sa, b_loops, "a", op)
             + classify_edges(sb, a_loops, "b", op))
     return build_loops(kept, snap=snap)
+
+
+def _op_truth(ina: bool, inb: bool, op: str) -> bool:
+    if op == "intersection":
+        return ina and inb
+    if op == "union":
+        return ina or inb
+    if op == "difference":
+        return ina and not inb
+    return ina != inb  # symmetric_difference
+
+
+def overlay_result_state(a_loops: list[Loop] | Loop,
+                         b_loops: list[Loop] | Loop, op: str,
+                         chains: list[np.ndarray]) -> str:
+    """Disambiguate a boundary-less overlay result: 'full' vs 'empty'
+    (the reference's IsFullPolygonResult predicate,
+    s2boolean_operation.h full-polygon handling).  A chain-less result
+    can be the FULL sphere — e.g. the union of two caps each larger
+    than a hemisphere — which edge-keep classification alone cannot
+    distinguish from empty; a single containment probe on the inputs
+    decides.  Returns 'normal' when chains exist."""
+    if chains:
+        return "normal"
+    if isinstance(a_loops, Loop):
+        a_loops = [a_loops]
+    if isinstance(b_loops, Loop):
+        b_loops = [b_loops]
+    probe = np.array([[1.0, 0.0, 0.0]])
+    ina = bool(_parity_contains(a_loops, probe)[0]) if a_loops else False
+    inb = bool(_parity_contains(b_loops, probe)[0]) if b_loops else False
+    return "full" if _op_truth(ina, inb, op) else "empty"
 
 
 class ResultRegion:

@@ -197,3 +197,53 @@ def test_polyline_crossing_rectangle_twice(op, want):
     guarantees no vertex is added there)."""
     _pline_check("0:-5, 0:5, 5:0, -5:0", "1:1, 1:-1, -1:-1, -1:1",
                  1, op, want)
+
+
+# -- FullAndEmptyResults (polygon slice, s2boolean_operation_test.cc:2100) --
+
+def _big_cap_loop(axis, rho_deg, n=32):
+    import numpy as np
+    axis = np.asarray(axis, dtype=np.float64)
+    axis /= np.linalg.norm(axis)
+    h = (np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9
+         else np.array([0, 1.0, 0]))
+    e1 = np.cross(axis, h)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(axis, e1)
+    rho = math.radians(rho_deg)
+    t = (2 * math.pi) * (np.arange(n) / n)
+    pts = (math.cos(rho) * axis[None, :]
+           + math.sin(rho) * (np.cos(t)[:, None] * e1[None, :]
+                              + np.sin(t)[:, None] * e2[None, :]))
+    lp = Loop(pts)
+    return lp if lp.contains_points(axis[None, :])[0] else Loop(pts[::-1])
+
+
+def test_union_of_super_hemispheres_is_full():
+    """Two caps of radius 100° whose union covers the sphere: no
+    boundary edges survive and the result must disambiguate to FULL,
+    not empty (IsFullPolygonResult semantics)."""
+    a = _big_cap_loop([0.0, 0.0, 1.0], 100.0)
+    b = _big_cap_loop([0.0, 0.0, -1.0], 100.0)
+    chains = bld.overlay_geometry(a, b, "union")
+    assert chains == [] or len(chains) == 0
+    assert bld.overlay_result_state(a, b, "union", chains) == "full"
+    # intersection is a normal equatorial band
+    lens = bld.overlay_geometry(a, b, "intersection")
+    assert len(lens) >= 1
+    assert bld.overlay_result_state(a, b, "intersection", lens) == "normal"
+    from s2spark.kernels import boolean as bk
+    counts = bk.exact_op_counts(a, b, 4)
+    assert counts["union"] == {"interior_leaves": 6 * 4 ** 30,
+                               "interior_cells": 6, "boundary_cells": 0}
+    # the band's leaves: union identity |A∪B| = |A|+|B|-|A∩B| on leaves
+    ia, _ = bk.classify_loop(a, 4)
+    ib, _ = bk.classify_loop(b, 4)
+
+
+def test_disjoint_intersection_is_empty():
+    a = _big_cap_loop([0.0, 0.0, 1.0], 10.0)
+    b = _big_cap_loop([0.0, 0.0, -1.0], 10.0)
+    chains = bld.overlay_geometry(a, b, "intersection")
+    assert len(chains) == 0
+    assert bld.overlay_result_state(a, b, "intersection", chains) == "empty"
