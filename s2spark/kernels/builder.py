@@ -560,9 +560,58 @@ def overlay_geometry(a_loops: list[Loop] | Loop,
     ea = _loop_edges(a_loops)
     eb = _loop_edges(b_loops)
     sa, sb = subdivide_at_crossings(ea, eb)
-    kept = (classify_edges(sa, b_loops, "a", op)
-            + classify_edges(sb, a_loops, "b", op))
+    kept, na, nb = _degenerate_shared_edges(sa, sb, op)
+    kept += (classify_edges(na, b_loops, "a", op)
+             + classify_edges(nb, a_loops, "b", op))
     return build_loops(kept, snap=snap)
+
+
+# boundary algebra for EXACTLY coincident edge pairs (one edge of A ==
+# one edge of B, same or reversed direction) — midpoint classification
+# is ill-posed on the other region's boundary, but the local picture
+# decides directly.  Same direction: both interiors on the left, so
+# the edge separates in/out for ∩ and ∪ (keep one copy) and separates
+# nothing for − and Δ (drop).  Reversed: the interiors face each other,
+# so ∩ has nothing on either side (drop), ∪ is interior on both sides
+# (drop — regions merge across), A−B keeps the edge with A's direction,
+# and Δ is interior on both sides too (the reference may emit the
+# degenerate sibling pair; the polygon layer's ClosedSetNormalizer-
+# style cancellation removes it, so we drop — region-identical).
+_DEGEN_KEEP = {
+    ("intersection", "same"): True, ("union", "same"): True,
+    ("difference", "same"): False, ("symmetric_difference", "same"): False,
+    ("intersection", "rev"): False, ("union", "rev"): False,
+    ("difference", "rev"): True, ("symmetric_difference", "rev"): False,
+}
+
+
+def _degenerate_shared_edges(sa: list, sb: list, op: str):
+    """Split coincident (degenerate) sub-edge pairs out of the normal
+    midpoint classification.  -> (kept_degenerate, normal_a, normal_b);
+    matching is bitwise on endpoint doubles (coincident fixture edges
+    share exact coordinates; crossing subdivision never splits a
+    coincident pair)."""
+    kb: dict = {}
+    for j, f in enumerate(sb):
+        kb[(f[0].tobytes(), f[1].tobytes())] = j
+    kept: list = []
+    deg_a: set = set()
+    deg_b: set = set()
+    for i, e in enumerate(sa):
+        j = kb.get((e[0].tobytes(), e[1].tobytes()))
+        kind = "same"
+        if j is None:
+            j = kb.get((e[1].tobytes(), e[0].tobytes()))
+            kind = "rev"
+        if j is None or j in deg_b:
+            continue
+        deg_a.add(i)
+        deg_b.add(j)
+        if _DEGEN_KEEP[(op, kind)]:
+            kept.append(e)
+    na = [e for i, e in enumerate(sa) if i not in deg_a]
+    nb = [f for j, f in enumerate(sb) if j not in deg_b]
+    return kept, na, nb
 
 
 def _op_truth(ina: bool, inb: bool, op: str) -> bool:

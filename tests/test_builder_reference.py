@@ -247,3 +247,29 @@ def test_disjoint_intersection_is_empty():
     chains = bld.overlay_geometry(a, b, "intersection")
     assert len(chains) == 0
     assert bld.overlay_result_state(a, b, "intersection", chains) == "empty"
+
+
+# -- PolygonEdgeSemiOpenPolygonEdgeOverlap
+# (s2boolean_operation_test.cc:981): shared-edge degeneracies --
+
+SHARED_A = "0:0, 0:4, 2:4, 2:0"
+SHARED_B = "0:0, 1:1, 2:0; 0:4, 1:5, 2:4"
+SHARED_EXPECT = {
+    # bit-exact vs the reference's SEMI_OPEN expectations
+    "union": "0:0, 0:4, 1:5, 2:4, 2:0",
+    "intersection": "0:0, 1:1, 2:0",
+    "difference": "0:0, 0:4, 2:4, 2:0, 1:1",
+    # the reference emits the degenerate sibling pair here ("output
+    # could contain sibling pairs (which can be discarded using
+    # S2Builder::GraphOptions)" — s2boolean_operation_test.cc:994);
+    # our polygon layer applies that discard (ClosedSetNormalizer
+    # semantics), giving the region-identical normalized single loop
+    "symmetric_difference": "0:0, 0:4, 1:5, 2:4, 2:0, 1:1",
+}
+
+
+@pytest.mark.parametrize("op", bld.OPS)
+def test_polygon_shared_edge_overlap(op):
+    """One triangle inside and one outside a rectangle, each sharing
+    one full edge with it (same-direction and reversed coincidences)."""
+    _check(SHARED_A, SHARED_B, 2, op, SHARED_EXPECT[op])
