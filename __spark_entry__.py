@@ -361,8 +361,9 @@ def q_closest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2CrossingEdgeQuery analogue (rows-only; validated in
-    tests/test_edges.py)."""
+    """S2CrossingEdgeQuery analogue.  Checked against an independent
+    brute-force crossing-sign SQL oracle (oracle_sql()['crossing_edges'])
+    plus tests/test_edges.py kernel fixtures."""
     from s2spark.ops import edges as eops
     from s2spark.ops import pip
     cu = dataset.geotagged_customers(spark, sf_dir) \
@@ -380,8 +381,9 @@ def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_polygon_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-loop polygons with holes (even-odd rule) — rows-only;
-    validated against brute force in tests/test_polygon.py."""
+    """Multi-loop polygons with holes (even-odd rule).  Checked against
+    an independent crossing-parity SQL oracle plus brute force in
+    tests/test_polygon.py."""
     from s2spark.ops import pip
     base = pip.synth_loops(12)
     holes = pip.synth_loops(24)
@@ -449,10 +451,11 @@ def q_raster_cell_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-polygon join vs 25 synthetic loops.  No SQL oracle —
-    spherical crossing-parity is not ANSI-SQL-expressible; correctness
-    is pinned by tests/test_pip.py against the brute-force kernel (the
-    reference's own validation strategy, s2loop_test.cc:488-493)."""
+    """Point-in-polygon join vs 25 synthetic loops.  Checked against an
+    independent brute-force crossing-parity SQL oracle (oracle_sql()
+    ['pip_join']) and by tests/test_pip.py against the brute-force
+    kernel (the reference's own validation strategy,
+    s2loop_test.cc:488-493)."""
     from s2spark.ops import pip
     ev = dataset.geotagged_events(spark, sf_dir) \
         .select("event_id", "cell_id", "x", "y", "z")

@@ -195,7 +195,7 @@ def cellid_vector_lower_bound(buf, target: int) -> int:
     target = int(target)
     if target <= base:
         return 0
-    end_leaf = (5 << 61) + (1 << 60)        # End(kMaxLevel).id()
+    end_leaf = 6 << 61                      # End(kMaxLevel).id()
     if target >= end_leaf:
         return len(deltas)
     t = (target - base + (1 << shift) - 1) >> shift

@@ -139,7 +139,10 @@ class Cell:
     __slots__ = ("id", "face", "level", "u_lo", "u_hi", "v_lo", "v_hi")
 
     def __init__(self, cid: int):
-        self.id = int(cid)
+        # Normalize to the unsigned id: Spark carries cell ids as int64,
+        # so ids on faces 4/5 arrive negative; a negative Python int into
+        # np.uint64 arrays is a NumPy deprecation (error on NumPy>=2 strict).
+        self.id = int(cid) & 0xFFFF_FFFF_FFFF_FFFF
         f, i, j, lev = cellid.to_face_ij_scalar(self.id)
         self.face = f
         self.level = lev

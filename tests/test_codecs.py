@@ -80,14 +80,19 @@ def test_cellid_vector_shift_range_validation():
 
 
 def test_cellid_vector_lower_bound():
+    # All six faces: face-4/5 ids live in the upper half of uint64 space
+    # and previously fell past a too-small End(kMaxLevel) sentinel.
     ids = np.sort(np.array([_u(ci.from_face(np.array([f])))
-                            for f in range(3)], dtype=np.uint64))
+                            for f in range(6)], dtype=np.uint64))
     buf = cx.encode_cellid_vector(ids)
     assert cx.cellid_vector_lower_bound(buf, 0) == 0
     for k, v in enumerate(ids):
         assert cx.cellid_vector_lower_bound(buf, int(v)) == k
         assert cx.cellid_vector_lower_bound(buf, int(v) + 1) == k + 1
-    assert cx.cellid_vector_lower_bound(buf, SENT) == 3
+    assert cx.cellid_vector_lower_bound(buf, SENT) == 6
+    # targets in the upper half of face 5, before End(kMaxLevel)
+    assert cx.cellid_vector_lower_bound(buf, (5 << 61) + (1 << 60)) == 5
+    assert cx.cellid_vector_lower_bound(buf, (6 << 61) - 1) == 6
 
 
 def test_cellid_vector_random_roundtrips():
