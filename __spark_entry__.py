@@ -1046,8 +1046,11 @@ def _text_oracles() -> dict[str, str]:
             f" >= 0.4"),
         "embedding_ivf_ann": (
             f"WITH {emb_cte}, "
+            # bounded-|centroids| stride: ceil(n/64), mirrors
+            # ann.centroid_stride (GREATEST guards the empty table)
             f"cent AS (SELECT vec_id AS cid, e AS ce, n2 AS cn FROM n "
-            f"WHERE vec_id % 31 = 0), "
+            f"WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
+            f"64.0) AS BIGINT)) FROM embeddings) = 0), "
             f"asg AS (SELECT vec_id, ve, vn, cid FROM ("
             f"SELECT p.vec_id, p.e AS ve, p.n2 AS vn, c.cid, "
             f"ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY "

@@ -186,16 +186,35 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
             .select(point_id, "_ve", "_vn", "cid"))
 
 
+N_CENTROIDS = 64
+
+
+def centroid_stride(n_rows: int, n_centroids: int = N_CENTROIDS) -> int:
+    """Deterministic subsample stride giving a BOUNDED centroid count:
+    ceil(n/n_centroids), so |{id : id % stride == 0}| <= n_centroids
+    for contiguous ids regardless of corpus size.  Mirrored verbatim by
+    the DuckDB oracle (CEIL(COUNT(*)/n.0))."""
+    return max(1, -(-int(n_rows) // int(n_centroids)))
+
+
 def ivf_ann(vectors: DataFrame, queries: DataFrame, k: int,
-            centroid_mod: int = 31, n_probe: int = 4,
+            n_centroids: int = N_CENTROIDS, n_probe: int = 4,
             query_id: str = "qid", point_id: str = "vec_id"
             ) -> DataFrame:
-    """IVF approximate top-k: deterministic centroid subsample
-    (vec_id % centroid_mod == 0) -> inverted lists; queries probe
-    their `n_probe` nearest centroids; exact cosine rerank of the
-    probed lists.  Every step is deterministic and mirrored by the
-    DuckDB oracle, so the (approximate) output is value-exact."""
-    centroids = vectors.where(F.col(point_id) % centroid_mod == 0) \
+    """IVF approximate top-k: deterministic centroid subsample of
+    BOUNDED size (vec_id % ceil(n/n_centroids) == 0, so |centroids| <=
+    n_centroids independent of corpus size) -> inverted lists; queries
+    probe their `n_probe` nearest centroids; exact cosine rerank of the
+    probed lists.  Assignment is one broadcast join of n vectors
+    against a constant-size centroid table: O(n*k) compute, O(k)
+    broadcast — the IVF scale contract (faiss-style coarse
+    quantization).  Every step is deterministic and mirrored by the
+    DuckDB oracle, so the (approximate) output is value-exact.
+
+    The one driver-side action is a count() to derive the stride —
+    a columnar metadata-only aggregate."""
+    stride = centroid_stride(vectors.count(), n_centroids)
+    centroids = vectors.where(F.col(point_id) % stride == 0) \
         .select(F.col(point_id).alias("cid"), "embedding")
     lists = ivf_assign(vectors, centroids, point_id)
 
