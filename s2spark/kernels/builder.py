@@ -338,6 +338,10 @@ def _snap_edges(kept, snap) -> tuple[dict, dict]:
     return seen, sites
 
 
+# below this edge count the dense pair matrix beats the recursion
+DENSE_STABILIZE_LIMIT = 256
+
+
 def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
                          max_rounds: int = 8) -> list[tuple]:
     """Snap rounding can create NEW crossings between snapped edges
@@ -355,14 +359,22 @@ def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
             return edges
         p0 = np.array([sites[u] for u, _ in edges])
         p1 = np.array([sites[v] for _, v in edges])
-        a0 = np.repeat(p0, n, axis=0)
-        a1 = np.repeat(p1, n, axis=0)
-        b0 = np.tile(p0, (n, 1))
-        b1 = np.tile(p1, (n, 1))
-        cs = predicates.crossing_sign(a0, a1, b0, b1).reshape(n, n)
-        iu = np.triu_indices(n, k=1)
-        crossing = [(int(i), int(j)) for i, j in zip(*iu)
-                    if cs[i, j] > 0]
+        if n <= DENSE_STABILIZE_LIMIT:
+            ii, jj = np.triu_indices(n, k=1)
+        else:
+            # cell-co-location prefilter: O(n) candidate pairs instead
+            # of the dense n x n cross product (~GBs per round at 10k
+            # edges — ADVICE r3)
+            from .loops import soup_candidate_pairs
+            cand = soup_candidate_pairs(p0, p1)
+            if not cand:
+                return edges
+            arr = np.array(sorted(cand), dtype=np.int64)
+            ii, jj = arr[:, 0], arr[:, 1]
+        cs = predicates.crossing_sign(p0[ii], p1[ii], p0[jj], p1[jj])
+        sel = cs > 0
+        crossing = [(int(i), int(j)) for i, j in
+                    zip(ii[sel], jj[sel])]
         if not crossing:
             return edges
         splits: dict[int, list] = {}

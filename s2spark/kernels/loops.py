@@ -60,6 +60,79 @@ def to_text(points: np.ndarray, roundtrip: bool = False) -> str:
     return ", ".join(parts)
 
 
+def _edges_intersect_cell_tail(ec: np.ndarray, ed: np.ndarray,
+                               result: np.ndarray, cell) -> np.ndarray:
+    """Shared tail of the edge-vs-cell test: `result` holds the
+    endpoint-inside verdicts; survivors go through the conservative
+    gnomonic uv prefilter (ClipToPaddedFace slice — never rejects a
+    true intersection) and then the robust CrossingSign ladder against
+    the 4 cell edges."""
+    from . import clipping
+    todo = np.nonzero(~result)[0]
+    if todo.size:
+        maybe = clipping.edges_may_intersect_cell(ec[todo], ed[todo],
+                                                  cell)
+        todo = todo[maybe]
+    if todo.size:
+        cv = np.array([cell.get_vertex(k) for k in range(4)],
+                      dtype=np.float64)
+        cv_next = np.roll(cv, -1, axis=0)
+        a = np.repeat(ec[todo], 4, axis=0)
+        b = np.repeat(ed[todo], 4, axis=0)
+        c = np.tile(cv, (todo.size, 1))
+        d = np.tile(cv_next, (todo.size, 1))
+        cs = predicates.crossing_sign(a, b, c, d)
+        hits = (cs >= 0).reshape(todo.size, 4).any(axis=1)
+        result[todo] = hits
+    return result
+
+
+def soup_edges_intersect_cell(ec: np.ndarray, ed: np.ndarray,
+                              cell) -> np.ndarray:
+    """Per-edge boolean for an arbitrary edge soup (no closure
+    assumption): does edge (ec[i], ed[i]) intersect the convex cell?"""
+    from . import clipping
+    inside = (clipping.cell_contains_points(cell, ec)
+              | clipping.cell_contains_points(cell, ed))
+    return _edges_intersect_cell_tail(ec, ed, inside, cell)
+
+
+def soup_candidate_pairs(p0: np.ndarray, p1: np.ndarray,
+                         max_edges_per_cell: int = 10,
+                         max_level: int = 12) -> set[tuple[int, int]]:
+    """Candidate intersecting pairs of an edge soup via recursive cell
+    subdivision (the index-cell co-location argument of
+    s2shapeutil_visit_crossing_edge_pairs.h): any point shared by two
+    edges lies in a recursion cell where both survive, and the branch
+    only stops once survivors fit max_edges_per_cell (or max_level) —
+    so emitted co-located pairs are a complete superset of all
+    crossing/touching pairs at O(n) pair count instead of O(n^2)."""
+    from .region import Cell
+    from . import cellid
+    pairs: set[tuple[int, int]] = set()
+
+    def visit(cid: int, ids: np.ndarray):
+        cell = Cell(cid)
+        hits = ids[soup_edges_intersect_cell(p0[ids], p1[ids], cell)] \
+            if ids.size else ids
+        if hits.size <= 1:
+            return
+        if hits.size <= max_edges_per_cell or cell.level >= max_level:
+            h = hits.tolist()
+            for x in range(len(h)):
+                for y in range(x + 1, len(h)):
+                    pairs.add((h[x], h[y]))
+            return
+        for ch in cellid.child(np.full(4, cid, dtype=np.uint64),
+                               np.arange(4)):
+            visit(int(ch), hits)
+
+    for face in range(6):
+        visit(int(cellid.from_face(np.array([face]))[0]),
+              np.arange(len(p0)))
+    return pairs
+
+
 class Loop:
     """Closed vertex ring with crossing-parity containment."""
 
@@ -132,38 +205,33 @@ class Loop:
         return np.array([cell.get_vertex(k) for k in range(4)],
                         dtype=np.float64)
 
-    def edge_intersects_cell(self, cell: Cell) -> np.ndarray:
+    # standalone soup variant lives at module level
+    # (soup_edges_intersect_cell) so edge-soup callers — the builder's
+    # crossing stabilizer, validation — share the identical test
+
+    def edge_intersects_cell(self, cell: Cell,
+                             edge_ids: np.ndarray | None = None
+                             ) -> np.ndarray:
         """Per-edge boolean: does loop edge i intersect the (convex) cell?
 
         True iff an endpoint is inside the cell or the edge crosses one of
-        the 4 geodesic cell edges.
+        the 4 geodesic cell edges.  With `edge_ids` the test runs over
+        that subset only (mask aligned to edge_ids) — the index build's
+        recursion shrinks its candidate set per cell, so per-cell work
+        must be O(|survivors|), not O(n).
         """
+        if edge_ids is not None:
+            eid = np.asarray(edge_ids, dtype=np.int64)
+            ec = self.vertices[eid]
+            ed = self.vertices[(eid + 1) % self.n]
+            return soup_edges_intersect_cell(ec, ed, cell)
         from . import clipping
         ec = self.vertices
         ed = np.roll(self.vertices, -1, axis=0)
         inside_c = clipping.cell_contains_points(cell, ec)
         inside_d = np.roll(inside_c, -1)
-        result = inside_c | inside_d
-        todo = np.nonzero(~result)[0]
-        if todo.size:
-            # conservative gnomonic uv prefilter (ClipToPaddedFace
-            # slice, kernels/clipping.py): never rejects a true
-            # intersection, so only survivors pay the robust
-            # CrossingSign ladder — the index rows are identical
-            maybe = clipping.edges_may_intersect_cell(ec[todo],
-                                                      ed[todo], cell)
-            todo = todo[maybe]
-        if todo.size:
-            cv = self._cell_vertices(cell)
-            cv_next = np.roll(cv, -1, axis=0)
-            a = np.repeat(ec[todo], 4, axis=0)
-            b = np.repeat(ed[todo], 4, axis=0)
-            c = np.tile(cv, (todo.size, 1))
-            d = np.tile(cv_next, (todo.size, 1))
-            cs = predicates.crossing_sign(a, b, c, d)
-            hits = (cs >= 0).reshape(todo.size, 4).any(axis=1)
-            result[todo] = hits
-        return result
+        return _edges_intersect_cell_tail(ec, ed, inside_c | inside_d,
+                                          cell)
 
     def may_intersect_cell(self, cell: Cell) -> bool:
         if self.edge_intersects_cell(cell).any():

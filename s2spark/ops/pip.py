@@ -51,23 +51,34 @@ MAX_INDEX_LEVEL = 12
 def _index_loop_rows(poly_id: int, loop: Loop,
                      max_edges_per_cell: int = MAX_EDGES_PER_CELL,
                      max_level: int = MAX_INDEX_LEVEL,
-                     min_level: int = 0) -> tuple[list, list]:
+                     min_level: int = 0,
+                     need_centers: bool = True) -> tuple[list, list]:
     """One loop's index rows (the shared recursion behind both the
-    driver-side and the distributed builds)."""
+    driver-side and the distributed builds).  need_centers=False skips
+    the per-cell center-containment parity test (an O(loop.n) scan per
+    cell) for callers that only consume edge_rows — e.g. validation's
+    candidate-pair pruning."""
     cell_rows, edge_rows = [], []
 
     def visit(cid: int, edge_ids: np.ndarray):
         cell = Cell(cid)
-        hits = edge_ids[loop.edge_intersects_cell(cell)[edge_ids]] \
+        hits = edge_ids[loop.edge_intersects_cell(cell, edge_ids)] \
             if edge_ids.size else edge_ids
-        center = cell.get_center()
-        center_in = loop.contains_point(center)
         if hits.size == 0:
-            if center_in:  # interior cell: bit only, prune recursion
-                cell_rows.append((cid, poly_id, True, *center))
+            if need_centers:
+                center = cell.get_center()
+                if loop.contains_point(center):
+                    # interior cell: bit only, prune recursion
+                    cell_rows.append((cid, poly_id, True, *center))
             return
         if (hits.size <= max_edges_per_cell
                 and cell.level >= min_level) or cell.level >= max_level:
+            if need_centers:
+                center = cell.get_center()
+                center_in = loop.contains_point(center)
+            else:
+                center = (0.0, 0.0, 0.0)
+                center_in = False
             cell_rows.append((cid, poly_id, bool(center_in), *center))
             v = loop.vertices
             nxt = np.roll(np.arange(loop.n), -1)

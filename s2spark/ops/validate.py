@@ -24,6 +24,45 @@ from pyspark.sql import DataFrame, SparkSession
 from ..kernels.loops import Loop
 
 
+# below this vertex count the all-pairs batch beats building the
+# edge-cell index; above it candidate pairs come from index-cell
+# co-location (the reference's strategy —
+# s2shapeutil_visit_crossing_edge_pairs.h: visit index-cell-local
+# pairs only, never the O(n^2) sweep)
+BRUTE_VALIDATE_LIMIT = 96
+
+
+def _all_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
+    i, j = np.triu_indices(n, k=1)
+    return i, j
+
+
+def _indexed_pairs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate non-adjacent pairs from edge-cell co-location: a
+    crossing point (or shared vertex) of two edges lies in some index
+    cell intersected by both, so pairs co-located in >= 1 cell are a
+    complete superset of all cs >= 0 pairs.  Cells hold
+    <= MAX_EDGES_PER_CELL edges (bar the max-level floor), so the pair
+    count is O(n), not O(n^2)."""
+    from . import pip
+    from ..kernels.loops import Loop
+    _, edge_rows = pip._index_loop_rows(0, Loop(v), need_centers=False)
+    by_cell: dict[int, list[int]] = {}
+    for row in edge_rows:
+        by_cell.setdefault(row[0], []).append(row[2])
+    pairs: set[tuple[int, int]] = set()
+    for es in by_cell.values():
+        es.sort()
+        m = len(es)
+        for x in range(m):
+            for y in range(x + 1, m):
+                pairs.add((es[x], es[y]))
+    if not pairs:
+        return (np.empty(0, dtype=np.int64),) * 2
+    arr = np.array(sorted(pairs), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
 def _loop_error(v: np.ndarray) -> str | None:
     from ..kernels import predicates
     norms = np.linalg.norm(v, axis=1)
@@ -33,23 +72,31 @@ def _loop_error(v: np.ndarray) -> str | None:
     if n < 3:
         return "not_enough_vertices"
     nxt = np.roll(np.arange(n), -1)
-    if any((v[i] == v[nxt[i]]).all() for i in range(n)):
+    if (v == v[nxt]).all(axis=1).any():
         return "degenerate_edge"
-    if any((v[i] == -v[nxt[i]]).all() for i in range(n)):
+    if (v == -v[nxt]).all(axis=1).any():
         return "antipodal_adjacent_vertices"
-    # non-adjacent edge pairs: crossing or shared vertex is an error
-    for i in range(n):
-        for j in range(i + 1, n):
-            if j == i or nxt[i] == j or nxt[j] == i:
-                continue  # adjacent (shares a vertex by construction)
-            cs = int(predicates.crossing_sign(
-                v[i:i + 1], v[nxt[i]:nxt[i] + 1],
-                v[j:j + 1], v[nxt[j]:nxt[j] + 1])[0])
-            if cs > 0:
-                return "edges_cross"
-            if cs == 0:
-                return "duplicate_vertex"
-    return None
+    # non-adjacent edge pairs: crossing or shared vertex is an error.
+    # One vectorized crossing_sign call over the candidate batch;
+    # candidates are all pairs (small loops) or index-pruned pairs.
+    if n <= BRUTE_VALIDATE_LIMIT:
+        i, j = _all_pairs(n)
+    else:
+        i, j = _indexed_pairs(v)
+    if i.size == 0:
+        return None
+    keep = (nxt[i] != j) & (nxt[j] != i)
+    i, j = i[keep], j[keep]
+    if i.size == 0:
+        return None
+    cs = predicates.crossing_sign(v[i], v[nxt[i]], v[j], v[nxt[j]])
+    bad = cs >= 0
+    if not bad.any():
+        return None
+    # deterministic report: lexicographically first offending pair
+    # (matches the old scan order — pairs are generated sorted)
+    k = int(np.flatnonzero(bad)[0])
+    return "edges_cross" if cs[k] > 0 else "duplicate_vertex"
 
 
 def validate_loops(loops_df: DataFrame) -> DataFrame:

@@ -318,3 +318,32 @@ def test_facade_polygon_roundtrip_and_cycles():
     cyc = bld.S2Builder().add_loop(lp).build_polylines()
     assert len(cyc) == 1
     assert np.array_equal(cyc[0][0], cyc[0][-1])  # closed chain
+
+
+def test_stabilize_prefilter_matches_dense():
+    """Above DENSE_STABILIZE_LIMIT the crossing stabilizer prunes
+    candidate pairs through cell co-location; the resulting edge set
+    must equal the dense all-pairs path bit-for-bit."""
+    import numpy as np
+    import s2spark.kernels.builder as bld
+    rng = np.random.default_rng(11)
+    # chord soup in a small cap (lots of real crossings)
+    c = np.array([1.0, 0.0, 0.0])
+    pts = c + 0.05 * rng.normal(size=(80, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    kept = [(pts[i], pts[(i * 37 + 13) % 80])
+            for i in range(80)
+            if not np.array_equal(pts[i], pts[(i * 37 + 13) % 80])]
+    snap = bld.IdentitySnapFunction()
+    seen, sites = bld._snap_edges(kept, snap)
+    edges = bld._cancel_siblings(seen)
+    old = bld.DENSE_STABILIZE_LIMIT
+    try:
+        bld.DENSE_STABILIZE_LIMIT = 10**9
+        dense = bld._stabilize_crossings(list(edges), dict(sites), snap)
+        bld.DENSE_STABILIZE_LIMIT = 0
+        pruned = bld._stabilize_crossings(list(edges), dict(sites), snap)
+    finally:
+        bld.DENSE_STABILIZE_LIMIT = old
+    assert sorted(dense) == sorted(pruned)
+    assert len(dense) > len(edges)  # crossings actually split

@@ -175,3 +175,74 @@ def test_crossing_edge_join_unhinted_above_limit(spark):
         == sorted(map(key, plain.collect()))
     plan = plain._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" not in plan.lower()
+
+
+def test_closest_edge_join_distributed_index_parity(spark):
+    """VERDICT r3 #2: closest_edge_join must accept a prebuilt
+    distributed edge index (no driver-side loops dict) and produce
+    identical rows; with the broadcast limit forced to 0 the index is
+    NOT broadcast and rows are still identical."""
+    loops = pip.synth_loops(10)
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .where(F.col("event_id") % 20 == 0) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    n_edges = sum(lp.n for lp in loops.values())
+    level = eops.pick_edge_level(n_edges, 1)
+    _, edges_df = pip.build_edge_index_distributed(
+        pip.loops_to_df(spark, loops), min_level=level)
+    key = lambda r: (r["event_id"], r["poly_id"], r["edge_id"],
+                     r["dist2"], r["rank"])  # noqa
+    want = sorted(map(key, eops.closest_edge_join(
+        ev, spark, loops, point_id="event_id",
+        brute_threshold=0, level=level).collect()))
+    got = sorted(map(key, eops.closest_edge_join(
+        ev, spark, point_id="event_id", brute_threshold=0,
+        edge_index=edges_df, level=level).collect()))
+    assert got == want and len(got) > 0
+    shuf = sorted(map(key, eops.closest_edge_join(
+        ev, spark, point_id="event_id", brute_threshold=0,
+        edge_index=edges_df, level=level,
+        broadcast_edge_limit=0).collect()))
+    assert shuf == want
+
+
+def test_closest_edge_brute_unhinted_above_limit(spark):
+    """The brute sweep with broadcast=False must not carry a broadcast
+    hint (big-index furthest path shuffles instead of OOMing the
+    driver)."""
+    loops = pip.synth_loops(4)
+    _, edges_df = pip.build_edge_index_distributed(
+        pip.loops_to_df(spark, loops))
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .where(F.col("event_id") % 100 == 0) \
+        .select("event_id", "x", "y", "z")
+    df = eops.closest_edge_join_brute(ev, spark, point_id="event_id",
+                                      edge_index=edges_df,
+                                      broadcast=False)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()
+
+
+def test_crossing_edge_join_distributed_index_parity(spark):
+    """crossing_edge_join over a prebuilt distributed index matches
+    the driver-dict path row-for-row."""
+    loops = pip.synth_loops(6)
+    cu = dataset.geotagged_customers(spark, SF_DIR) \
+        .where(F.col("c_custkey") <= 15) \
+        .select("c_custkey", "x", "y", "z").collect()
+    cu = sorted(cu, key=lambda r: r["c_custkey"])
+    rows = [(i, cu[i]["x"], cu[i]["y"], cu[i]["z"],
+             cu[i + 1]["x"], cu[i + 1]["y"], cu[i + 1]["z"])
+            for i in range(len(cu) - 1)]
+    qe = spark.createDataFrame(
+        rows, "qedge_id long, ax double, ay double, az double, "
+              "bx double, by double, bz double")
+    _, edges_df = pip.build_edge_index_distributed(
+        pip.loops_to_df(spark, loops))
+    key = lambda r: (r["qedge_id"], r["poly_id"], r["edge_id"],
+                     r["crossing_sign"])  # noqa
+    want = sorted(map(key,
+                      eops.crossing_edge_join(qe, spark, loops).collect()))
+    got = sorted(map(key, eops.crossing_edge_join(
+        qe, spark, edge_index=edges_df).collect()))
+    assert got == want
