@@ -259,6 +259,21 @@ def q_cell_vector_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec.cell_vector_roundtrip(ev, "tile")
 
 
+def q_shape_index_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncodedS2ShapeIndex wire-format round-trip, distributed
+    (mutable_s2shape_index.cc:1958-2020 Encode/Init,
+    s2shape_index.cc:69-360 cell/clipped-shape encodings,
+    encoded_s2shape_index.h:128; kernels/codecs.py): per synthetic
+    polygon the full index (cells + clipped shapes + edge runs) is
+    encoded into the three-layer format and decoded back; rows carry
+    the decoded per-cell structure and byte length.  Golden byte
+    layouts pinned in tests/test_codecs.py.  Materialized
+    driver-kernel oracle."""
+    from s2spark.ops import codec, pip
+    loops = pip.synth_loops(N_CODEC_POLYS)
+    return codec.shape_index_codec_roundtrip(spark, loops)
+
+
 def q_polygon_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2Polygon compressed coder (v4) round-trip, distributed
     (s2polygon.cc:1475-1500, s2loop.cc:1360-1426, s2point_compression
@@ -620,6 +635,22 @@ def q_polygon_overlay_models(spark: SparkSession,
                                        snap_level=GEOM_SNAP_LEVEL)
 
 
+N_WINDING_GROUPS = 6
+
+
+def q_winding_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2WindingOperation region construction
+    (s2winding_operation.h:25-120): per (group, rule) the snapped
+    boundary of the region selected by the winding rule over
+    self-intersecting loop sets (staircase squares + bow-ties),
+    including full/empty sentinel rows.  The winding-delta /
+    arrangement algorithm is pinned bit-exact against the reference's
+    fixture battery (tests/test_winding.py); materialized
+    driver-kernel oracle."""
+    from s2spark.ops import boolean as bops
+    return bops.winding_geom(spark, N_WINDING_GROUPS)
+
+
 DENSITY_THRESHOLD = 64
 DENSITY_MAX_LEVEL = 6
 BUFFER_RADIUS = 0.04
@@ -849,6 +880,21 @@ def q_track_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return measures.track_alignment(df, "user_id", ["ts"], pairs)
 
 
+def q_track_alignment_approx(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Windowed-approximate DTW (FastDTW, GetApproxVertexAlignment —
+    s2polyline_alignment.h:140-160) next to the exact DP cost for
+    every synthetic track pair.  The window machinery (warp-path
+    windows, upsample, dilate) is pinned against the reference's
+    private-API fixtures and the approx>=exact + medoid/consensus
+    fixtures in tests/test_alignment.py.  Materialized driver-kernel
+    oracle (deterministic doubles — workers run the same kernel)."""
+    df = spark.createDataFrame(_synth_tracks_pdf())
+    pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    return measures.track_alignment_approx(df, "user_id", ["ts"],
+                                           pairs, radius=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: disc join (tolerant spatial join) at sf0.001."""
     return q_disc_join(spark, "/root/testdata/sf0.001")
@@ -884,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_tokens": q_cell_tokens,
         "cell_vector_codec": q_cell_vector_codec,
         "polygon_codec": q_polygon_codec,
+        "shape_index_codec": q_shape_index_codec,
         "region_covering": q_region_covering,
         "chain_midpoint": q_chain_midpoint,
         "closest_edge": q_closest_edge,
@@ -894,10 +941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_exact": q_polygon_overlay_exact,
         "polygon_overlay_geom": q_polygon_overlay_geom,
         "polygon_overlay_models": q_polygon_overlay_models,
+        "winding_geom": q_winding_geom,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
         "track_dtw": q_track_dtw,
+        "track_alignment_approx": q_track_alignment_approx,
         "density_tree": q_density_tree,
         "polygon_buffer": q_polygon_buffer,
         "polygon_buffer_geom": q_polygon_buffer_geom,
@@ -1527,8 +1576,10 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_overlay_exact": _overlay_exact_oracle(),
         "polygon_overlay_geom": _overlay_geom_oracle(),
         "polygon_overlay_models": _overlay_models_oracle(),
+        "winding_geom": _winding_geom_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
+        "shape_index_codec": _shape_index_codec_oracle(),
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
@@ -1541,6 +1592,7 @@ def _geometry_oracles() -> dict[str, str]:
         "track_simplify": _track_simplify_oracle(),
         "track_snap_simplify": _track_snap_simplify_oracle(),
         "track_dtw": _track_dtw_oracle(),
+        "track_alignment_approx": _track_alignment_approx_oracle(),
         "track_snap": (
             f"WITH t AS (SELECT user_id, ts, event_id, "
             f"{geo.parent_sql('cell', SNAP_LEVEL)} AS sc FROM "
@@ -1949,6 +2001,83 @@ def _overlay_models_oracle() -> str:
             "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
             + ", ".join(rows)
             + ") AS _m(pair_id, op, model, loop_idx, seq, site_cell)")
+
+
+def _winding_geom_oracle() -> str:
+    """Driver-kernel materialized expected rows for winding_geom."""
+    import numpy as np
+
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels import winding as _wd
+    from s2spark.kernels.region import latlng_to_point as _llp
+    from s2spark.ops import boolean as _bops
+    rows = []
+    for gid in range(N_WINDING_GROUPS):
+        loops, (rlat, rlng), refw = _bops.winding_fixture(gid)
+        ref = np.asarray(_llp(np.radians(rlat), np.radians(rlng)))
+        snap = _bld.IntLatLngSnapFunction(6)
+        for rule in _wd.RULES:
+            chains, state = _wd.winding_operation(loops, ref, refw,
+                                                  rule, snap=snap)
+            if not chains:
+                rows.append(f"({gid}, '{rule}', -1, -1, "
+                            f"{1 if state == 'full' else 0})")
+                continue
+            for li, chain in enumerate(chains):
+                cells = _ck.as_i64(_ck.from_xyz(
+                    chain[:, 0], chain[:, 1], chain[:, 2]))
+                rows.extend(f"({gid}, '{rule}', {li}, {seq}, {int(c)})"
+                            for seq, c in enumerate(cells))
+    return ("SELECT CAST(group_id AS BIGINT) AS group_id, rule, "
+            "CAST(loop_idx AS INTEGER) AS loop_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _w(group_id, rule, loop_idx, seq, site_cell)")
+
+
+def _shape_index_codec_oracle() -> str:
+    """Driver-kernel materialized expected rows for shape_index_codec."""
+    from s2spark.ops import codec as _codec
+    from s2spark.ops import pip as _pip
+    loops = _pip.synth_loops(N_CODEC_POLYS)
+    rows = []
+    for pid in sorted(loops):
+        for (p, icell, ne, cc, nb) in _codec.shape_index_codec_rows(
+                pid, loops[pid].vertices):
+            rows.append(f"({p}, {int(icell)}, {ne}, {cc}, {nb})")
+    return ("SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+            "CAST(icell AS BIGINT) AS icell, "
+            "CAST(n_edges AS INTEGER) AS n_edges, contains_center, "
+            "CAST(n_bytes AS INTEGER) AS n_bytes FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _si(poly_id, icell, n_edges, contains_center, "
+            "n_bytes)")
+
+
+def _track_alignment_approx_oracle() -> str:
+    """Materialized kernel rows for track_alignment_approx."""
+    import numpy as np
+
+    from s2spark.kernels import alignment as _al
+    pdf = _synth_tracks_pdf()
+    tracks = {int(e): g.sort_values("ts")[["x", "y", "z"]]
+              .to_numpy(np.float64) for e, g in pdf.groupby("user_id")}
+    rows = []
+    for a in range(8):
+        for b in range(a + 1, 8):
+            ac, path = _al.approx_vertex_alignment(tracks[a],
+                                                   tracks[b], 2)
+            ec = _al.exact_vertex_alignment_cost(tracks[a], tracks[b])
+            rows.append(f"({a}, {b}, {_f17(ac)}, {_f17(ec)}, "
+                        f"{len(path)})")
+    return ("SELECT CAST(id_a AS BIGINT) AS id_a, "
+            "CAST(id_b AS BIGINT) AS id_b, approx_cost, exact_cost, "
+            "CAST(path_len AS INTEGER) AS path_len FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _ta(id_a, id_b, approx_cost, exact_cost, "
+            "path_len)")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -862,3 +862,175 @@ def encode_cellid(cid: int) -> bytes:
 
 def decode_cellid(buf) -> int:
     return int.from_bytes(bytes(buf[:8]), "little")
+
+
+# ---------------------------------------------------------------------------
+# EncodedS2ShapeIndex (mutable_s2shape_index.cc:1958-2020 Encode/Init,
+# s2shape_index.cc:69-360 S2ShapeIndexCell/S2ClippedShape encodings,
+# encoded_s2shape_index.h:128): varint64(max_edges << 2 | version=0),
+# EncodedS2CellIdVector of cell ids, EncodedStringVector of per-cell
+# encodings.  A clipped shape is (shape_id, contains_center, edge_ids).
+
+SHAPE_INDEX_VERSION = 0
+
+
+def _encode_edges(out: bytearray, edges: list[int]) -> None:
+    """(edge_id, count) contiguous-range runs, delta-encoded; the last
+    edge omits its count (s2shape_index.cc:290-329)."""
+    base = 0
+    n = len(edges)
+    i = 0
+    while i < n:
+        eid = edges[i]
+        delta = eid - base
+        if i + 1 == n:
+            put_varint(out, delta)
+            i += 1
+            continue
+        count = 1
+        while i + 1 < n and edges[i + 1] == eid + count:
+            count += 1
+            i += 1
+        if count < 8:
+            put_varint(out, delta << 3 | (count - 1))
+        else:
+            put_varint(out, (count - 8) << 3 | 7)
+            put_varint(out, delta)
+        base = eid + count
+        i += 1
+
+
+def _decode_edges(buf, pos: int, num_edges: int
+                  ) -> tuple[list[int], int]:
+    edges: list[int] = []
+    eid = 0
+    while len(edges) < num_edges:
+        v, pos = get_varint(buf, pos)
+        if len(edges) + 1 == num_edges:
+            eid += v
+            edges.append(eid)
+            break
+        count = (v & 7) + 1
+        v >>= 3
+        if count == 8:
+            count += v
+            v, pos = get_varint(buf, pos)
+        eid += v
+        edges.extend(range(eid, eid + count))
+        eid += count
+    return edges, pos
+
+
+def encode_shape_index_cell(clipped: list[tuple], num_shape_ids: int
+                            ) -> bytes:
+    """clipped: [(shape_id, contains_center, [edge_ids...])...] sorted
+    by shape_id (s2shape_index.cc:69-190)."""
+    out = bytearray()
+    if num_shape_ids == 1:
+        assert len(clipped) == 1 and clipped[0][0] == 0
+        _, cc, edges = clipped[0]
+        n = len(edges)
+        if n >= 2 and n <= 17 and edges[-1] - edges[0] == n - 1:
+            put_varint(out, edges[0] << 6 | (n - 2) << 2 | int(cc) << 1)
+        elif n == 1:
+            put_varint(out, edges[0] << 3 | int(cc) << 2 | 1)
+        else:
+            put_varint(out, n << 3 | int(cc) << 2 | 3)
+            _encode_edges(out, list(edges))
+        return bytes(out)
+    if len(clipped) > 1:
+        put_varint(out, len(clipped) << 3 | 3)
+    base = 0
+    for shape_id, cc, edges in clipped:
+        delta = shape_id - base
+        base = shape_id + 1
+        n = len(edges)
+        if n >= 1 and n <= 16 and edges[-1] - edges[0] == n - 1:
+            put_varint(out, edges[0] << 2 | int(cc) << 1)
+            put_varint(out, delta << 4 | (n - 1))
+        elif n == 0:
+            put_varint(out, delta << 4 | int(cc) << 3 | 7)
+        else:
+            put_varint(out, (n - 1) << 3 | int(cc) << 2 | 1)
+            put_varint(out, delta)
+            _encode_edges(out, list(edges))
+    return bytes(out)
+
+
+def decode_shape_index_cell(buf, num_shape_ids: int, pos: int = 0
+                            ) -> list[tuple]:
+    clipped: list[tuple] = []
+    if num_shape_ids == 1:
+        header, pos = get_varint(buf, pos)
+        if (header & 1) == 0:
+            n = ((header >> 2) & 15) + 2
+            e0 = header >> 6
+            return [(0, bool(header & 2), list(range(e0, e0 + n)))]
+        if (header & 2) == 0:
+            return [(0, bool(header & 4), [header >> 3])]
+        n = header >> 3
+        edges, pos = _decode_edges(buf, pos, n)
+        return [(0, bool(header & 4), edges)]
+    v, pos = get_varint(buf, pos)
+    if (v & 7) == 3:
+        num_clipped = v >> 3
+        v, pos = get_varint(buf, pos)
+    else:
+        num_clipped = 1
+    base = 0
+    for _ in range(num_clipped):
+        if (v & 1) == 0:
+            cc = bool(v & 2)
+            e0 = v >> 2
+            v2, pos = get_varint(buf, pos)
+            n = (v2 & 15) + 1
+            delta = v2 >> 4
+            clipped.append((base + delta, cc,
+                            list(range(e0, e0 + n))))
+            base += delta + 1
+        elif (v & 7) == 7:
+            cc = bool(v & 8)
+            delta = v >> 4
+            clipped.append((base + delta, cc, []))
+            base += delta + 1
+        else:  # (v & 3) == 1 general case
+            cc = bool(v & 4)
+            n = (v >> 3) + 1
+            delta, pos = get_varint(buf, pos)
+            edges, pos = _decode_edges(buf, pos, n)
+            clipped.append((base + delta, cc, edges))
+            base += delta + 1
+        if len(clipped) < num_clipped:
+            v, pos = get_varint(buf, pos)
+    return clipped
+
+
+def encode_shape_index(cells: list[tuple], num_shape_ids: int,
+                       max_edges_per_cell: int = 10) -> bytes:
+    """cells: [(cell_id, clipped_list)...] sorted by cell id.
+    Layout: varint64(max_edges << 2 | version) + cell-id vector +
+    string vector of cell encodings."""
+    out = bytearray()
+    put_varint(out, max_edges_per_cell << 2 | SHAPE_INDEX_VERSION)
+    ids = np.array([c[0] for c in cells], dtype=np.uint64)
+    out += encode_cellid_vector(ids)
+    out += encode_string_vector([
+        encode_shape_index_cell(cl, num_shape_ids)
+        for _, cl in cells])
+    return bytes(out)
+
+
+def decode_shape_index(buf, num_shape_ids: int
+                       ) -> tuple[int, list[tuple]]:
+    """-> (max_edges_per_cell, [(cell_id, clipped_list)...])."""
+    v, pos = get_varint(buf, 0)
+    if (v & 3) != SHAPE_INDEX_VERSION:
+        raise ValueError("bad version")
+    max_edges = v >> 2
+    shift, base, pos = _decode_base_shift(buf, pos)
+    deltas, pos = decode_uint_vector(buf, pos)
+    ids = (deltas << np.uint64(shift)) + np.uint64(base)
+    blobs, pos = decode_string_vector(buf, pos)
+    cells = [(int(cid), decode_shape_index_cell(blob, num_shape_ids))
+             for cid, blob in zip(ids, blobs)]
+    return max_edges, cells

@@ -1,0 +1,167 @@
+"""S2WindingOperation — region construction from a winding rule
+(s2winding_operation.h:25-120, s2builderutil_get_snapped_winding_delta.h).
+
+Given possibly self-intersecting closed loops, a reference point R with
+known winding number, and a rule (POSITIVE/NEGATIVE/NON_ZERO/ODD), the
+sphere is partitioned into regions of constant (relative) winding
+number and the boundary of the selected regions is emitted as snapped,
+interior-on-left chains.
+
+Formulation over the repo's arrangement machinery:
+
+1. subdivide all loop edges at mutual crossings (builder.subdivide_self)
+2. snap to sites; stabilize snap-induced crossings
+3. **snapped winding delta**: snapping can sweep edges across R (e.g. a
+   loop collapsing to a point), changing R's winding.  Each sub-edge's
+   sweep quad (input edge -> snapped edge, connectors cancelling along
+   each input loop) contributes its winding around R, computed by
+   signed crossings from a far anchor — the role of the reference's
+   GetSnappedWindingDelta.
+4. per arrangement *bundle* (coincident directed edges netted:
+   left winding = right winding + net), the winding number just left
+   of the bundle is computed by signed crossings of the geodesic R ->
+   probe against all net-weighted bundles; a bundle is emitted iff the
+   rule selects exactly one side (interior kept on the left)
+5. stitch chains (builder.stitch_loops); a chain-less result
+   disambiguates to full/empty by rule(w(R)).
+
+Out of scope (documented partial): include_degeneracies=True outputs
+(isolated point/sibling-pair degeneracies).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import predicates
+from .builder import (IdentitySnapFunction, _snap_edges,
+                      _stabilize_crossings, stitch_loops, subdivide_self)
+
+RULES = ("positive", "negative", "non_zero", "odd")
+
+
+def _rule_fn(rule: str):
+    if rule == "positive":
+        return lambda w: w > 0
+    if rule == "negative":
+        return lambda w: w < 0
+    if rule == "non_zero":
+        return lambda w: w != 0
+    if rule == "odd":
+        return lambda w: (w % 2) == 1
+    raise ValueError(rule)
+
+
+def _signed_crossings(f: np.ndarray, r: np.ndarray,
+                      segs: list[tuple[np.ndarray, np.ndarray, int]]
+                      ) -> int:
+    """Winding contribution along the geodesic f->r: for each
+    transverse crossing with a (weighted) edge (p,q,net), +net if r is
+    on the edge's left (Sign(p,q,r) > 0) else -net."""
+    if not segs:
+        return 0
+    p = np.array([s[0] for s in segs])
+    q = np.array([s[1] for s in segs])
+    nets = np.array([s[2] for s in segs], dtype=np.int64)
+    n = len(segs)
+    cs = predicates.crossing_sign(np.broadcast_to(f, (n, 3)),
+                                  np.broadcast_to(r, (n, 3)), p, q)
+    hit = cs > 0
+    if not hit.any():
+        return 0
+    total = 0
+    for i in np.nonzero(hit)[0]:
+        s = predicates._sign_scalar(tuple(p[i]), tuple(q[i]), tuple(r))
+        total += int(nets[i]) if s > 0 else -int(nets[i])
+    return total
+
+
+def _left_probe(p0: np.ndarray, p1: np.ndarray,
+                eps: float = 1e-9) -> np.ndarray:
+    n = np.cross(p0, p1)
+    n /= np.linalg.norm(n)
+    m = p0 + p1
+    m /= np.linalg.norm(m)
+    return m * math.cos(eps) + n * math.sin(eps)
+
+
+def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
+                      ref_winding: int, rule: str, snap=None
+                      ) -> tuple[list[np.ndarray], str]:
+    """-> (chains, state): boundary chains of the region selected by
+    the winding rule (interior on the left; shells CCW / holes CW in
+    the parity interpretation), and 'normal' | 'full' | 'empty'."""
+    if rule not in RULES:
+        raise ValueError(rule)
+    want = _rule_fn(rule)
+    snap = snap or IdentitySnapFunction()
+    r = np.asarray(ref_point, dtype=np.float64)
+
+    loop_edge_lists = []
+    for v in loops:
+        v = np.asarray(v, dtype=np.float64)
+        if len(v) < 2:
+            continue
+        loop_edge_lists.append(
+            [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))])
+    sub = subdivide_self(loop_edge_lists)
+    sub_edges = [e for lst in sub for segs in lst for e in segs]
+
+    seen, sites = _snap_edges(sub_edges, snap)
+    edges = [e for e in sorted(seen) for _ in range(seen[e])]
+    edges = _stabilize_crossings(edges, sites, snap)
+
+    # snapped winding delta: sweep quads input-subedge -> snapped edge
+    delta = 0
+    for (a, b) in sub_edges:
+        ka, kb = snap.site_key(a), snap.site_key(b)
+        a2 = sites.get(ka, snap.site_point(ka, a))
+        b2 = sites.get(kb, snap.site_point(kb, b))
+        quad = [(a, b), (b, b2), (b2, a2), (a2, a)]
+        segs = [(p, q, 1) for p, q in quad
+                if not np.array_equal(p, q)]
+        if len(segs) <= 1:
+            continue  # identity snap: zero-area sweep
+        c = a + b + a2 + b2
+        nc = float(np.linalg.norm(c))
+        f = -(c / nc) if nc > 0 else -a
+        delta += _signed_crossings(f, r, segs)
+    w_ref = int(ref_winding) - delta
+
+    # bundles: coincident directed edges netted
+    from collections import Counter
+    cnt = Counter(edges)
+    bundles: list[tuple] = []          # (u, v, net) with net > 0
+    done = set()
+    for (u, v) in sorted(cnt):
+        if (u, v) in done or (v, u) in done:
+            continue
+        done.add((u, v))
+        done.add((v, u))
+        net = cnt[(u, v)] - cnt.get((v, u), 0)
+        if net > 0:
+            bundles.append((u, v, net))
+        elif net < 0:
+            bundles.append((v, u, -net))
+
+    segs = [(np.asarray(sites[u]), np.asarray(sites[v]), net)
+            for u, v, net in bundles]
+    out_edges: list[tuple] = []
+    for (u, v, net), (p0, p1, _) in zip(bundles, segs):
+        probe = _left_probe(p0, p1)
+        w_left = w_ref + _signed_crossings(r, probe, segs)
+        w_right = w_left - net
+        keep_l, keep_r = want(w_left), want(w_right)
+        if keep_l and not keep_r:
+            out_edges.append((u, v))
+        elif keep_r and not keep_l:
+            out_edges.append((v, u))
+
+    chains = stitch_loops(out_edges, sites)
+    arrays = [np.array([sites[k] for k in chain], dtype=np.float64)
+              for chain in chains]
+    if arrays:
+        return arrays, "normal"
+    return arrays, ("full" if want(w_ref) else "empty")

@@ -440,3 +440,80 @@ def polygon_overlay_models(spark: SparkSession,
 
     return (joined.groupBy("a_id", "b_id")
             .applyInPandas(run, MODEL_GEOM_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# S2WindingOperation (region construction from a winding rule)
+
+WINDING_GEOM_SCHEMA = ("group_id long, rule string, loop_idx int, "
+                       "seq int, site_cell long")
+
+
+def winding_fixture(gid: int) -> tuple[list, tuple, int]:
+    """Deterministic self-overlapping staircase of 3 CCW squares plus
+    a bow-tie (self-intersecting) loop around a mix-derived center —
+    the UnionOfSquares / BowTie patterns of
+    s2winding_operation_test.cc.  Returns (loops, ref_latlng_deg,
+    ref_winding): the reference point sits inside only the first
+    square (winding 1)."""
+    from ..sources import geo
+    k = np.array([gid], dtype=np.int64)
+    lat0 = float(geo.mix_np(k, 17)[0] % 100) - 50.0
+    lng0 = float(geo.mix_np(k, 19)[0] % 300) - 150.0
+    s = 0.5
+    sq = lambda la, ln: [(lat0 + la * s, lng0 + ln * s),        # noqa
+                         (lat0 + la * s, lng0 + (ln + 4) * s),
+                         (lat0 + (la + 4) * s, lng0 + (ln + 4) * s),
+                         (lat0 + (la + 4) * s, lng0 + ln * s)]
+    loops = [sq(0, 0), sq(1, 1), sq(2, 2),
+             # bow-tie east of the staircase
+             [(lat0 + 5 * s, lng0 + 8 * s), (lat0 - 5 * s, lng0 + 18 * s),
+              (lat0 + 5 * s, lng0 + 18 * s), (lat0 - 5 * s, lng0 + 8 * s)]]
+    from ..kernels.loops import Loop
+    arrs = [Loop.from_latlng_degrees(
+        np.array(q, dtype=np.float64)).vertices for q in loops]
+    return arrs, (lat0 + 0.25 * s, lng0 + 0.25 * s), 1
+
+
+def winding_geom(spark: SparkSession, n_groups: int,
+                 snap_exponent: int = 6) -> DataFrame:
+    """Distributed S2WindingOperation
+    (s2winding_operation.h:25-120): per (group, rule) the snapped
+    boundary chains of the region selected by the winding rule over
+    that group's self-intersecting loop set, one row per vertex
+    (site_cell = leaf cell id of the snapped site — integer, oracle-
+    safe); chain-less results emit a sentinel row (loop_idx = -1,
+    site_cell = 1 full / 0 empty).  One applyInPandas group per
+    group_id (the parallel axis).  Algorithm parity is pinned against
+    the reference's fixture battery in tests/test_winding.py."""
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    from ..kernels import winding as wd
+    from ..kernels.region import latlng_to_point
+    base = spark.range(n_groups).select(
+        F.col("id").alias("group_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        loops, (rlat, rlng), refw = winding_fixture(gid)
+        ref = np.asarray(latlng_to_point(np.radians(rlat),
+                                         np.radians(rlng)))
+        snap = bld.IntLatLngSnapFunction(snap_exponent)
+        rows = []
+        for rule in wd.RULES:
+            chains, state = wd.winding_operation(loops, ref, refw,
+                                                 rule, snap=snap)
+            if not chains:
+                rows.append((gid, rule, -1, -1,
+                             1 if state == "full" else 0))
+                continue
+            for li, chain in enumerate(chains):
+                cells = ci.as_i64(ci.from_xyz(chain[:, 0], chain[:, 1],
+                                              chain[:, 2]))
+                rows.extend((gid, rule, li, s, int(c))
+                            for s, c in enumerate(cells))
+        return pd.DataFrame(rows, columns=[
+            "group_id", "rule", "loop_idx", "seq", "site_cell"])
+
+    return base.groupBy("group_id").applyInPandas(run,
+                                                  WINDING_GEOM_SCHEMA)

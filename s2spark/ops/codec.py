@@ -111,3 +111,58 @@ def polygon_codec_rows(pid: int, verts: np.ndarray,
         out.extend((pid, s, int(c), len(enc), int(enc[0]))
                    for s, c in enumerate(leaf))
     return out
+
+
+def shape_index_codec_rows(pid: int, verts: np.ndarray) -> list[tuple]:
+    """Build the loop's MutableS2ShapeIndex analogue, encode it in the
+    EncodedS2ShapeIndex wire format, decode it back and emit one row
+    per indexed (cell, shape) with the decoded edge count and
+    contains_center bit plus the encoded byte length — any bit error
+    anywhere in the three-layer format (header varint / cell-id
+    vector / string vector / cell encodings) changes the rows."""
+    from collections import defaultdict
+
+    from ..kernels import codecs as cx
+    from ..kernels.loops import Loop
+    from . import pip
+    cell_rows, edge_rows = pip._index_loop_rows(0, Loop(verts))
+    per_cell: dict = defaultdict(lambda: [False, []])
+    for (cid, _p, cc, _x, _y, _z) in cell_rows:
+        per_cell[int(cid)][0] = bool(cc)
+    for (cid, _p, e, *_rest) in edge_rows:
+        per_cell[int(cid)][1].append(int(e))
+    u64 = (1 << 64) - 1
+    cells = [(cid & u64, [(0, cc, sorted(ed))])
+             for cid, (cc, ed) in sorted(
+                 per_cell.items(), key=lambda kv: kv[0] & u64)]
+    buf = cx.encode_shape_index(cells, num_shape_ids=1)
+    max_edges, back = cx.decode_shape_index(buf, num_shape_ids=1)
+    assert max_edges == 10
+    out = []
+    for (cid, cl) in back:
+        (sid, cc, edges) = cl[0]
+        out.append((pid, np.uint64(cid).astype(np.int64),
+                    len(edges), bool(cc), len(buf)))
+    return out
+
+
+def shape_index_codec_roundtrip(spark: SparkSession,
+                                loops: dict | DataFrame) -> DataFrame:
+    """Distributed EncodedS2ShapeIndex round-trip: one applyInPandas
+    group per polygon (the parallel axis at a million polygons)."""
+    from . import pip
+    df = loops if isinstance(loops, DataFrame) \
+        else pip.loops_to_df(spark, loops)
+    schema = ("poly_id long, icell long, n_edges int, "
+              "contains_center boolean, n_bytes int")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        v = np.asarray(pdf["vertices"].iloc[0],
+                       dtype=np.float64).reshape(-1, 3)
+        return pd.DataFrame(
+            shape_index_codec_rows(pid, v),
+            columns=["poly_id", "icell", "n_edges",
+                     "contains_center", "n_bytes"])
+
+    return df.groupBy("poly_id").applyInPandas(run, schema)

@@ -241,3 +241,53 @@ def track_segments(events: DataFrame, entity: str, order_cols: list[str]
             .withColumn("dist2", d2)
             .where(F.col("dist2").isNotNull())
             .select(F.col(entity), "seq", "dist2"))
+
+
+def track_alignment_approx(events: DataFrame, entity: str,
+                           order_cols: list[str],
+                           pairs: list[tuple[int, int]],
+                           radius: int | None = None) -> DataFrame:
+    """Windowed-approximate DTW (FastDTW — GetApproxVertexAlignment,
+    s2polyline_alignment.h:140-160, kernels/alignment.py) per track
+    pair, alongside the exact cost: (id_a, id_b, approx_cost,
+    exact_cost, path_len).  The approximation is deterministic, so
+    the rows are oracle-exact; approx >= exact is asserted by the
+    kernel test battery.  Same pair-parallel shape as
+    track_alignment."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = events.sparkSession
+    pairs_df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    pts = (events.select(F.col(entity).alias("_e"), *order_cols,
+                         "x", "y", "z"))
+    a = pairs_df.join(pts, pairs_df["id_a"] == pts["_e"]) \
+        .select("id_a", "id_b", *order_cols,
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("z").alias("az"), F.lit(0).alias("_side"))
+    b = pairs_df.join(pts, pairs_df["id_b"] == pts["_e"]) \
+        .select("id_a", "id_b", *order_cols,
+                F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("z").alias("az"), F.lit(1).alias("_side"))
+    both = a.unionByName(b)
+    schema = ("id_a long, id_b long, approx_cost double, "
+              "exact_cost double, path_len int")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..kernels import alignment as al
+        ia, ib = int(key[0]), int(key[1])
+        va = pdf[pdf["_side"] == 0].sort_values(order_cols)[
+            ["ax", "ay", "az"]].to_numpy(np.float64)
+        vb = pdf[pdf["_side"] == 1].sort_values(order_cols)[
+            ["ax", "ay", "az"]].to_numpy(np.float64)
+        ac, path = al.approx_vertex_alignment(va, vb, radius)
+        ec = al.exact_vertex_alignment_cost(va, vb)
+        return pd.DataFrame(
+            [(ia, ib, ac, ec, len(path))],
+            columns=["id_a", "id_b", "approx_cost", "exact_cost",
+                     "path_len"])
+
+    return both.groupBy("id_a", "id_b").applyInPandas(run, schema)

@@ -457,3 +457,85 @@ def test_polygon_codec_roundtrip_op(spark):
                 pid, lp.vertices, 14):
             assert got[(p, s)] == (c, n, ver)
             assert ver == 4                    # snapped -> compressed
+
+
+# -- EncodedS2ShapeIndex (mutable_s2shape_index.cc:1958-2020,
+#    s2shape_index.cc:69-360, encoded_s2shape_index.h:128) --
+
+def test_shape_index_cell_golden_single_shape():
+    """Hand-derived golden bytes per the published bit layouts."""
+    # contiguous range 3..6, contains_center: 3<<6 | 2<<2 | 1<<1 = 0xCA
+    assert cx.encode_shape_index_cell(
+        [(0, True, [3, 4, 5, 6])], 1) == bytes([0xCA, 0x01])
+    # single edge 7, cc=0: 7<<3 | 1 = 0x39
+    assert cx.encode_shape_index_cell([(0, False, [7])], 1) \
+        == bytes([0x39])
+    # zero edges, cc=1: 0<<3 | 1<<2 | 3 = 0x07
+    assert cx.encode_shape_index_cell([(0, True, [])], 1) \
+        == bytes([0x07])
+    # general case [0,5,6] cc=0: header 3<<3|3=0x1B, runs
+    # (delta0,count1)=0x00, last edge delta 4<<3|count2-1=0x21
+    assert cx.encode_shape_index_cell([(0, False, [0, 5, 6])], 1) \
+        == bytes([0x1B, 0x00, 0x21])
+
+
+def test_shape_index_cell_golden_multi_shape():
+    # two clipped shapes: header num_clipped<<3|3 = 0x13;
+    # shape0 contiguous [1,2] cc=0: 1<<2|0 = 0x04, 0<<4|(2-1) = 0x01;
+    # shape2 zero edges cc=1: delta1<<4|1<<3|7 = 0x1F
+    cl = [(0, False, [1, 2]), (2, True, [])]
+    assert cx.encode_shape_index_cell(cl, 3) \
+        == bytes([0x13, 0x04, 0x01, 0x1F])
+    assert cx.decode_shape_index_cell(
+        bytes([0x13, 0x04, 0x01, 0x1F]), 3) == cl
+
+
+def test_shape_index_cell_roundtrips():
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        n_shapes = int(rng.integers(1, 5))
+        n_clipped = 1 if n_shapes == 1 else int(
+            rng.integers(1, n_shapes + 1))
+        sids = sorted(rng.choice(n_shapes, size=n_clipped,
+                                 replace=False).tolist())
+        if n_shapes == 1:
+            sids = [0]
+        cl = []
+        for sid in sids:
+            n_edges = int(rng.integers(0, 24))
+            edges = sorted(rng.choice(2000, size=n_edges,
+                                      replace=False).tolist())
+            if n_shapes == 1 and n_edges == 0 and rng.random() < 0.5:
+                edges = []
+            cl.append((int(sid), bool(rng.integers(0, 2)), edges))
+        buf = cx.encode_shape_index_cell(cl, n_shapes)
+        assert cx.decode_shape_index_cell(buf, n_shapes) == cl
+
+
+def test_shape_index_roundtrip_from_real_edge_index():
+    """Encode the actual MutableS2ShapeIndex analogue built by
+    pip.build_edge_index and round-trip it losslessly."""
+    from collections import defaultdict
+
+    from s2spark.ops import pip
+    loops = pip.synth_loops(3)
+    cells_pd, edges_pd = pip.build_edge_index(loops)
+    per_cell: dict = defaultdict(lambda: defaultdict(
+        lambda: [False, []]))
+    for r in cells_pd.itertuples():
+        per_cell[int(r.icell)][int(r.poly_id)][0] = bool(
+            r.contains_center)
+    for r in edges_pd.itertuples():
+        per_cell[int(r.icell)][int(r.poly_id)][1].append(int(r.edge_id))
+    cells = []
+    for cid in sorted(per_cell, key=lambda c: c & ((1 << 64) - 1)):
+        cl = [(sid, cc, sorted(ed)) for sid, (cc, ed)
+              in sorted(per_cell[cid].items())]
+        cells.append((cid & ((1 << 64) - 1), cl))
+    buf = cx.encode_shape_index(cells, num_shape_ids=3,
+                                max_edges_per_cell=10)
+    max_edges, back = cx.decode_shape_index(buf, num_shape_ids=3)
+    assert max_edges == 10
+    assert back == cells
+    assert len(buf) < sum(len(cx.encode_shape_index_cell(cl, 3))
+                          for _, cl in cells) + 16 * len(cells)
