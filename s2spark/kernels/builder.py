@@ -434,6 +434,36 @@ def _keep_rule(op: str, side: str, inside_other: bool):
     raise ValueError(op)
 
 
+# midpoint-on-boundary escalation threshold (squared chord): a
+# classification midpoint closer than ~1e-14 rad to the other
+# region's boundary means partially-overlapping collinear edges
+# slipped past the bitwise coincidence matcher — parity there is
+# ill-posed, so fail loudly instead of silently classifying
+_MIDPOINT_CLEARANCE2 = 1e-28
+_MIDPOINT_CHECK_LIMIT = 2_000_000  # max mids x edges pairs to probe
+
+
+def _check_midpoints_off_boundary(mids: np.ndarray,
+                                  other: list[Loop]) -> None:
+    n_edges = sum(lp.n for lp in other)
+    if mids.shape[0] * n_edges > _MIDPOINT_CHECK_LIMIT:
+        return  # documented best-effort guard; huge overlays skip
+    from .edges import point_segment_chord2
+    A = np.concatenate([lp.vertices for lp in other])
+    B = np.concatenate([np.roll(lp.vertices, -1, axis=0)
+                        for lp in other])
+    m = np.repeat(mids, len(A), axis=0)
+    a = np.tile(A, (len(mids), 1))
+    b = np.tile(B, (len(mids), 1))
+    d2 = point_segment_chord2(m, a, b)
+    if float(np.min(d2)) < _MIDPOINT_CLEARANCE2:
+        raise ValueError(
+            "overlay midpoint lies on the other region's boundary: "
+            "partially-overlapping collinear edges are not exactly "
+            "coincident (the degenerate matcher requires bit-identical "
+            "sub-edges) — pre-snap the inputs to a shared grid")
+
+
 def classify_edges(subs: list[tuple[np.ndarray, np.ndarray]],
                    other: list[Loop], side: str, op: str
                    ) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -444,6 +474,8 @@ def classify_edges(subs: list[tuple[np.ndarray, np.ndarray]],
         return []
     mids = np.array([s[0] + s[1] for s in subs], dtype=np.float64)
     mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+    if other:
+        _check_midpoints_off_boundary(mids, other)
     inside = _parity_contains(other, mids)
     out = []
     for (p0, p1), ins in zip(subs, inside):

@@ -520,22 +520,26 @@ def _encode_polygon_uncompressed(loops, depths) -> bytes:
     out += len(loops).to_bytes(4, "little")
     for lp, d in zip(loops, depths):
         out += encode_loop(lp, d)
-    # polygon bound: union of shell-loop bounds
-    lo_lat, hi_lat = np.pi / 2, -np.pi / 2
-    lo_lng, hi_lng = np.pi, -np.pi
-    full = False
+    # polygon bound: S2LatLngRect UNION of shell-loop bounds with
+    # proper S1Interval longitude semantics (inverted/antimeridian-
+    # crossing intervals union correctly instead of snapping to full
+    # — ADVICE r3: restores byte parity with the reference encoder
+    # for multi-loop and antimeridian polygons)
+    from .rect_bounder import loop_rect_bound
+    from .region import LatLngRect, R1Interval, S1Interval
+    acc = LatLngRect(R1Interval.empty(), S1Interval.empty())
     for lp, d in zip(loops, depths):
         if d & 1:
             continue
-        b = _loop_bound(lp)
-        lo_lat, hi_lat = min(lo_lat, b[0]), max(hi_lat, b[1])
-        if b[2] <= b[3]:
-            lo_lng, hi_lng = min(lo_lng, b[2]), max(hi_lng, b[3])
-        else:
-            full = True
-    if full:
-        lo_lng, hi_lng = -np.pi, np.pi
-    out += encode_rect(lo_lat, hi_lat, lo_lng, hi_lng)
+        r = loop_rect_bound(np.asarray(lp, dtype=np.float64)
+                            .reshape(-1, 3))
+        acc = LatLngRect(acc.lat.union(r.lat), acc.lng.union(r.lng))
+    if acc.lat.is_empty():
+        # no shells: the reference encodes the empty rect
+        out += encode_rect(1.0, -1.0, np.pi, -np.pi)
+    else:
+        out += encode_rect(acc.lat.lo, acc.lat.hi,
+                           acc.lng.lo, acc.lng.hi)
     return bytes(out)
 
 

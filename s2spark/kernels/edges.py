@@ -177,3 +177,157 @@ def edge_covering(a, b, max_cells: int = 8, min_level: int = 0,
                        max_level=max_level)
     from . import cellid
     return cellid.as_i64(rc.get_covering(EdgeRegion(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# S2::Project / IsEdgeBNearEdgeA / polyline covering
+# (s2edge_distances.cc:286-520, s2polyline.cc:665-815)
+
+def _robust_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a+b) x (b-a) = 2 a x b with better orthogonality for nearly
+    (anti)parallel inputs (the RobustCrossProd identity); falls back
+    to an arbitrary orthogonal for degenerate input."""
+    c = np.cross(a + b, b - a)
+    n = float(np.linalg.norm(c))
+    if n > 0:
+        return c / n
+    # a == +-b: any orthogonal direction
+    ref = np.array([0.0, 0.0, 1.0]) if abs(a[2]) < 0.9 \
+        else np.array([1.0, 0.0, 0.0])
+    c = np.cross(a, ref)
+    return c / np.linalg.norm(c)
+
+
+def project_to_edge(x: np.ndarray, a: np.ndarray,
+                    b: np.ndarray) -> np.ndarray:
+    """Closest point on geodesic edge (a, b) to x (S2::Project)."""
+    from . import predicates
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if np.array_equal(x, a) or np.array_equal(x, b):
+        return x
+    n = _robust_cross(a, b)
+    p = np.cross(np.cross(n, x), n)
+    pn = float(np.linalg.norm(p))
+    if pn > 0:
+        p = p / pn
+        if (predicates._sign_scalar(tuple(p), tuple(n), tuple(a)) > 0
+                and predicates._sign_scalar(tuple(p), tuple(n),
+                                            tuple(b)) < 0):
+            return p
+    da = float(np.dot(x - a, x - a))
+    db = float(np.dot(x - b, x - b))
+    return a if da <= db else b
+
+
+def _angle(u: np.ndarray, v: np.ndarray) -> float:
+    import math
+    cross = float(np.linalg.norm(np.cross(u, v)))
+    return math.atan2(cross, float(np.dot(u, v)))
+
+
+def is_edge_b_near_edge_a(a0, a1, b0, b1, tolerance: float) -> bool:
+    """True iff every point of edge B is within `tolerance` of edge A
+    (s2edge_distances.cc:421-505: endpoint projections + the planar-
+    angle / furthest-point-on-circ(B) analysis)."""
+    import math
+
+    from . import predicates
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    a_ortho = _robust_cross(a0, a1)
+    a_nearest_b0 = project_to_edge(b0, a0, a1)
+    a_nearest_b1 = project_to_edge(b1, a0, a1)
+    if predicates._sign_scalar(tuple(a_ortho), tuple(a_nearest_b0),
+                               tuple(a_nearest_b1)) < 0:
+        a_ortho = -a_ortho
+    if (_angle(b0, a_nearest_b0) > tolerance
+            or _angle(b1, a_nearest_b1) > tolerance):
+        return False
+    b_ortho = _robust_cross(b0, b1)
+    planar = _angle(a_ortho, b_ortho)
+    if planar <= tolerance:
+        return True
+    if planar >= math.pi / 2:
+        return ((_angle(b0, a0) < _angle(b0, a1))
+                == (_angle(b1, a0) < _angle(b1, a1)))
+    furthest = np.cross(b_ortho, _robust_cross(a_ortho, b_ortho))
+    furthest /= np.linalg.norm(furthest)
+    finv = -furthest
+    sgn = predicates._sign_scalar
+    on_b = lambda p: (sgn(tuple(b_ortho), tuple(b0), tuple(p)) > 0  # noqa
+                      and sgn(tuple(p), tuple(b1),
+                              tuple(b_ortho)) > 0)
+    return not (on_b(furthest) or on_b(finv))
+
+
+def _next_distinct(verts: np.ndarray, index: int) -> int:
+    initial = verts[index]
+    index += 1
+    while index < len(verts) and np.array_equal(verts[index], initial):
+        index += 1
+    return index
+
+
+def polyline_nearly_covers(a: np.ndarray, covered: np.ndarray,
+                           max_error: float) -> bool:
+    """S2Polyline::NearlyCovers (s2polyline.cc:713-815): is `covered`
+    within max_error of a contiguous, monotone subpath of `a`?  The
+    two-car search over (i, j, i_in_progress) states."""
+    a = np.asarray(a, dtype=np.float64)
+    covered = np.asarray(covered, dtype=np.float64)
+    if len(covered) == 0:
+        return True
+    if len(a) == 0:
+        return False
+    pending: list[tuple] = []
+    done: set = set()
+    i = 0
+    next_i = _next_distinct(a, 0)
+    while next_i < len(a):
+        next_next_i = _next_distinct(a, next_i)
+        closest = project_to_edge(covered[0], a[i], a[next_i])
+        if ((next_next_i == len(a)
+             or not np.array_equal(closest, a[next_i]))
+                and _angle(closest, covered[0]) <= max_error):
+            pending.append((i, 0, True))
+        i, next_i = next_i, next_next_i
+    while pending:
+        state = pending.pop()
+        if state in done:
+            continue
+        done.add(state)
+        si, sj, i_in_progress = state
+        next_i = _next_distinct(a, si)
+        next_j = _next_distinct(covered, sj)
+        if next_j == len(covered):
+            return True
+        if next_i == len(a):
+            continue
+        if i_in_progress:
+            j_begin = covered[sj]
+            i_begin = project_to_edge(j_begin, a[si], a[next_i])
+        else:
+            i_begin = a[si]
+            j_begin = project_to_edge(i_begin, covered[sj],
+                                      covered[next_j])
+        if is_edge_b_near_edge_a(j_begin, covered[next_j],
+                                 i_begin, a[next_i], max_error):
+            pending.append((next_i, sj, False))
+        if is_edge_b_near_edge_a(i_begin, a[next_i],
+                                 j_begin, covered[next_j], max_error):
+            pending.append((si, next_j, True))
+    return False
+
+
+def polyline_approx_equals(a: np.ndarray, b: np.ndarray,
+                           max_error: float = 1e-15) -> bool:
+    """S2Polyline::ApproxEquals (s2polyline.cc:665-673)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if len(a) != len(b):
+        return False
+    return all(_angle(a[i], b[i]) <= max_error for i in range(len(a)))

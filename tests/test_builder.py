@@ -347,3 +347,19 @@ def test_stabilize_prefilter_matches_dense():
         bld.DENSE_STABILIZE_LIMIT = old
     assert sorted(dense) == sorted(pruned)
     assert len(dense) > len(edges)  # crossings actually split
+
+
+def test_partial_collinear_overlap_escalates():
+    """ADVICE r3: partially-overlapping collinear edges (no bit-exact
+    shared sub-edges) make midpoint classification ill-posed — the
+    overlay must raise, not silently classify."""
+    import pytest
+    from s2spark.kernels.loops import Loop
+    a = Loop.from_latlng_degrees(np.array(
+        [(0.0, 0.0), (0.0, 4.0), (2.0, 4.0), (2.0, 0.0)]))
+    # B's top edge runs along the equator from lng 3 to lng 1 —
+    # collinear with A's bottom edge but with different endpoints
+    b = Loop.from_latlng_degrees(np.array(
+        [(0.0, 1.0), (-2.0, 1.0), (-2.0, 3.0), (0.0, 3.0)]))
+    with pytest.raises(ValueError, match="collinear"):
+        bld.overlay_geometry([a], [b], "union")

@@ -246,3 +246,72 @@ def test_crossing_edge_join_distributed_index_parity(spark):
     got = sorted(map(key, eops.crossing_edge_join(
         qe, spark, edge_index=edges_df).collect()))
     assert got == want
+
+
+# -- S2Polyline::NearlyCovers / ApproxEquals
+# (s2polyline_test.cc:629-712 fixture table) --
+
+def _nearly_covers_case(a_text, b_text, max_error_deg,
+                        b_covers_a, a_covers_b):
+    """Argument order matches the reference's TestNearlyCovers
+    (s2polyline_test.cc:616-627)."""
+    from s2spark.kernels.edges import polyline_nearly_covers
+    from s2spark.kernels.loops import parse_vertices as pv
+    a, b = pv(a_text), pv(b_text)
+    tol = math.radians(max_error_deg)
+    assert polyline_nearly_covers(b, a, tol) == b_covers_a, \
+        (a_text, b_text, "b covers a")
+    assert polyline_nearly_covers(a, b, tol) == a_covers_b, \
+        (a_text, b_text, "a covers b")
+
+
+def test_nearly_covers_reference_fixtures():
+    _nearly_covers_case("1:1, 2:2, -1:10", "1:1, 2:2, -1:10",
+                        1e-10, True, True)
+    _nearly_covers_case("1:1, 2:2, -1:10", "-1:10, 2:2, 1:1",
+                        1e-10, False, False)
+    _nearly_covers_case("1:1, 2:1", "1:1, 1.5:1, 2:1", 1e-10,
+                        True, True)
+    _nearly_covers_case("-5:1, 10:1, 10:5, 5:10",
+                        "9:1, 9.9995:1, 10.0005:5", 1e-3, False, True)
+    _nearly_covers_case("-5:1, 10:1", "0:1, 20:1", 1.0, False, False)
+    _nearly_covers_case("0:0, 0:2, 0:1, 0:4, 0:5",
+                        "0:0, 0:2, 0:4, 0:3, 0:5", 1.5, True, True)
+    _nearly_covers_case("0:0, 0:2, 0:1, 0:4, 0:5",
+                        "0:0, 0:2, 0:4, 0:3, 0:5", 0.5, False, False)
+    _nearly_covers_case("5:1, -5:1", "1:1, 3:1", 1.0, False, False)
+    _nearly_covers_case("5:1, -5:1", "1:1, 3:1", 2.5, False, True)
+    _nearly_covers_case("0:1, 0:2, 0:2, 0:3", "0:1, 0:1, 0:1, 0:3",
+                        1e-10, True, True)
+    _nearly_covers_case("0:11, 0:0, 0:9, 0:20", "0:10, 0:15",
+                        1.5, False, True)
+    _nearly_covers_case(
+        "40:1, 20:1",
+        "39.9:0.9, 40:1.1, 30:1.15, 29:0.95, 28:1.1, 27:1.15, "
+        "26:1.05, 25:0.85, 24:1.1, 23:0.9, 20:0.99", 0.2, True, True)
+    _nearly_covers_case("0:0, 0:2", "0:2, 0:3", 1.5, False, True)
+    _nearly_covers_case("0:0, 0:2, 0:2, 0:2", "0:2, 0:3", 1.5,
+                        False, True)
+
+
+def test_nearly_covers_empty_polylines():
+    from s2spark.kernels.edges import polyline_nearly_covers
+    from s2spark.kernels.loops import parse_vertices as pv
+    line = pv("0:1, 0:2")
+    empty = np.empty((0, 3))
+    assert polyline_nearly_covers(line, empty, math.radians(0.0002))
+    assert polyline_nearly_covers(empty, empty, math.radians(0.0002))
+    assert not polyline_nearly_covers(empty, line,
+                                      math.radians(0.0002))
+
+
+def test_polyline_approx_equals():
+    from s2spark.kernels.edges import polyline_approx_equals
+    from s2spark.kernels.loops import parse_vertices as pv
+    a = pv("1:1, 2:2, -1:10")
+    assert polyline_approx_equals(a, a)
+    assert polyline_approx_equals(a, a + 1e-17)
+    assert not polyline_approx_equals(a, pv("1:1, 2:2"))
+    assert not polyline_approx_equals(a, pv("1:1, 2:2, -1:10.1"))
+    assert polyline_approx_equals(a, pv("1:1, 2:2, -1:10.1"),
+                                  max_error=math.radians(0.2))
