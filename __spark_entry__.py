@@ -635,6 +635,23 @@ def q_polygon_overlay_models(spark: SparkSession,
                                        snap_level=GEOM_SNAP_LEVEL)
 
 
+N_POINT_PAIRS = 8
+
+
+def q_point_overlay_models(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Point layer of S2BooleanOperation under every PolygonModel:
+    per (pair, model, op, probe) the survive/absorb verdict of the
+    dimension rules (UNION: higher dim wins; INTERSECTION: lower dim
+    wins; DIFFERENCE: points don't affect polygons) with
+    model-parameterized vertex containment.  Semantics pinned against
+    the reference's PointPoint / Point*Polyline / Point*Polygon
+    fixture families in tests/test_layers.py; materialized
+    driver-kernel oracle."""
+    from s2spark.ops import boolean as bops
+    return bops.point_overlay_models(spark, N_POINT_PAIRS)
+
+
 N_WINDING_GROUPS = 6
 
 
@@ -942,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_geom": q_polygon_overlay_geom,
         "polygon_overlay_models": q_polygon_overlay_models,
         "winding_geom": q_winding_geom,
+        "point_overlay_models": q_point_overlay_models,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -1577,6 +1595,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_overlay_geom": _overlay_geom_oracle(),
         "polygon_overlay_models": _overlay_models_oracle(),
         "winding_geom": _winding_geom_oracle(),
+        "point_overlay_models": _point_overlay_models_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
@@ -2078,6 +2097,29 @@ def _track_alignment_approx_oracle() -> str:
             + ", ".join(rows)
             + ") AS _ta(id_a, id_b, approx_cost, exact_cost, "
             "path_len)")
+
+
+def _point_overlay_models_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    point_overlay_models."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import layers as _ly
+    from s2spark.ops import boolean as _bops
+    rows = []
+    for pid in range(N_POINT_PAIRS):
+        loops, probes = _bops.point_fixture_probes(pid)
+        for model in _bld.POLYGON_MODELS:
+            contained = _ly.polygon_contains_points_model(
+                loops, probes, model)
+            for op in _bld.OPS:
+                keep = contained if op == "intersection" else ~contained
+                rows.extend(
+                    f"({pid}, '{model}', '{op}', {i}, {bool(k)})"
+                    for i, k in enumerate(keep))
+    return ("SELECT CAST(pair_id AS BIGINT) AS pair_id, model, op, "
+            "CAST(point_idx AS INTEGER) AS point_idx, survives "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS _pm(pair_id, model, op, point_idx, survives)")
 
 
 def oracle_sql() -> dict[str, str]:

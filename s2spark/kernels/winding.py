@@ -25,8 +25,9 @@ Formulation over the repo's arrangement machinery:
 5. stitch chains (builder.stitch_loops); a chain-less result
    disambiguates to full/empty by rule(w(R)).
 
-Out of scope (documented partial): include_degeneracies=True outputs
-(isolated point/sibling-pair degeneracies).
+include_degeneracies=True keeps sibling edge pairs and isolated
+points per the reference's rules (ODD: odd multiplicity; other rules:
+contained by winding-0 regions) — see winding_operation.
 """
 
 from __future__ import annotations
@@ -88,22 +89,45 @@ def _left_probe(p0: np.ndarray, p1: np.ndarray,
 
 
 def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
-                      ref_winding: int, rule: str, snap=None
+                      ref_winding: int, rule: str, snap=None,
+                      include_degeneracies: bool = False
                       ) -> tuple[list[np.ndarray], str]:
     """-> (chains, state): boundary chains of the region selected by
     the winding rule (interior on the left; shells CCW / holes CW in
-    the parity interpretation), and 'normal' | 'full' | 'empty'."""
+    the parity interpretation), and 'normal' | 'full' | 'empty'.
+
+    include_degeneracies (s2winding_operation.h:96-120): sibling edge
+    pairs and isolated vertices are kept when WindingRule::ODD sees an
+    odd multiplicity (enabling N-way symmetric difference over
+    degenerate geometry), or — for the other rules — when they lie in
+    a winding-0 region (enabling N-way union); point loops and loops
+    that collapse under snapping become 1-vertex chains."""
     if rule not in RULES:
         raise ValueError(rule)
     want = _rule_fn(rule)
     snap = snap or IdentitySnapFunction()
     r = np.asarray(ref_point, dtype=np.float64)
 
+    point_degens: list = []            # site keys of point loops
+    point_sites: dict = {}             # key -> site point
     loop_edge_lists = []
     for v in loops:
         v = np.asarray(v, dtype=np.float64)
-        if len(v) < 2:
+        if len(v) == 0:
             continue
+        # a 1-vertex loop, or a loop whose vertices all snap to ONE
+        # site, collapses to a degenerate point (PointLoop /
+        # CollapsingShell include variants).  Collapsed multi-vertex
+        # loops STAY in the pipeline: their edges vanish at snapping
+        # but their sweep quads still carry the winding delta (a shell
+        # contracting over the reference point changes its winding).
+        keys = {snap.site_key(p) for p in v}
+        if len(keys) == 1:
+            k = next(iter(keys))
+            point_degens.append(k)
+            point_sites[k] = snap.site_point(k, v[0])
+            if len(v) == 1:
+                continue
         loop_edge_lists.append(
             [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))])
     sub = subdivide_self(loop_edge_lists)
@@ -134,6 +158,7 @@ def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
     from collections import Counter
     cnt = Counter(edges)
     bundles: list[tuple] = []          # (u, v, net) with net > 0
+    degen_pairs: list[tuple] = []      # net-0 sibling bundles (u,v,mult)
     done = set()
     for (u, v) in sorted(cnt):
         if (u, v) in done or (v, u) in done:
@@ -145,6 +170,10 @@ def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
             bundles.append((u, v, net))
         elif net < 0:
             bundles.append((v, u, -net))
+        elif u != v:
+            degen_pairs.append((u, v, cnt[(u, v)]))
+        else:
+            point_degens.extend([u] * cnt[(u, v)])  # degenerate self-edge
 
     segs = [(np.asarray(sites[u]), np.asarray(sites[v]), net)
             for u, v, net in bundles]
@@ -159,9 +188,46 @@ def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
         elif keep_r and not keep_l:
             out_edges.append((v, u))
 
+    degen_chains: list[np.ndarray] = []
+    protected: set = set()
+    if include_degeneracies:
+        out_deg = {u for u, _ in out_edges} | {v for _, v in out_edges}
+
+        def w_at(p: np.ndarray) -> int:
+            return w_ref + _signed_crossings(r, p, segs)
+
+        for (u, v, mult) in degen_pairs:
+            p0, p1 = np.asarray(sites[u]), np.asarray(sites[v])
+            if rule == "odd":
+                emit = (mult % 2) == 1
+            else:
+                m = p0 + p1
+                m /= np.linalg.norm(m)
+                emit = w_at(m) == 0
+            if not emit:
+                continue
+            if u in out_deg or v in out_deg:
+                # connected to surviving boundary: keep both directed
+                # copies in the graph so stitching splits the touching
+                # regions (TouchingTriangles ODD include variant)
+                protected.add((u, v))
+                protected.add((v, u))
+            else:
+                degen_chains.append(np.array([sites[u], sites[v]]))
+        from collections import Counter as _C
+        for k, mult in sorted(_C(point_degens).items()):
+            pt = np.asarray(sites.get(k, point_sites.get(k)))
+            if rule == "odd":
+                emit = (mult % 2) == 1
+            else:
+                emit = w_at(pt) == 0
+            if emit:
+                degen_chains.append(pt[None, :])
+    if protected:
+        out_edges = out_edges + sorted(protected)
     chains = stitch_loops(out_edges, sites)
     arrays = [np.array([sites[k] for k in chain], dtype=np.float64)
-              for chain in chains]
+              for chain in chains] + degen_chains
     if arrays:
         return arrays, "normal"
     return arrays, ("full" if want(w_ref) else "empty")

@@ -517,3 +517,61 @@ def winding_geom(spark: SparkSession, n_groups: int,
 
     return base.groupBy("group_id").applyInPandas(run,
                                                   WINDING_GEOM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# point-layer boolean operations (models)
+
+POINT_MODEL_SCHEMA = ("pair_id long, model string, op string, "
+                      "point_idx int, survives boolean")
+
+
+def point_fixture_probes(pid: int) -> tuple[list, np.ndarray]:
+    """(polygon loops, probe points) for the point-layer model query:
+    probes sit AT polygon vertices, ON a boundary edge midpoint
+    (equator-aligned in the local frame is not guaranteed, so the
+    vertex probes carry the model signal), strictly inside, and
+    strictly outside — deterministic per pid."""
+    from ..kernels.loops import Loop
+    a, b = shared_boundary_fixture(pid, "same")
+    loops = [a, b]
+    v = a.vertices
+    inside = v.mean(axis=0)
+    inside /= np.linalg.norm(inside)
+    outside = -inside
+    probes = np.concatenate([v[:2], b.vertices[1:2],
+                             inside[None], outside[None]])
+    return loops, probes
+
+
+def point_overlay_models(spark: SparkSession,
+                         n_pairs: int) -> DataFrame:
+    """Point layer of S2BooleanOperation under every PolygonModel
+    (s2boolean_operation.h:157-188 dimension rules + :131-152 models):
+    per (pair, model, op, probe point) whether the point survives in
+    the output's point dimension.  Vertex probes flip between models
+    (OPEN drops them, CLOSED keeps them, SEMI_OPEN keeps the vertex
+    tiling's unique owner).  One applyInPandas group per pair;
+    semantics pinned against the reference's Point* fixture families
+    in tests/test_layers.py."""
+    from ..kernels import builder as bld
+    from ..kernels import layers as ly
+    base = spark.range(n_pairs).select(F.col("id").alias("pair_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        loops, probes = point_fixture_probes(pid)
+        rows = []
+        for model in bld.POLYGON_MODELS:
+            contained = ly.polygon_contains_points_model(
+                loops, probes, model)
+            for op in bld.OPS:
+                keep = contained if op == "intersection" \
+                    else ~contained
+                rows.extend((pid, model, op, i, bool(k))
+                            for i, k in enumerate(keep))
+        return pd.DataFrame(rows, columns=[
+            "pair_id", "model", "op", "point_idx", "survives"])
+
+    return base.groupBy("pair_id").applyInPandas(run,
+                                                 POINT_MODEL_SCHEMA)

@@ -1,0 +1,133 @@
+"""Point-layer boolean operations (kernels/layers.py) against the
+reference's own fixtures (s2boolean_operation_test.cc:228-404):
+PointPoint, Point{Open,SemiOpen,Closed}Polyline (+ the
+polyline_loops_have_boundaries=False variant), PointPolygonInterior,
+and Point{Open,SemiOpen,Closed}PolygonVertex."""
+
+import numpy as np
+import pytest
+
+from s2spark.kernels import layers as ly
+from s2spark.kernels.loops import Loop, parse_vertices as pv
+
+
+def _pts(text):
+    if not text.strip():
+        return np.empty((0, 3))
+    return np.concatenate([pv(t.strip()) for t in text.split("|")])
+
+
+def _keys(arr):
+    return sorted(tuple(p) for p in np.asarray(arr))
+
+
+def _expect(got, want_text):
+    assert _keys(got) == _keys(_pts(want_text))
+
+
+OPS = ("union", "intersection", "difference", "symmetric_difference")
+
+
+def test_point_point():
+    a = _pts("0:0 | 1:0")
+    b = _pts("0:0 | 2:0")
+    # point layer of each op: A's survivors (+ B's for union/Δ)
+    _expect(np.concatenate([
+        ly.point_boolean(a, b, "union", "points"),
+        ly.point_boolean(b, a, "union", "points")]), "1:0 | 2:0")
+    _expect(np.concatenate([
+        ly.point_boolean(a, b, "intersection", "points"),
+        ly.point_boolean(b, a, "intersection", "points")]),
+        "0:0 | 0:0")
+    _expect(ly.point_boolean(a, b, "difference", "points"), "1:0")
+    _expect(np.concatenate([
+        ly.point_boolean(a, b, "symmetric_difference", "points"),
+        ly.point_boolean(b, a, "symmetric_difference", "points")]),
+        "1:0 | 2:0")
+
+
+PLINES = ["0:0, 1:0, 2:0", "3:0, 3:0", "4:0, 5:0, 4:0"]
+POINTS = "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0"
+
+
+@pytest.mark.parametrize("model,boundaries,inter,rest", [
+    # PointOpenPolyline (loops_have_boundaries=True)
+    ("open", True, "1:0 | 5:0", "0:0 | 2:0 | 3:0 | 4:0"),
+    # PointOpenPolylineLoopBoundariesFalse
+    ("open", False, "1:0 | 4:0 | 5:0", "0:0 | 2:0 | 3:0"),
+    # PointSemiOpenPolyline (both boundary settings)
+    ("semi_open", True, "0:0 | 1:0 | 4:0 | 5:0", "2:0 | 3:0"),
+    ("semi_open", False, "0:0 | 1:0 | 4:0 | 5:0", "2:0 | 3:0"),
+    # PointClosedPolyline
+    ("closed", True, POINTS, ""),
+    ("closed", False, POINTS, ""),
+])
+def test_point_polyline_models(model, boundaries, inter, rest):
+    pts = _pts(POINTS)
+    plines = [pv(t) for t in PLINES]
+    _expect(ly.point_boolean(pts, plines, "intersection", "polyline",
+                             polyline_model=model,
+                             loops_have_boundaries=boundaries), inter)
+    for op in ("union", "difference", "symmetric_difference"):
+        _expect(ly.point_boolean(pts, plines, op, "polyline",
+                                 polyline_model=model,
+                                 loops_have_boundaries=boundaries),
+                rest)
+
+
+def test_point_polygon_interior():
+    a = _pts("1:1 | 4:4")
+    b = [Loop(pv("0:0, 0:3, 3:0"))]
+    for model in ("open", "semi_open", "closed"):
+        _expect(ly.point_boolean(a, b, "intersection", "polygon",
+                                 polygon_model=model), "1:1")
+        for op in ("union", "difference", "symmetric_difference"):
+            _expect(ly.point_boolean(a, b, op, "polygon",
+                                     polygon_model=model), "4:4")
+
+
+def test_point_polygon_vertex_models():
+    """The two probe vertices are chosen so SEMI_OPEN contains exactly
+    one (the reference asserts polygon.Contains(0:1) and
+    !polygon.Contains(1:0))."""
+    a = _pts("0:1 | 1:0")
+    b = [Loop(pv("0:0, 0:1, 1:0"))]
+    semi = ly.polygon_contains_points_model(b, a, "semi_open")
+    assert list(semi) == [True, False]
+    # OPEN: vertices not contained
+    _expect(ly.point_boolean(a, b, "intersection", "polygon",
+                             polygon_model="open"), "")
+    _expect(ly.point_boolean(a, b, "union", "polygon",
+                             polygon_model="open"), "0:1 | 1:0")
+    # SEMI_OPEN: exactly one contained
+    _expect(ly.point_boolean(a, b, "intersection", "polygon",
+                             polygon_model="semi_open"), "0:1")
+    _expect(ly.point_boolean(a, b, "difference", "polygon",
+                             polygon_model="semi_open"), "1:0")
+    # CLOSED: both contained
+    _expect(ly.point_boolean(a, b, "intersection", "polygon",
+                             polygon_model="closed"), "0:1 | 1:0")
+    _expect(ly.point_boolean(a, b, "union", "polygon",
+                             polygon_model="closed"), "")
+
+
+def test_point_on_edge_interior_contained_all_models():
+    """Points strictly interior to a polyline edge are contained in
+    every model; polygon boundary-edge interior points follow the
+    polygon model."""
+    import math
+
+    from s2spark.kernels.region import latlng_to_point
+    # equator polyline 0:0 -> 0:2; probe at 0:1 (exactly on the edge:
+    # the equator is a great circle)
+    pline = pv("0:0, 0:2")
+    mid = np.asarray(latlng_to_point(0.0, math.radians(1.0)))
+    for model in ly.POLYLINE_MODELS:
+        assert ly.polyline_contains_point(pline, mid, model)
+    # polygon with an equator edge: interior edge point follows model
+    poly = [Loop(pv("0:0, 0:2, 2:2, 2:0"))]
+    got = {m: bool(ly.polygon_contains_points_model(
+        poly, mid[None], m)[0]) for m in ("open", "semi_open",
+                                          "closed")}
+    assert got["open"] is False
+    assert got["closed"] is True

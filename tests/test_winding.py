@@ -131,3 +131,67 @@ def test_winding_union_of_squares(refw, rule, want):
     selection (s2winding_operation_test.cc:230-286)."""
     _check(SQUARES, "0.5:0.5", refw, rule, want,
            snap=bld.IntLatLngSnapFunction(1))
+
+
+# -- include_degeneracies variants (ExpectDegenerateWindingResult
+#    cases of s2winding_operation_test.cc) --
+
+def _degen(loops, refp, refw, rule, snap=None):
+    chains, state = wd.winding_operation(
+        [pv(t) for t in loops], _pt(refp), refw, rule, snap=snap,
+        include_degeneracies=True)
+    return chains, state
+
+
+def _degen_keys(chains, nd=5):
+    out = []
+    for c in chains:
+        out.append(tuple(sorted(
+            (round(math.degrees(_latitude(p)), nd),
+             round(math.degrees(_longitude(p)), nd)) for p in c)))
+    return sorted(out)
+
+
+def test_winding_point_loop_degeneracy():
+    chains, _ = _degen(["2:2"], "5:5", 0, "positive")
+    assert _degen_keys(chains) == [((2.0, 2.0),)]
+    # excluded by default
+    _check(["2:2"], "5:5", 0, "positive", "")
+
+
+def test_winding_sibling_pair_degeneracy():
+    chains, _ = _degen(["2:2, 3:3"], "5:5", 0, "positive")
+    assert _degen_keys(chains) == [((2.0, 2.0), (3.0, 3.0))]
+    _check(["2:2, 3:3"], "5:5", 0, "positive", "")
+
+
+def test_winding_collapsing_shell_degeneracy():
+    v = pv("0:0, 0:3, 3:3")
+    snap = bld.SelectedSitesSnap(
+        bld.select_sites([v[0], v[1], v[2]], math.radians(5)))
+    chains, _ = _degen(["0:0, 0:3, 3:3"], "10:0", 0, "positive",
+                       snap=snap)
+    assert _degen_keys(chains) == [((0.0, 0.0),)]
+
+
+def test_winding_touching_triangles_odd_degeneracy():
+    """With degeneracies the net-zero shared edge is kept in BOTH
+    directions and the two triangles stay separate chains."""
+    chains, _ = _degen(["0:0, 0:8, 8:8", "0:0, 8:8, 8:0"],
+                       "2:2", 1, "odd")
+    assert _edges(chains) == _edges(
+        [pv("0:0, 0:8, 8:8"), pv("0:0, 8:8, 8:0")])
+
+
+def test_winding_symmetric_difference_degeneracies():
+    """N-way symmetric difference over geometry with degenerate point
+    loops: shared features cancel (even multiplicity), the two
+    one-sided points survive."""
+    loops = ["0:0, 0:3, 3:3, 3:0", "1:1", "2:2", "4:4",
+             "0:0, 0:3, 3:3, 3:0", "1:1", "4:4", "5:5"]
+    snap = bld.IntLatLngSnapFunction(1)
+    chains, state = _degen(loops, "10:10", 0, "odd", snap=snap)
+    assert _degen_keys(chains) == [((2.0, 2.0),), ((5.0, 5.0),)]
+    chains, state = wd.winding_operation(
+        [pv(t) for t in loops], _pt("10:10"), 0, "odd", snap=snap)
+    assert chains == [] and state == "empty"
