@@ -1102,3 +1102,77 @@ class ResultRegion:
 
     def contains_point(self, p) -> bool:
         return bool(self.contains_points(np.asarray([p]))[0])
+
+
+def find_polygon_degeneracies(loops, snap=None
+                              ) -> tuple[list[tuple], list[np.ndarray]]:
+    """FindPolygonDegeneracies
+    (s2builderutil_find_polygon_degeneracies.h:30-60): given a lax
+    polygon as vertex chains — 1-vertex chains are degenerate points,
+    2-vertex chains sibling edge pairs, FULL accepted — finds every
+    degenerate edge (self-edge or one of a sibling pair) and
+    classifies it as a SHELL (outside the non-degenerate interior) or
+    HOLE (inside).  Degeneracies must not coincide with non-degenerate
+    boundary (the reference's precondition).
+
+    -> (degeneracies, boundary_chains) where degeneracies are
+    (p0, p1, is_hole) with both directions reported for sibling pairs
+    and p0 is p1 for point degeneracies."""
+    from collections import Counter
+    snap = snap or IdentitySnapFunction()
+    if isinstance(loops, str):
+        loops = [loops] if loops == FULL else []
+    full_flag = any(isinstance(x, str) and x == FULL for x in loops)
+    verts_lists = [np.asarray(v, dtype=np.float64) for v in loops
+                   if not isinstance(v, str)]
+    seen: Counter = Counter()
+    sites: dict = {}
+    self_edges: list = []
+    for v in verts_lists:
+        if len(v) == 1:
+            k = snap.site_key(v[0])
+            sites.setdefault(k, snap.site_point(k, v[0]))
+            self_edges.append(k)
+            continue
+        for i in range(len(v)):
+            a, b = v[i], v[(i + 1) % len(v)]
+            ka, kb = snap.site_key(a), snap.site_key(b)
+            sites.setdefault(ka, snap.site_point(ka, a))
+            sites.setdefault(kb, snap.site_point(kb, b))
+            if ka == kb:
+                self_edges.append(ka)
+            else:
+                seen[(ka, kb)] += 1
+    # sibling cancellation: min(c_uv, c_vu) matched pairs per direction
+    degens: list[tuple] = []
+    net: list[tuple] = []
+    done = set()
+    for (u, w) in sorted(seen):
+        if (u, w) in done:
+            continue
+        done.add((u, w))
+        done.add((w, u))
+        k = min(seen[(u, w)], seen.get((w, u), 0))
+        degens += [(u, w)] * k + [(w, u)] * k
+        net += [(u, w)] * (seen[(u, w)] - k)
+        net += [(w, u)] * (seen.get((w, u), 0) - k)
+    boundary = stitch_loops(sorted(net), sites)
+    chains = [np.array([sites[k] for k in chain], dtype=np.float64)
+              for chain in boundary]
+    rr = ResultRegion(chains)
+
+    def inside(p: np.ndarray) -> bool:
+        if not rr.loops:
+            return full_flag
+        return bool(rr.contains_point(p))
+
+    out: list[tuple] = []
+    for (u, w) in degens:
+        m = np.asarray(sites[u]) + np.asarray(sites[w])
+        m /= np.linalg.norm(m)
+        out.append((np.asarray(sites[u]), np.asarray(sites[w]),
+                    inside(m)))
+    for k in self_edges:
+        p = np.asarray(sites[k])
+        out.append((p, p, inside(p)))
+    return out, chains

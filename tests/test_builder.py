@@ -363,3 +363,52 @@ def test_partial_collinear_overlap_escalates():
         [(0.0, 1.0), (-2.0, 1.0), (-2.0, 3.0), (0.0, 3.0)]))
     with pytest.raises(ValueError, match="collinear"):
         bld.overlay_geometry([a], [b], "union")
+
+
+# -- FindPolygonDegeneracies
+# (s2builderutil_find_polygon_degeneracies_test.cc:151-213) --
+
+def _degeneracies(text):
+    import math
+
+    from s2spark.kernels.region import _latitude, _longitude
+    parts = [] if not text.strip() else [t.strip()
+                                         for t in text.split(";")]
+    loops = []
+    for t in parts:
+        if t == "full":
+            loops.append("full")
+        else:
+            from s2spark.kernels.loops import parse_vertices
+            loops.append(parse_vertices(t))
+    out, _ = bld.find_polygon_degeneracies(loops)
+
+    def key(p):
+        return f"{round(math.degrees(_latitude(p))):g}:" \
+               f"{round(math.degrees(_longitude(p))):g}"
+
+    return sorted((key(a) + ", " + key(b), hole) for a, b, hole in out)
+
+
+def test_find_polygon_degeneracies_reference_fixtures():
+    assert _degeneracies("") == []
+    assert _degeneracies("0:0, 0:1, 1:0") == []
+    assert _degeneracies("0:0") == [("0:0, 0:0", False)]
+    assert _degeneracies("0:0, 0:1, 1:0; 1:0, 0:1, 0:0") == sorted([
+        ("0:0, 0:1", False), ("0:1, 0:0", False), ("0:1, 1:0", False),
+        ("1:0, 0:1", False), ("0:0, 1:0", False), ("1:0, 0:0", False)])
+    assert _degeneracies("0:0, 0:1, 1:0; 1:0, 2:0") == sorted([
+        ("1:0, 2:0", False), ("2:0, 1:0", False)])
+    assert _degeneracies("0:0, 0:3, 3:0; 0:0, 1:1") == sorted([
+        ("0:0, 1:1", True), ("1:1, 0:0", True)])
+    assert _degeneracies("0:0, 0:3, 3:0; 3:0, 1:1; 3:0, 5:5") == sorted([
+        ("3:0, 1:1", True), ("1:1, 3:0", True),
+        ("3:0, 5:5", False), ("5:5, 3:0", False)])
+    assert _degeneracies("0:0, 0:3, 3:3, 3:0; 4:4, 5:5; 6:6") == sorted([
+        ("4:4, 5:5", False), ("5:5, 4:4", False), ("6:6, 6:6", False)])
+    assert _degeneracies("0:0, 0:5, 5:5, 5:0; 1:1, 2:2; 3:3") == sorted([
+        ("1:1, 2:2", True), ("2:2, 1:1", True), ("3:3, 3:3", True)])
+    assert _degeneracies("full; 0:0") == [("0:0, 0:0", True)]
+    assert _degeneracies("full; 0:0, 0:1, 1:0; 1:0, 0:1, 0:0") == sorted([
+        ("0:0, 0:1", True), ("0:1, 0:0", True), ("0:1, 1:0", True),
+        ("1:0, 0:1", True), ("0:0, 1:0", True), ("1:0, 0:0", True)])
