@@ -786,26 +786,28 @@ def encode_point_vector(pts: np.ndarray, hint: str = "compact") -> bytes:
     return bytes(out) + encode_string_vector(blocks)
 
 
-def decode_point_vector(buf) -> np.ndarray:
-    fmt = buf[0] & ((1 << _PV_FORMAT_BITS) - 1)
+def decode_point_vector(buf, start: int = 0,
+                        return_pos: bool = False):
+    fmt = buf[start] & ((1 << _PV_FORMAT_BITS) - 1)
     if fmt == _PV_UNCOMPRESSED:
-        size_fmt, pos = get_varint(buf, 0)
+        size_fmt, pos = get_varint(buf, start)
         n = size_fmt >> _PV_FORMAT_BITS
-        return np.frombuffer(buf, dtype="<f8", count=3 * n,
-                             offset=pos).reshape(n, 3).copy()
+        pts = np.frombuffer(buf, dtype="<f8", count=3 * n,
+                            offset=pos).reshape(n, 3).copy()
+        return (pts, pos + 24 * n) if return_pos else pts
     if fmt != _PV_CELL_IDS:
         raise ValueError(f"bad point vector format {fmt}")
-    header1, header2 = buf[0], buf[1]
+    header1, header2 = buf[start], buf[start + 1]
     have_exceptions = (header1 & 8) != 0
     last_block_count = (header1 >> 4) + 1
     base_bytes = header2 & 7
     level = header2 >> 3
-    pos = 2
+    pos = start + 2
     base = int.from_bytes(bytes(buf[pos:pos + base_bytes]) +
                           b"\x00" * (8 - base_bytes), "little") \
         << _base_shift(level, base_bytes << 3)
     pos += base_bytes
-    blocks, _ = decode_string_vector(buf, pos)
+    blocks, end_pos = decode_string_vector(buf, pos)
     n = _PV_BLOCK_SIZE * (len(blocks) - 1) + last_block_count
     shift = MAX_LEVEL - level
     pts = np.empty((n, 3), dtype=np.float64)
@@ -853,7 +855,7 @@ def decode_point_vector(buf) -> np.ndarray:
                 coords.st_to_uv(coords.si_ti_to_st(np.array([ti]))))
             x, y, z = coords.normalize_xyz(x, y, z)
             pts[idx] = [x[0], y[0], z[0]]
-    return pts
+    return (pts, end_pos) if return_pos else pts
 
 
 # ---------------------------------------------------------------------------
@@ -1038,3 +1040,146 @@ def decode_shape_index(buf, num_shape_ids: int
     cells = [(int(cid), decode_shape_index_cell(blob, num_shape_ids))
              for cid, blob in zip(ids, blobs)]
     return max_edges, cells
+
+
+# ---------------------------------------------------------------------------
+# Lax shapes + tagged-shape vector (s2shapeutil_coding.cc:134-175,
+# s2lax_polygon_shape.cc:183-230, s2lax_polyline_shape.cc:76-85,
+# s2point_vector_shape.h:62-70): the "shapes" half of the encoded
+# blob — CompactEncodeTaggedShapes(index) + index.Encode(encoder)
+# produces one self-contained byte string.
+
+TAG_POINT_VECTOR = 3
+TAG_LAX_POLYLINE = 4
+TAG_LAX_POLYGON = 5
+_LAX_POLYGON_VERSION = 1
+
+
+def encode_uint32_vector(vals: np.ndarray) -> bytes:
+    """EncodedUintVector<uint32>: varint((n * 4) | (len-1)) + n * len
+    LE bytes."""
+    vals = np.asarray(vals, dtype=np.uint32)
+    n = len(vals)
+    one_bits = int(np.bitwise_or.reduce(vals)) | 1 if n else 1
+    length = ((one_bits.bit_length() - 1) >> 3) + 1
+    out = bytearray()
+    put_varint(out, (n * 4) | (length - 1))
+    if n:
+        raw = vals.astype("<u4").view(np.uint8).reshape(n, 4)
+        out += raw[:, :length].tobytes()
+    return bytes(out)
+
+
+def decode_uint32_vector(buf, pos: int = 0) -> tuple[np.ndarray, int]:
+    size_len, pos = get_varint(buf, pos)
+    n = size_len >> 2
+    length = (size_len & 3) + 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint32), pos
+    raw = np.frombuffer(buf, dtype=np.uint8, count=n * length,
+                        offset=pos).reshape(n, length)
+    full = np.zeros((n, 4), dtype=np.uint8)
+    full[:, :length] = raw
+    return full.view("<u4").ravel(), pos + n * length
+
+
+def encode_lax_polygon(loops: list[np.ndarray],
+                       hint: str = "compact") -> bytes:
+    """S2LaxPolygonShape: version byte, varint num_loops, one
+    point vector of ALL vertices, + uint32 loop_starts (n+1) when
+    num_loops > 1."""
+    out = bytearray([_LAX_POLYGON_VERSION])
+    put_varint(out, len(loops))
+    verts = (np.concatenate([np.asarray(lp, dtype=np.float64)
+                             .reshape(-1, 3) for lp in loops])
+             if loops else np.empty((0, 3)))
+    out += encode_point_vector(verts, hint)
+    if len(loops) > 1:
+        starts = np.cumsum([0] + [len(lp) for lp in loops])
+        out += encode_uint32_vector(starts.astype(np.uint32))
+    return bytes(out)
+
+
+def decode_lax_polygon(buf, pos: int = 0
+                       ) -> tuple[list[np.ndarray], int]:
+    if buf[pos] != _LAX_POLYGON_VERSION:
+        raise ValueError("bad lax polygon version")
+    num_loops, pos = get_varint(buf, pos + 1)
+    verts, pos = decode_point_vector(buf, pos, return_pos=True)
+    if num_loops <= 1:
+        return ([verts] if num_loops else []), pos
+    starts, pos = decode_uint32_vector(buf, pos)
+    return [verts[starts[i]:starts[i + 1]]
+            for i in range(num_loops)], pos
+
+
+def encode_tagged_shapes(shapes: list[tuple],
+                         hint: str = "compact") -> bytes:
+    """shapes: [(kind, data)...] with kind in {'points', 'polyline',
+    'polygon'} -> StringVector of varint(type_tag) + shape bytes
+    (CompactEncodeTaggedShapes for hint='compact')."""
+    blobs = []
+    for kind, data in shapes:
+        sub = bytearray()
+        if kind == "points":
+            put_varint(sub, TAG_POINT_VECTOR)
+            sub += encode_point_vector(
+                np.asarray(data, dtype=np.float64).reshape(-1, 3),
+                hint)
+        elif kind == "polyline":
+            put_varint(sub, TAG_LAX_POLYLINE)
+            sub += encode_point_vector(
+                np.asarray(data, dtype=np.float64).reshape(-1, 3),
+                hint)
+        elif kind == "polygon":
+            put_varint(sub, TAG_LAX_POLYGON)
+            sub += encode_lax_polygon(data, hint)
+        else:
+            raise ValueError(kind)
+        blobs.append(bytes(sub))
+    return encode_string_vector(blobs)
+
+
+def decode_tagged_shapes(buf, pos: int = 0
+                         ) -> tuple[list[tuple], int]:
+    blobs, pos = decode_string_vector(buf, pos)
+    out: list[tuple] = []
+    for blob in blobs:
+        tag, p = get_varint(blob, 0)
+        if tag == TAG_POINT_VECTOR:
+            out.append(("points", decode_point_vector(blob, p)))
+        elif tag == TAG_LAX_POLYLINE:
+            out.append(("polyline", decode_point_vector(blob, p)))
+        elif tag == TAG_LAX_POLYGON:
+            loops, _ = decode_lax_polygon(blob, p)
+            out.append(("polygon", loops))
+        else:
+            raise ValueError(f"unknown type tag {tag}")
+    return out, pos
+
+
+def encode_indexed_geometry(shapes: list[tuple], cells: list[tuple],
+                            max_edges_per_cell: int = 10,
+                            hint: str = "compact") -> bytes:
+    """The full encoded blob: CompactEncodeTaggedShapes(index) +
+    index.Encode(encoder) — one self-contained byte string from which
+    both the geometry and its spatial index decode
+    (encoded_s2shape_index.h:80-95 example usage)."""
+    return (encode_tagged_shapes(shapes, hint)
+            + encode_shape_index(cells, num_shape_ids=len(shapes),
+                                 max_edges_per_cell=max_edges_per_cell))
+
+
+def decode_indexed_geometry(buf) -> tuple[list[tuple], int, list]:
+    shapes, pos = decode_tagged_shapes(buf, 0)
+    v, p2 = get_varint(buf, pos)
+    if (v & 3) != SHAPE_INDEX_VERSION:
+        raise ValueError("bad index version")
+    max_edges = v >> 2
+    shift, base, p2 = _decode_base_shift(buf, p2)
+    deltas, p2 = decode_uint_vector(buf, p2)
+    ids = (deltas << np.uint64(shift)) + np.uint64(base)
+    blobs, p2 = decode_string_vector(buf, p2)
+    cells = [(int(cid), decode_shape_index_cell(blob, len(shapes)))
+             for cid, blob in zip(ids, blobs)]
+    return shapes, max_edges, cells

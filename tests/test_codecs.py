@@ -539,3 +539,53 @@ def test_shape_index_roundtrip_from_real_edge_index():
     assert back == cells
     assert len(buf) < sum(len(cx.encode_shape_index_cell(cl, 3))
                           for _, cl in cells) + 16 * len(cells)
+
+
+# -- Lax shapes + tagged-shape vector + full indexed blob
+# (s2shapeutil_coding.cc:134-175, s2lax_polygon_shape.cc:183-230) --
+
+def test_lax_polygon_roundtrip():
+    from s2spark.kernels.loops import parse_vertices as pv
+    loops = [pv("0:0, 0:4, 2:4, 2:0"), pv("1:1, 1:2, 1.5:2")]
+    for hint in ("compact", "fast"):
+        buf = cx.encode_lax_polygon(loops, hint)
+        back, pos = cx.decode_lax_polygon(buf)
+        assert pos == len(buf)
+        assert all(np.array_equal(a, b) for a, b in zip(loops, back))
+    # single loop omits loop_starts; empty polygon
+    buf = cx.encode_lax_polygon([loops[0]])
+    back, pos = cx.decode_lax_polygon(buf)
+    assert len(back) == 1 and np.array_equal(back[0], loops[0])
+    back, pos = cx.decode_lax_polygon(cx.encode_lax_polygon([]))
+    assert back == []
+
+
+def test_uint32_vector_roundtrip():
+    vals = np.array([0, 7, 255, 70000], dtype=np.uint32)
+    buf = cx.encode_uint32_vector(vals)
+    dec, pos = cx.decode_uint32_vector(buf)
+    assert list(dec) == list(vals) and pos == len(buf)
+    assert len(buf) == 1 + 4 * 3  # widest value needs 3 bytes
+
+
+def test_tagged_shapes_and_indexed_blob_roundtrip():
+    from s2spark.kernels.loops import parse_vertices as pv
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(7, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    loops = [pv("0:0, 0:4, 2:4, 2:0"), pv("1:1, 1:2, 1.5:2")]
+    shapes = [("points", pts), ("polyline", pv("0:0, 1:1, 2:0")),
+              ("polygon", loops)]
+    blob = cx.encode_tagged_shapes(shapes)
+    back, pos = cx.decode_tagged_shapes(blob)
+    assert pos == len(blob)
+    assert back[0][0] == "points" and np.array_equal(back[0][1], pts)
+    assert back[1][0] == "polyline"
+    assert back[2][0] == "polygon" and all(
+        np.array_equal(a, b) for a, b in zip(back[2][1], loops))
+    # the one-blob story: CompactEncodeTaggedShapes + index.Encode
+    cells = [((3 << 61) + (1 << 40),
+              [(0, False, [1, 2]), (2, True, [])])]
+    full = cx.encode_indexed_geometry(shapes, cells, 10)
+    s2, max_edges, c2 = cx.decode_indexed_geometry(full)
+    assert max_edges == 10 and c2 == cells and len(s2) == 3
