@@ -652,6 +652,22 @@ def q_point_overlay_models(spark: SparkSession,
     return bops.point_overlay_models(spark, N_POINT_PAIRS)
 
 
+N_PLPL_PAIRS = 6
+
+
+def q_polyline_overlay_models(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Polyline x polyline S2BooleanOperation under every
+    PolylineModel: shared same/reversed/degenerate edges, vertex
+    touches with per-occurrence multiplicity, transverse crossings
+    split at bit-identical intersection points, degenerate
+    vertex-intersection outputs.  Semantics pinned against the
+    reference's fixture families in tests/test_layers.py;
+    materialized driver-kernel oracle."""
+    from s2spark.ops import boolean as bops
+    return bops.polyline_overlay_models(spark, N_PLPL_PAIRS)
+
+
 N_WINDING_GROUPS = 6
 
 
@@ -960,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_models": q_polygon_overlay_models,
         "winding_geom": q_winding_geom,
         "point_overlay_models": q_point_overlay_models,
+        "polyline_overlay_models": q_polyline_overlay_models,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -1596,6 +1613,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_overlay_models": _overlay_models_oracle(),
         "winding_geom": _winding_geom_oracle(),
         "point_overlay_models": _point_overlay_models_oracle(),
+        "polyline_overlay_models": _polyline_overlay_models_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
@@ -2120,6 +2138,35 @@ def _point_overlay_models_oracle() -> str:
             "CAST(point_idx AS INTEGER) AS point_idx, survives "
             "FROM (VALUES " + ", ".join(rows)
             + ") AS _pm(pair_id, model, op, point_idx, survives)")
+
+
+def _polyline_overlay_models_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    polyline_overlay_models."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels import layers as _ly
+    from s2spark.ops import boolean as _bops
+    rows = []
+    for pid in range(N_PLPL_PAIRS):
+        a, b = _bops.polyline_pair_fixture(pid)
+        for model in _ly.POLYLINE_MODELS:
+            for op in _bld.OPS:
+                chains = _ly.polyline_polyline_boolean(a, b, op, model)
+                for li, chain in enumerate(chains):
+                    cells = _ck.as_i64(_ck.from_xyz(
+                        chain[:, 0], chain[:, 1], chain[:, 2]))
+                    rows.extend(
+                        f"({pid}, '{model}', '{op}', {li}, {sq}, "
+                        f"{int(c)})" for sq, c in enumerate(cells))
+                if not chains:
+                    rows.append(f"({pid}, '{model}', '{op}', -1, -1, 0)")
+    return ("SELECT CAST(pair_id AS BIGINT) AS pair_id, model, op, "
+            "CAST(line_idx AS INTEGER) AS line_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _pp(pair_id, model, op, line_idx, seq, site_cell)")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -143,3 +143,215 @@ def point_boolean(points_a: np.ndarray, other, op: str,
         raise ValueError(other_kind)
     keep = contained if op == "intersection" else ~contained
     return pts[keep]
+
+
+# ---------------------------------------------------------------------------
+# polyline x polyline boolean operations
+# (s2boolean_operation_test.cc:406-785 fixture semantics)
+
+def _subdivide_two_groups(a_lists: list[list], b_lists: list[list]):
+    """Split every edge of group A at its transverse crossings with
+    group B (and vice versa), sharing bit-identical crossing points;
+    self-crossings within a group are NOT split (the reference's
+    guarantee).  Returns per-polyline lists of subsegment lists."""
+    import numpy as np
+
+    from . import predicates
+    from .builder import _edge_param
+    from .edges import edge_intersection
+    fa = [e for lst in a_lists for e in lst]
+    fb = [e for lst in b_lists for e in lst]
+    sa: list[list] = [[] for _ in fa]
+    sb: list[list] = [[] for _ in fb]
+    if fa and fb:
+        na, nb = len(fa), len(fb)
+        a0 = np.repeat(np.array([e[0] for e in fa]), nb, axis=0)
+        a1 = np.repeat(np.array([e[1] for e in fa]), nb, axis=0)
+        b0 = np.tile(np.array([e[0] for e in fb]), (na, 1))
+        b1 = np.tile(np.array([e[1] for e in fb]), (na, 1))
+        cs = predicates.crossing_sign(a0, a1, b0, b1).reshape(na, nb)
+        for i, j in zip(*np.nonzero(cs > 0)):
+            x = edge_intersection(fa[i][0], fa[i][1],
+                                  fb[j][0], fb[j][1])
+            sa[int(i)].append(x)
+            sb[int(j)].append(x)
+
+    def apply(flat, splits, lists):
+        out = []
+        k = 0
+        for lst in lists:
+            cur = []
+            for (p0, p1) in lst:
+                xs = splits[k]
+                k += 1
+                if not xs:
+                    cur.append([(p0, p1)])
+                    continue
+                xs = sorted(xs, key=lambda x: _edge_param(p0, p1, x))
+                chain = [p0, *xs, p1]
+                cur.append([(chain[t], chain[t + 1])
+                            for t in range(len(chain) - 1)])
+            out.append(cur)
+        return out
+
+    return apply(fa, sa, a_lists), apply(fb, sb, b_lists)
+
+
+def _chain_of(sub_polyline: list[list]) -> list[np.ndarray]:
+    """Per-polyline subdivided vertex chain from subsegment lists."""
+    chain: list[np.ndarray] = []
+    for segs in sub_polyline:
+        for (p0, p1) in segs:
+            if not chain:
+                chain.append(p0)
+            chain.append(p1)
+    return chain
+
+
+def _occurrence_contained(i: int, n: int, is_loop: bool,
+                          model: str, boundaries: bool) -> bool:
+    """Is vertex occurrence i of an n-vertex chain contained per the
+    PolylineModel (position-based)?"""
+    if is_loop and not boundaries:
+        return i < n - 1  # last occurrence is the duplicated first
+    if model == "closed":
+        return True
+    if model == "semi_open":
+        return i < n - 1
+    return 0 < i < n - 1  # open
+
+
+def polyline_polyline_boolean(a_lines: list[np.ndarray],
+                              b_lines: list[np.ndarray], op: str,
+                              polyline_model: str = "semi_open",
+                              loops_have_boundaries: bool = True
+                              ) -> list[np.ndarray]:
+    """Polyline x polyline boolean operation (both layers emitted, as
+    the reference: 'the expected output includes the relevant portions
+    of BOTH input polylines'; duplicates retained).
+
+    Edge dimension: after shared crossing subdivision, an edge is 'in'
+    the other side iff bitwise-coincident with one of its sub-edges
+    (same or reversed — model-independent), or, for degenerate (x,x)
+    edges, iff coincident with an opposite degenerate OR x is
+    contained by the opposite side per the model.  UNION keeps
+    everything; INTERSECTION keeps in-edges; DIFFERENCE/Δ keep
+    out-edges (A only / both sides).
+
+    Vertex dimension (INTERSECTION only): a vertex occurrence emits a
+    degenerate 2-vertex polyline iff it is contained at that position
+    per the model, the point lies in the opposite side, and neither
+    incident sub-edge was kept (isolated-vertex rule of the
+    PolylineVertex* and PolylineLoopMultiple* fixtures)."""
+    from .builder import OPS
+    if op not in OPS:
+        raise ValueError(op)
+    if polyline_model not in POLYLINE_MODELS:
+        raise ValueError(polyline_model)
+
+    def norm(lines):
+        out = []
+        for v in lines:
+            v = np.asarray(v, dtype=np.float64)
+            out.append(v)
+        return out
+
+    a_lines, b_lines = norm(a_lines), norm(b_lines)
+
+    def edge_lists(lines):
+        out = []
+        for v in lines:
+            out.append([(v[i], v[i + 1]) for i in range(len(v) - 1)])
+        return out
+
+    sub_a, sub_b = _subdivide_two_groups(edge_lists(a_lines),
+                                         edge_lists(b_lines))
+
+    def keyset(sub):
+        same, degen = set(), set()
+        for pl in sub:
+            for segs in pl:
+                for (p0, p1) in segs:
+                    k = (p0.tobytes(), p1.tobytes())
+                    if k[0] == k[1]:
+                        degen.add(k[0])
+                    else:
+                        same.add(k)
+        return same, degen
+
+    keys_a, degen_a = keyset(sub_a)
+    keys_b, degen_b = keyset(sub_b)
+
+    def contains_pt(lines, p):
+        return any(polyline_contains_point(
+            pl, p, polyline_model, loops_have_boundaries)
+            for pl in lines)
+
+    def in_other(p0, p1, other_same, other_degen, other_lines):
+        k0, k1 = p0.tobytes(), p1.tobytes()
+        if k0 == k1:  # degenerate edge
+            return k0 in other_degen or contains_pt(other_lines, p0)
+        return (k0, k1) in other_same or (k1, k0) in other_same
+
+    out: list[np.ndarray] = []
+
+    def process(sub, orig_lines, other_same, other_degen, other_lines,
+                emit_vertices: bool, keep_pred):
+        for pl_idx, pl in enumerate(sub):
+            chain = _chain_of(pl)
+            n = len(chain)
+            if n == 0:
+                continue
+            orig = orig_lines[pl_idx]
+            is_degen_input = (len(orig) == 2
+                              and np.array_equal(orig[0], orig[1]))
+            kept = [keep_pred(in_other(chain[i], chain[i + 1],
+                                       other_same, other_degen,
+                                       other_lines))
+                    for i in range(n - 1)]
+            # maximal runs of kept sub-edges
+            run: list = []
+            for i in range(n - 1):
+                if kept[i]:
+                    if not run:
+                        run = [chain[i]]
+                    run.append(chain[i + 1])
+                elif run:
+                    out.append(np.array(run))
+                    run = []
+            if run:
+                out.append(np.array(run))
+            if not emit_vertices or is_degen_input:
+                continue
+            is_loop = n >= 2 and np.array_equal(chain[0], chain[-1])
+            for i in range(n):
+                if not _occurrence_contained(i, n, is_loop,
+                                             polyline_model,
+                                             loops_have_boundaries):
+                    continue
+                prev_kept = kept[i - 1] if i > 0 else False
+                next_kept = kept[i] if i < n - 1 else False
+                if prev_kept or next_kept:
+                    continue
+                if contains_pt(other_lines, chain[i]):
+                    out.append(np.array([chain[i], chain[i]]))
+
+    if op == "union":
+        process(sub_a, a_lines, keys_b, degen_b, b_lines, False,
+                lambda _: True)
+        process(sub_b, b_lines, keys_a, degen_a, a_lines, False,
+                lambda _: True)
+    elif op == "intersection":
+        process(sub_a, a_lines, keys_b, degen_b, b_lines, True,
+                lambda x: x)
+        process(sub_b, b_lines, keys_a, degen_a, a_lines, True,
+                lambda x: x)
+    elif op == "difference":
+        process(sub_a, a_lines, keys_b, degen_b, b_lines, False,
+                lambda x: not x)
+    else:  # symmetric_difference
+        process(sub_a, a_lines, keys_b, degen_b, b_lines, False,
+                lambda x: not x)
+        process(sub_b, b_lines, keys_a, degen_a, a_lines, False,
+                lambda x: not x)
+    return out

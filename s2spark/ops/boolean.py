@@ -575,3 +575,82 @@ def point_overlay_models(spark: SparkSession,
 
     return base.groupBy("pair_id").applyInPandas(run,
                                                  POINT_MODEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# polyline x polyline boolean (models)
+
+PLPL_SCHEMA = ("pair_id long, model string, op string, line_idx int, "
+               "seq int, site_cell long")
+
+
+def polyline_pair_fixture(pid: int) -> tuple[list, list]:
+    """Deterministic polyline pair sets with vertex touches, shared
+    same/reversed/degenerate edges, and transverse crossings — the
+    PolylineVertex* / PolylineEdge*Overlap fixture patterns translated
+    to a mix-derived origin."""
+    from ..sources import geo
+    k = np.array([pid], dtype=np.int64)
+    lat0 = float(geo.mix_np(k, 23)[0] % 100) - 50.0
+    lng0 = float(geo.mix_np(k, 29)[0] % 300) - 150.0
+    s = 0.5
+
+    def pl(pairs):
+        from ..kernels.loops import Loop
+        return Loop.from_latlng_degrees(np.array(
+            [(lat0 + la * s, lng0 + ln * s) for la, ln in pairs],
+            dtype=np.float64)).vertices
+
+    kind = pid % 3
+    if kind == 0:  # vertex touches (PLV pattern)
+        a = [pl([(0, 0), (0, 1), (0, 2)]),
+             pl([(0, 3), (0, 4), (0, 3)])]
+        b = [pl([(0, 0), (1, 0)]),
+             pl([(-1, 1), (0, 1), (1, 1)]),
+             pl([(-1, 2), (0, 2)]),
+             pl([(1, 3), (0, 3), (1, 3)])]
+    elif kind == 1:  # shared same/rev/degenerate edges (PLO pattern)
+        a = [pl([(0, 0), (1, 0), (2, 0), (2, 5)]),
+             pl([(3, 0), (3, 0)]),
+             pl([(6, 0), (5, 0), (4, 0)])]
+        b = [pl([(0, 0), (1, 0), (2, 0)]),
+             pl([(3, 0), (3, 0)]),
+             pl([(4, 0), (5, 0)])]
+    else:  # transverse crossing
+        a = [pl([(0, 0), (2, 2)])]
+        b = [pl([(2, 0), (0, 2)])]
+    return a, b
+
+
+def polyline_overlay_models(spark: SparkSession,
+                            n_pairs: int) -> DataFrame:
+    """Polyline x polyline boolean operations under every
+    PolylineModel (s2boolean_operation.h:109-129 + the dimension
+    rules): per (pair, model, op) the output polylines — including
+    degenerate vertex-intersection outputs — one row per vertex as a
+    leaf cell id.  One applyInPandas group per pair; semantics pinned
+    against the reference's PolylineVertex* / PolylineEdge*Overlap /
+    PolylineLoopMultiple* fixture families in tests/test_layers.py."""
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    from ..kernels import layers as ly
+    base = spark.range(n_pairs).select(F.col("id").alias("pair_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        a, b = polyline_pair_fixture(pid)
+        rows = []
+        for model in ly.POLYLINE_MODELS:
+            for op in bld.OPS:
+                chains = ly.polyline_polyline_boolean(a, b, op, model)
+                for li, chain in enumerate(chains):
+                    cells = ci.as_i64(ci.from_xyz(
+                        chain[:, 0], chain[:, 1], chain[:, 2]))
+                    rows.extend((pid, model, op, li, sq, int(c))
+                                for sq, c in enumerate(cells))
+                if not chains:
+                    rows.append((pid, model, op, -1, -1, 0))
+        return pd.DataFrame(rows, columns=[
+            "pair_id", "model", "op", "line_idx", "seq", "site_cell"])
+
+    return base.groupBy("pair_id").applyInPandas(run, PLPL_SCHEMA)

@@ -131,3 +131,125 @@ def test_point_on_edge_interior_contained_all_models():
                                           "closed")}
     assert got["open"] is False
     assert got["closed"] is True
+
+
+# -- polyline x polyline boolean ops
+# (s2boolean_operation_test.cc:406-785) --
+
+def _pl_lines(text):
+    return [pv(t.strip()) for t in text.split("|")] if text.strip() \
+        else []
+
+
+def _pl_fmt(out):
+    import math
+
+    from s2spark.kernels.region import _latitude, _longitude
+    return sorted(
+        ", ".join(f"{round(math.degrees(_latitude(p)), 6):g}:"
+                  f"{round(math.degrees(_longitude(p)), 6):g}"
+                  for p in c) for c in out)
+
+
+def _pl_check(a, b, op, want, model="semi_open", boundaries=True):
+    got = _pl_fmt(ly.polyline_polyline_boolean(
+        _pl_lines(a), _pl_lines(b), op, model, boundaries))
+    assert got == _pl_fmt(_pl_lines(want)), (op, model, got)
+
+
+PLV_A = "0:0, 0:1, 0:2 | 0:3, 0:4, 0:3"
+PLV_B = ("0:0, 1:0 | -1:1, 0:1, 1:1 | -1:2, 0:2 "
+         "| 1:3, 0:3, 1:3 | 0:4, 1:4, 0:4")
+PLV_ALL = PLV_A + " | " + PLV_B
+
+
+def test_polyline_vertex_open():
+    _pl_check(PLV_A, PLV_B, "union", PLV_ALL, "open")
+    _pl_check(PLV_A, PLV_B, "intersection",
+              "0:1, 0:1 | 0:1, 0:1", "open")
+    _pl_check(PLV_A, PLV_B, "difference", PLV_A, "open")
+    _pl_check(PLV_A, PLV_B, "symmetric_difference", PLV_ALL, "open")
+
+
+def test_polyline_vertex_open_loop_boundaries_false():
+    _pl_check(PLV_A, PLV_B, "intersection",
+              "0:1, 0:1 | 0:1, 0:1 | 0:3, 0:3 | 0:3, 0:3 "
+              "| 0:4, 0:4 | 0:4, 0:4", "open", False)
+
+
+@pytest.mark.parametrize("boundaries", [True, False])
+def test_polyline_vertex_semi_open(boundaries):
+    _pl_check(PLV_A, PLV_B, "intersection",
+              "0:0, 0:0 | 0:0, 0:0 | 0:1, 0:1 | 0:1, 0:1 "
+              "| 0:3, 0:3 | 0:3, 0:3 | 0:4, 0:4 | 0:4, 0:4",
+              "semi_open", boundaries)
+
+
+def test_polyline_vertex_closed():
+    _pl_check(PLV_A, PLV_B, "intersection",
+              "0:0, 0:0 | 0:0, 0:0 | 0:1, 0:1 | 0:1, 0:1 "
+              "| 0:2, 0:2 | 0:2, 0:2 | 0:3, 0:3 | 0:3, 0:3 | 0:3, 0:3 "
+              "| 0:4, 0:4 | 0:4, 0:4 | 0:4, 0:4", "closed")
+    _pl_check(PLV_A, PLV_B, "intersection",
+              "0:0, 0:0 | 0:0, 0:0 | 0:1, 0:1 | 0:1, 0:1 "
+              "| 0:2, 0:2 | 0:2, 0:2 | 0:3, 0:3 | 0:3, 0:3 "
+              "| 0:4, 0:4 | 0:4, 0:4", "closed", False)
+
+
+PLO_A = "0:0, 1:0, 2:0, 2:5 | 3:0, 3:0 | 6:0, 5:0, 4:0"
+PLO_B = "0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0"
+
+
+def test_polyline_edge_overlap():
+    """Same/reverse/degenerate coincident edges: model-independent,
+    both sides' portions emitted, duplicates kept."""
+    _pl_check(PLO_A, PLO_B, "union", PLO_A + " | " + PLO_B, "open")
+    _pl_check(PLO_A, PLO_B, "intersection",
+              "0:0, 1:0, 2:0 | 0:0, 1:0, 2:0 | 3:0, 3:0 | 3:0, 3:0 "
+              "| 5:0, 4:0 | 4:0, 5:0", "open")
+    _pl_check(PLO_A, PLO_B, "difference", "2:0, 2:5 | 6:0, 5:0",
+              "open")
+    _pl_check(PLO_A, PLO_B, "symmetric_difference",
+              "2:0, 2:5 | 6:0, 5:0", "open")
+
+
+PLL_A = "0:0, 0:1, 1:0, 0:0 | 2:2, 2:3, 3:2, 2:2"
+PLL_B = "0:0, 0:0 | 0:0, 0:1 | 2:2, 2:2 | 2:2, 3:2"
+
+
+@pytest.mark.parametrize("model,inter,sym", [
+    ("open", "0:0, 0:1 | 0:0, 0:1 | 2:2, 3:2 | 3:2, 2:2",
+     "0:1, 1:0, 0:0 | 0:0, 0:0 | 2:2, 2:3, 3:2 | 2:2, 2:2"),
+    ("semi_open",
+     "0:0, 0:0 | 0:0, 0:1 | 0:0, 0:1 | 2:2, 2:2 | 2:2, 2:2 "
+     "| 2:2, 3:2 | 3:2, 2:2",
+     "0:1, 1:0, 0:0 | 2:2, 2:3, 3:2"),
+    ("closed",
+     "0:0, 0:0 | 0:0, 0:0 | 0:0, 0:1 | 0:0, 0:1 | 2:2, 2:2 "
+     "| 2:2, 2:2 | 2:2, 3:2 | 3:2, 2:2",
+     "0:1, 1:0, 0:0 | 2:2, 2:3, 3:2"),
+])
+def test_polyline_loop_multiple(model, inter, sym):
+    """Loops sharing degenerate AND real edges with another layer —
+    the intricate per-occurrence multiplicity rules."""
+    _pl_check(PLL_A, PLL_B, "union", PLL_A + " | " + PLL_B, model)
+    _pl_check(PLL_A, PLL_B, "intersection", inter, model)
+    _pl_check(PLL_A, PLL_B, "difference",
+              "0:1, 1:0, 0:0 | 2:2, 2:3, 3:2", model)
+    _pl_check(PLL_A, PLL_B, "symmetric_difference", sym, model)
+
+
+def test_polyline_edge_crossing():
+    """Transverse crossing: both polylines split at the shared
+    bit-identical intersection point; the intersection is two
+    degenerate polylines there."""
+    a, b = _pl_lines("0:0, 2:2"), _pl_lines("2:0, 0:2")
+    inter = ly.polyline_polyline_boolean(a, b, "intersection")
+    assert len(inter) == 2
+    assert all(len(c) == 2 and np.array_equal(c[0], c[1])
+               for c in inter)
+    assert np.array_equal(inter[0][0], inter[1][0])
+    union = ly.polyline_polyline_boolean(a, b, "union")
+    assert sorted(len(c) for c in union) == [3, 3]
+    diff = ly.polyline_polyline_boolean(a, b, "difference")
+    assert len(diff) == 1 and len(diff[0]) == 3
