@@ -355,3 +355,109 @@ def polyline_polyline_boolean(a_lines: list[np.ndarray],
         process(sub_b, b_lines, keys_a, degen_a, a_lines, False,
                 lambda x: not x)
     return out
+
+
+def polyline_polygon_boolean(lines: list[np.ndarray], region, op: str,
+                             polygon_model: str = "semi_open",
+                             polyline_model: str = "closed",
+                             loops_have_boundaries: bool = True
+                             ) -> list[np.ndarray]:
+    """Polyline x polygon boolean operation, polyline dimension, WITH
+    the reference's degenerate vertex outputs (the full semantics of
+    PolylineVertex*PolygonVertex / PolylineEdge*PolygonEdgeOverlap:
+    builder.clip_polyline without vertex emission is the fast path).
+
+    Edge dimension: sub-edges after crossing subdivision classified by
+    midpoint parity, with coincident polygon-boundary edges decided by
+    the PolygonModel (OPEN: never contained; SEMI_OPEN: same direction
+    only; CLOSED: both).  INTERSECTION keeps inside parts; UNION /
+    DIFFERENCE / Δ keep outside parts.
+
+    Vertex dimension: an occurrence of a polyline vertex (existing per
+    the PolylineModel — default CLOSED, the reference default) emits a
+    degenerate 2-vertex polyline iff its point containment vs the
+    polygon (per PolygonModel) matches the op's keep side and neither
+    incident sub-edge was kept."""
+    from .builder import (OPS, POLYGON_MODELS, _loop_edges,
+                          region_loops, subdivide_at_crossings)
+    if op not in OPS:
+        raise ValueError(op)
+    if polygon_model not in POLYGON_MODELS:
+        raise ValueError(polygon_model)
+    loops, is_full = region_loops(region)
+    want_inside = op == "intersection"
+    eb = _loop_edges(loops)
+    same_keys = set()
+    rev_keys = set()
+    out: list[np.ndarray] = []
+    for v in lines:
+        v = np.asarray(v, dtype=np.float64)
+        ea = [(v[i], v[i + 1]) for i in range(len(v) - 1)]
+        sa, sb = subdivide_at_crossings(ea, eb)
+        same_keys = {(f[0].tobytes(), f[1].tobytes()) for f in sb}
+        rev_keys = {(f[1].tobytes(), f[0].tobytes()) for f in sb}
+        # chain + per-sub-edge containment
+        chain: list[np.ndarray] = []
+        for (p0, p1) in sa:
+            if not chain:
+                chain.append(p0)
+            chain.append(p1)
+        n = len(chain)
+        contained: list[bool] = []
+        for i in range(n - 1):
+            k = (chain[i].tobytes(), chain[i + 1].tobytes())
+            if k in same_keys:
+                contained.append(polygon_model in ("semi_open",
+                                                   "closed"))
+            elif k in rev_keys:
+                contained.append(polygon_model == "closed")
+            else:
+                m = chain[i] + chain[i + 1]
+                m /= np.linalg.norm(m)
+                if is_full:
+                    contained.append(True)
+                elif not loops:
+                    contained.append(False)
+                else:
+                    contained.append(bool(
+                        polygon_contains_points_model(
+                            loops, m[None], polygon_model)[0]))
+        kept = [c == want_inside for c in contained]
+        run: list = []
+        for i in range(n - 1):
+            if kept[i]:
+                if not run:
+                    run = [chain[i]]
+                run.append(chain[i + 1])
+            elif run:
+                out.append(np.array(run))
+                run = []
+        if run:
+            out.append(np.array(run))
+        # degenerate vertex emissions
+        if n == 0:
+            continue
+        is_degen_input = (len(v) == 2
+                          and np.array_equal(v[0], v[1]))
+        if is_degen_input:
+            continue  # degenerate edges are edge-dimension features
+        is_loop = n >= 2 and np.array_equal(chain[0], chain[-1])
+        for i in range(n):
+            if not _occurrence_contained(i, n, is_loop,
+                                         polyline_model,
+                                         loops_have_boundaries):
+                continue
+            prev_kept = kept[i - 1] if i > 0 else False
+            next_kept = kept[i] if i < n - 1 else False
+            if prev_kept or next_kept:
+                continue
+            if is_full:
+                inside = True
+            elif not loops:
+                inside = False
+            else:
+                inside = bool(polygon_contains_points_model(
+                    loops, chain[i][None], polygon_model)[0])
+            if inside == want_inside:
+                out.append(np.array([chain[i], chain[i]]))
+    return out

@@ -253,3 +253,64 @@ def test_polyline_edge_crossing():
     assert sorted(len(c) for c in union) == [3, 3]
     diff = ly.polyline_polyline_boolean(a, b, "difference")
     assert len(diff) == 1 and len(diff[0]) == 3
+
+
+# -- polyline x polygon WITH degenerate vertex outputs
+# (PolylineEdge*PolygonEdgeOverlap + PolylineVertex*PolygonVertex,
+# s2boolean_operation_test.cc:561-836) --
+
+def _pp_check(a, b_loops, op, want, pg="semi_open"):
+    got = _pl_fmt(ly.polyline_polygon_boolean(
+        _pl_lines(a), b_loops, op, polygon_model=pg))
+    assert got == _pl_fmt(_pl_lines(want)), (op, pg, got)
+
+
+PPE_A = "1:1, 1:3, 3:3 | 3:3, 1:3"
+
+
+def test_polyline_polygon_edge_overlap_with_degeneracies():
+    b = [Loop(pv("1:1, 1:3, 3:3, 3:1"))]
+    # SEMI_OPEN: the reference's exact outputs including the
+    # zero-length polylines at uncontained vertices
+    semi_rest = "1:1, 1:1 | 3:3, 3:3 | 3:3, 1:3"
+    _pp_check(PPE_A, b, "union", semi_rest)
+    _pp_check(PPE_A, b, "intersection", "1:3, 1:3 | 1:1, 1:3, 3:3")
+    _pp_check(PPE_A, b, "difference", semi_rest)
+    _pp_check(PPE_A, b, "symmetric_difference", semi_rest)
+    # OPEN / CLOSED (edge-level, no degeneracies arise)
+    _pp_check(PPE_A, b, "union", PPE_A, "open")
+    _pp_check(PPE_A, b, "intersection", "", "open")
+    _pp_check(PPE_A, b, "intersection", PPE_A, "closed")
+    _pp_check(PPE_A, b, "difference", "", "closed")
+
+
+PPV_POLY = ("0:0, 0:1, 0:2, 0:3, 0:4, 0:5, "
+            "5:5, 5:4, 5:3, 5:2, 5:1, 5:0")
+PPV_A = ("1:1, 0:1 | 0:2, 1:2 | -1:3, 0:3 | 0:4, -1:4 "
+         "| 6:1, 5:1 | 5:2, 6:2 | 4:3, 5:3 | 5:4, 4:4")
+
+
+@pytest.mark.parametrize("pg,inter,rest", [
+    ("open",
+     "1:1, 0:1 | 0:2, 1:2 | 4:3, 5:3 | 5:4, 4:4",
+     "0:1, 0:1 | 0:2, 0:2 | -1:3, 0:3 | 0:4, -1:4 "
+     "| 6:1, 5:1 | 5:2, 6:2 | 5:3, 5:3 | 5:4, 5:4"),
+    ("semi_open",
+     "1:1, 0:1 | 0:2, 1:2 | 0:3, 0:3 | 0:4, 0:4 "
+     "| 4:3, 5:3 | 5:4, 4:4",
+     "-1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 | 5:2, 6:2 "
+     "| 5:3, 5:3 | 5:4, 5:4"),
+    ("closed",
+     "1:1, 0:1 | 0:2, 1:2 | 0:3, 0:3 | 0:4, 0:4 "
+     "| 5:1, 5:1 | 5:2, 5:2 | 4:3, 5:3 | 5:4, 4:4",
+     "-1:3, 0:3 | 0:4, -1:4 | 6:1, 5:1 | 5:2, 6:2"),
+])
+def test_polyline_vertex_polygon_vertex_models(pg, inter, rest):
+    """Polylines starting/ending on polygon vertices whose semi-open
+    membership differs (lat-0 vertices closed, lat-5 open), incident
+    edges inside or outside — the full PolylineVertex*PolygonVertex
+    batteries including degenerate outputs."""
+    b = [Loop(pv(PPV_POLY))]
+    _pp_check(PPV_A, b, "intersection", inter, pg)
+    for op in ("union", "difference", "symmetric_difference"):
+        _pp_check(PPV_A, b, op, rest, pg)
