@@ -461,3 +461,121 @@ def polyline_polygon_boolean(lines: list[np.ndarray], region, op: str,
             if inside == want_inside:
                 out.append(np.array([chain[i], chain[i]]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# boolean predicates over geometry collections
+# (S2BooleanOperation::Intersects/Contains/Equals,
+# s2boolean_operation.h:240-280; fixtures :2272-2304)
+
+class GeometryCollection:
+    """(points, polylines, polygon region) — the three dimensions of
+    an S2ShapeIndex-style geometry collection."""
+
+    def __init__(self, points=None, lines=None, region=None):
+        self.points = (np.asarray(points, dtype=np.float64).reshape(
+            -1, 3) if points is not None and len(points)
+            else np.empty((0, 3)))
+        self.lines = [np.asarray(v, dtype=np.float64)
+                      for v in (lines or [])]
+        self.region = [] if region is None else region
+
+    def region_nonempty(self) -> bool:
+        from .builder import region_loops
+        loops, full = region_loops(self.region)
+        return full or bool(loops)
+
+    def is_empty(self) -> bool:
+        return (len(self.points) == 0 and not self.lines
+                and not self.region_nonempty())
+
+
+def _points_in_collection(pts: np.ndarray, c: GeometryCollection
+                          ) -> np.ndarray:
+    """Default-model containment of points by a collection (polygon
+    SEMI_OPEN, polyline CLOSED — the reference defaults)."""
+    if len(pts) == 0:
+        return np.zeros(0, dtype=bool)
+    inside = np.zeros(len(pts), dtype=bool)
+    if len(c.points):
+        keys = {q.tobytes() for q in c.points}
+        inside |= np.array([p.tobytes() in keys for p in pts])
+    if c.lines:
+        inside |= np.array([any(polyline_contains_point(pl, p,
+                                                        "closed")
+                                for pl in c.lines) for p in pts])
+    if c.region_nonempty():
+        inside |= polygon_contains_points_model(c.region, pts,
+                                                "semi_open")
+    return inside
+
+
+def boolean_intersects(a: GeometryCollection,
+                       b: GeometryCollection) -> bool:
+    """S2BooleanOperation::Intersects — is a ∩ b non-empty?"""
+    from .builder import overlay_geometry, overlay_result_state
+    if _points_in_collection(a.points, b).any():
+        return True
+    if _points_in_collection(b.points, a).any():
+        return True
+    if a.lines and b.lines and polyline_polyline_boolean(
+            a.lines, b.lines, "intersection", "closed"):
+        return True
+    for lines, other in ((a.lines, b), (b.lines, a)):
+        if lines and other.region_nonempty() \
+                and polyline_polygon_boolean(lines, other.region,
+                                             "intersection"):
+            return True
+    if a.region_nonempty() and b.region_nonempty():
+        chains = overlay_geometry(a.region, b.region, "intersection")
+        if chains:
+            return True
+        return overlay_result_state(a.region, b.region,
+                                    "intersection", chains) == "full"
+    return False
+
+
+def boolean_contains(a: GeometryCollection,
+                     b: GeometryCollection) -> bool:
+    """S2BooleanOperation::Contains — is b − a empty (a ⊇ b)?"""
+    from .builder import overlay_geometry, overlay_result_state
+    if not _points_in_collection(b.points, a).all():
+        return False
+    if b.lines:
+        remnant = polyline_polygon_boolean(
+            b.lines, a.region if a.region_nonempty() else [],
+            "difference")
+        if remnant and a.lines:
+            remnant = polyline_polyline_boolean(remnant, a.lines,
+                                                "difference", "closed")
+        # degenerate leftovers (isolated vertices) count only if the
+        # point truly escapes a
+        remnant = [r for r in remnant
+                   if not (len(r) == 2 and np.array_equal(r[0], r[1])
+                           and _points_in_collection(r[:1], a)[0])]
+        if remnant:
+            return False
+    if b.region_nonempty():
+        if not a.region_nonempty():
+            return False
+        chains = overlay_geometry(b.region, a.region, "difference")
+        if chains:
+            return False
+        if overlay_result_state(b.region, a.region, "difference",
+                                chains) == "full":
+            return False
+    return True
+
+
+def boolean_equals(a: GeometryCollection,
+                   b: GeometryCollection) -> bool:
+    """S2BooleanOperation::Equals — is the symmetric difference
+    empty?"""
+    # dimension counts must agree (a point is never equal to a line)
+    if (len(a.points) == 0) != (len(b.points) == 0):
+        return False
+    if bool(a.lines) != bool(b.lines):
+        return False
+    if a.region_nonempty() != b.region_nonempty():
+        return False
+    return boolean_contains(a, b) and boolean_contains(b, a)

@@ -314,3 +314,53 @@ def test_polyline_vertex_polygon_vertex_models(pg, inter, rest):
     _pp_check(PPV_A, b, "intersection", inter, pg)
     for op in ("union", "difference", "symmetric_difference"):
         _pp_check(PPV_A, b, op, rest, pg)
+
+
+# -- boolean predicates (Equals / ContainsEmptyAndFull /
+#    IntersectsEmptyAndFull, s2boolean_operation_test.cc:2272-2304) --
+
+def test_boolean_predicates_empty_and_full():
+    from s2spark.kernels import builder as bld
+    GC = ly.GeometryCollection
+    empty = GC()
+    full = GC(region=bld.FULL)
+    pt = GC(points=pv("0:0"))
+    line = GC(lines=[pv("0:0, 1:1")])
+    tri = GC(region=[Loop(pv("0:0, 0:1, 1:0"))])
+    # Equals
+    assert ly.boolean_equals(empty, GC())
+    assert ly.boolean_equals(full, GC(region=bld.FULL))
+    for g in (pt, line, tri):
+        assert not ly.boolean_equals(g, empty)
+        assert not ly.boolean_equals(g, full)
+    assert not ly.boolean_equals(empty, full)
+    # Contains on empty/full
+    assert ly.boolean_contains(empty, empty)
+    assert not ly.boolean_contains(empty, full)
+    assert ly.boolean_contains(full, empty)
+    assert ly.boolean_contains(full, full)
+    # Intersects on empty/full
+    assert not ly.boolean_intersects(empty, empty)
+    assert not ly.boolean_intersects(empty, full)
+    assert not ly.boolean_intersects(full, empty)
+    assert ly.boolean_intersects(full, full)
+
+
+def test_boolean_predicates_mixed_dimensions():
+    GC = ly.GeometryCollection
+    tri = GC(region=[Loop(pv("0:0, 0:1, 1:0"))])
+    big = GC(region=[Loop(pv("-1:-1, -1:2, 2:2, 2:-1"))])
+    assert ly.boolean_contains(big, tri)
+    assert not ly.boolean_contains(tri, big)
+    assert ly.boolean_intersects(big, tri)
+    assert ly.boolean_intersects(tri, GC(points=pv("0.2:0.2")))
+    assert not ly.boolean_intersects(
+        tri, GC(points=pv("5:5")))
+    assert ly.boolean_contains(big, GC(lines=[pv("0:0, 1:1")]))
+    assert not ly.boolean_contains(tri, GC(lines=[pv("0:0, 5:5")]))
+    assert ly.boolean_intersects(tri, GC(lines=[pv("0:0, 5:5")]))
+    # rotation-invariant region equality
+    assert ly.boolean_equals(
+        tri, GC(region=[Loop(pv("0:1, 1:0, 0:0"))]))
+    assert not ly.boolean_equals(
+        tri, GC(region=[Loop(pv("0.1:0.1, 0.1:1, 1:0.1"))]))
