@@ -668,6 +668,41 @@ def q_polyline_overlay_models(spark: SparkSession,
     return bops.polyline_overlay_models(spark, N_PLPL_PAIRS)
 
 
+N_MIXED_GROUPS = 6
+
+
+def q_overlay_closed_set(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Mixed-dimension S2BooleanOperation (points + polylines +
+    polygons in one op) with ClosedSetNormalizer output
+    (s2builderutil_closed_set_normalizer.h:34-105): degenerate
+    polygon shells demoted to polylines/points, degenerate holes
+    discarded, degenerate polyline edges demoted to points,
+    lower-dimension duplicates suppressed.  Fixtures are per-group
+    rigid shifts of the reference's ComputeUnion MixedGeometry case;
+    semantics pinned bit-exact against the reference's NormalizeTest
+    table in tests/test_closed_set.py; materialized driver-kernel
+    oracle."""
+    from s2spark.ops import boolean as bops
+    return bops.mixed_overlay(spark, N_MIXED_GROUPS)
+
+
+def q_shape_index_covering(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """RegionCoverer coverings through S2ShapeIndexRegion (mixed
+    points + polylines + polygon with degenerate features as ONE
+    region) and S2ShapeIndexBufferedRegion at two radii — the
+    reference's GetCovering / GetBufferedCovering idioms
+    (s2shape_index_region.h:63-69,
+    s2shape_index_buffered_region.h:50-57).  Buffering computes
+    distance-to-geometry, not offset geometry, so a buffered point
+    is exactly a cap (pinned with the cap identity + sampled
+    coverage guarantees in tests/test_shape_region.py);
+    materialized driver-kernel oracle."""
+    from s2spark.ops import boolean as bops
+    return bops.shape_covering(spark, N_MIXED_GROUPS)
+
+
 N_WINDING_GROUPS = 6
 
 
@@ -977,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winding_geom": q_winding_geom,
         "point_overlay_models": q_point_overlay_models,
         "polyline_overlay_models": q_polyline_overlay_models,
+        "overlay_closed_set": q_overlay_closed_set,
+        "shape_index_covering": q_shape_index_covering,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -1614,6 +1651,8 @@ def _geometry_oracles() -> dict[str, str]:
         "winding_geom": _winding_geom_oracle(),
         "point_overlay_models": _point_overlay_models_oracle(),
         "polyline_overlay_models": _polyline_overlay_models_oracle(),
+        "overlay_closed_set": _closed_set_oracle(),
+        "shape_index_covering": _shape_covering_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
@@ -2167,6 +2206,70 @@ def _polyline_overlay_models_oracle() -> str:
             "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
             + ", ".join(rows)
             + ") AS _pp(pair_id, model, op, line_idx, seq, site_cell)")
+
+
+def _closed_set_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    overlay_closed_set (normalizer semantics pinned against the
+    reference's NormalizeTest table in tests/test_closed_set.py)."""
+    from s2spark.kernels import builder as _bld
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels import layers as _ly
+    from s2spark.ops import boolean as _bops
+    rows = []
+    for gid in range(N_MIXED_GROUPS):
+        a, b = _bops.mixed_fixture(gid)
+        for op in _bld.OPS:
+            pts, lines, chains, full = _ly.mixed_boolean_layers(
+                a, b, op)
+            if full:
+                rows.append(f"({gid}, '{op}', 2, -1, -1, 1)")
+            for i, p in enumerate(pts):
+                c = _ck.as_i64(_ck.from_xyz(p[None, 0], p[None, 1],
+                                            p[None, 2]))
+                rows.append(f"({gid}, '{op}', 0, {i}, 0, {int(c[0])})")
+            for dim, feats in ((1, lines), (2, chains)):
+                for i, ch in enumerate(feats):
+                    cells = _ck.as_i64(_ck.from_xyz(
+                        ch[:, 0], ch[:, 1], ch[:, 2]))
+                    rows.extend(
+                        f"({gid}, '{op}', {dim}, {i}, {sq}, {int(c)})"
+                        for sq, c in enumerate(cells))
+    return ("SELECT CAST(group_id AS BIGINT) AS group_id, op, "
+            "CAST(dim AS INTEGER) AS dim, "
+            "CAST(feat_idx AS INTEGER) AS feat_idx, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(site_cell AS BIGINT) AS site_cell FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _cs(group_id, op, dim, feat_idx, seq, site_cell)")
+
+
+def _shape_covering_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    shape_index_covering (kernel guarantees pinned in
+    tests/test_shape_region.py)."""
+    import numpy as np
+
+    from s2spark.kernels import cellid as _ck
+    from s2spark.kernels.coverer import RegionCoverer as _RC
+    from s2spark.kernels.shape_region import (
+        ShapeIndexBufferedRegion as _BR, ShapeIndexRegion as _SR)
+    from s2spark.ops import boolean as _bops
+    rows = []
+    rc = _RC(max_cells=16)
+    for gid in range(N_MIXED_GROUPS):
+        col, _ = _bops.mixed_fixture(gid)
+        for kind, radius in _bops.SHAPE_COV_RADII:
+            reg = _SR(col) if radius is None else _BR(col, radius)
+            cells = sorted(int(c) for c in _ck.as_i64(np.asarray(
+                rc.get_covering(reg), dtype=np.uint64)))
+            rows.extend(f"({gid}, '{kind}', {s}, {c})"
+                        for s, c in enumerate(cells))
+    return ("SELECT CAST(group_id AS BIGINT) AS group_id, kind, "
+            "CAST(seq AS INTEGER) AS seq, "
+            "CAST(cell AS BIGINT) AS cell FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _sc(group_id, kind, seq, cell)")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -579,3 +579,301 @@ def boolean_equals(a: GeometryCollection,
     if a.region_nonempty() != b.region_nonempty():
         return False
     return boolean_contains(a, b) and boolean_contains(b, a)
+
+
+# ---------------------------------------------------------------------------
+# ClosedSetNormalizer / NormalizeClosedSet
+# (s2builderutil_closed_set_normalizer.h:34-105; test table
+# s2builderutil_closed_set_normalizer_test.cc:161-256)
+
+def _key(p) -> bytes:
+    return np.asarray(p, dtype=np.float64).tobytes()
+
+
+def _undirected_edge_key(p0, p1) -> bytes:
+    k0, k1 = _key(p0), _key(p1)
+    return k0 + k1 if k0 <= k1 else k1 + k0
+
+
+def _walk_key(verts: list) -> bytes:
+    fwd = b"".join(_key(v) for v in verts)
+    rev = b"".join(_key(v) for v in reversed(verts))
+    return fwd if fwd <= rev else rev
+
+
+def normalize_closed_set(points, lines, region,
+                         suppress_lower_dimensions: bool = True,
+                         merge_duplicates: bool = True):
+    """ClosedSetNormalizer (s2builderutil_closed_set_normalizer.h:
+    34-72): given the three dimensional layers of a closed-model
+    geometry (points (n,3); polylines list[(k,3)]; polygon as lax
+    vertex chains — 1-vertex chains are degenerate points, 2-vertex
+    chains sibling edge pairs, FULL accepted), normalize degeneracies
+    downward:
+
+    - polygon sibling edge pairs: discarded (holes) or converted to a
+      polyline edge (shells);
+    - degenerate polygon edges (single-vertex loops): discarded
+      (holes) or converted to points (shells);
+    - degenerate polyline edges (AA): converted to points;
+
+    and, if suppress_lower_dimensions (the reference default):
+
+    - polyline edges coinciding with (either direction of) a polygon
+      edge are discarded;
+    - points coinciding with polyline or polygon vertices are
+      discarded.
+
+    merge_duplicates mirrors DuplicateEdges::MERGE on the point and
+    (undirected) polyline layers; False is the KEEP behavior of the
+    reference's NormalizeTest harness.
+
+    Returns (points (m,3), polylines list[(k,3)], polygon_chains,
+    polygon_is_full)."""
+    from .builder import FULL, find_polygon_degeneracies
+    pts_out: list[np.ndarray] = [np.asarray(p, dtype=np.float64)
+                                 for p in (points if points is not None
+                                           else [])]
+    # --- polygon layer: classify + demote degeneracies
+    if isinstance(region, str):
+        region = [region] if region == FULL else []
+    chains_in = [c if isinstance(c, str)
+                 else np.asarray(getattr(c, "vertices", c),
+                                 dtype=np.float64)
+                 for c in (region or [])]
+    poly_full = any(isinstance(c, str) and c == FULL
+                    for c in chains_in)
+    degens, poly_chains = find_polygon_degeneracies(chains_in)
+    lines_out: list[np.ndarray] = []
+    pair_count: dict = {}
+    for (p0, p1, is_hole) in degens:
+        if is_hole:
+            continue
+        if np.array_equal(p0, p1):
+            pts_out.append(np.asarray(p0, dtype=np.float64))
+            continue
+        # both directions of each matched sibling pair are reported;
+        # emit ONE polyline edge per pair
+        ek = _undirected_edge_key(p0, p1)
+        pair_count[ek] = pair_count.get(ek, 0) + 1
+        if pair_count[ek] % 2 == 1:
+            lines_out.append(np.asarray([p0, p1], dtype=np.float64))
+    # --- polyline layer: demote degenerate edges, split walks
+    for pl in (lines or []):
+        v = np.asarray(pl, dtype=np.float64)
+        run: list = []
+        for i in range(len(v) - 1):
+            if _key(v[i]) == _key(v[i + 1]):
+                pts_out.append(v[i])
+                if len(run) >= 2:
+                    lines_out.append(np.asarray(run))
+                run = []
+                continue
+            if not run:
+                run = [v[i]]
+            run.append(v[i + 1])
+        if len(run) >= 2:
+            lines_out.append(np.asarray(run))
+    # --- suppression of lower-dimensional duplicates
+    if suppress_lower_dimensions:
+        poly_edges = set()
+        for c in poly_chains:
+            for i in range(len(c)):
+                poly_edges.add(_undirected_edge_key(
+                    c[i], c[(i + 1) % len(c)]))
+        split: list[np.ndarray] = []
+        for pl in lines_out:
+            run = []
+            for i in range(len(pl) - 1):
+                if _undirected_edge_key(pl[i], pl[i + 1]) \
+                        in poly_edges:
+                    if len(run) >= 2:
+                        split.append(np.asarray(run))
+                    run = []
+                    continue
+                if not run:
+                    run = [pl[i]]
+                run.append(pl[i + 1])
+            if len(run) >= 2:
+                split.append(np.asarray(run))
+        lines_out = split
+        suppress_keys = {_key(v) for c in poly_chains for v in c}
+        for pl in lines_out:
+            suppress_keys.update(_key(v) for v in pl)
+        pts_out = [p for p in pts_out
+                   if _key(p) not in suppress_keys]
+    if merge_duplicates:
+        seen: set = set()
+        uniq_pts = []
+        for p in pts_out:
+            k = _key(p)
+            if k not in seen:
+                seen.add(k)
+                uniq_pts.append(p)
+        pts_out = uniq_pts
+        seen = set()
+        uniq_lines = []
+        for pl in lines_out:
+            k = _walk_key(list(pl))
+            if k not in seen:
+                seen.add(k)
+                uniq_lines.append(pl)
+        lines_out = uniq_lines
+    pts_arr = (np.asarray(pts_out, dtype=np.float64).reshape(-1, 3)
+               if pts_out else np.empty((0, 3)))
+    return pts_arr, lines_out, poly_chains, poly_full
+
+
+def _split_lax_region(region):
+    """Lax region -> (core Loops (>=3 verts), degenerate chains
+    (1/2-vertex arrays), is_full)."""
+    from .builder import FULL
+    from .loops import Loop
+    if isinstance(region, str):
+        region = [region] if region == FULL else []
+    if isinstance(region, Loop):
+        region = [region]
+    core: list = []
+    degen: list = []
+    full = False
+    for item in (region or []):
+        if isinstance(item, str):
+            full = full or item == FULL
+            continue
+        v = np.asarray(getattr(item, "vertices", item),
+                       dtype=np.float64)
+        if len(v) <= 2:
+            degen.append(v)
+        elif isinstance(item, Loop):
+            core.append(item)
+        else:
+            core.append(Loop(v))
+    return core, degen, full
+
+
+def _points_contained_closed(pts: np.ndarray, other_region,
+                             other_lines, other_points=None
+                             ) -> np.ndarray:
+    """CLOSED-model containment of points by the other side's
+    geometry (interior + boundary of polygons, every vertex + edge
+    interior of polylines, exact match on points when given)."""
+    if len(pts) == 0:
+        return np.zeros(0, dtype=bool)
+    inside = np.zeros(len(pts), dtype=bool)
+    if other_points is not None and len(other_points):
+        keys = {_key(q) for q in other_points}
+        inside |= np.array([_key(p) in keys for p in pts])
+    if other_lines:
+        inside |= np.array([
+            any(polyline_contains_point(pl, p, "closed")
+                for pl in other_lines) for p in pts])
+    inside |= polygon_contains_points_model(other_region, pts,
+                                            "closed")
+    return inside
+
+
+def mixed_boolean_layers(a: GeometryCollection, b: GeometryCollection,
+                         op: str, polygon_model: str = "semi_open",
+                         polyline_model: str = "closed",
+                         suppress_lower_dimensions: bool = True,
+                         merge_duplicates: bool = True):
+    """Mixed-dimension S2BooleanOperation + NormalizeClosedSet: the
+    three-layer boolean op over (points, polylines, polygons) with
+    degeneracy-normalized output (the reference's ComputeUnion recipe,
+    s2builderutil_closed_set_normalizer.h:170-200 and its
+    MixedGeometry fixture).  Regions are lax: 1/2-vertex chains are
+    degenerate point/sibling-pair polygon features.
+
+    Dimension rules (s2boolean_operation.h:157-188): higher dimension
+    absorbs lower for UNION (a point/polyline inside the other's
+    CLOSED region contributes nothing and is dropped); INTERSECTION
+    keeps the contained lower-dimension features; DIFFERENCE
+    subtracts the other's closed region from each layer (the
+    subtrahend's lower-dimension features carve nothing and are
+    dropped); SYMMETRIC_DIFFERENCE is per-side difference.  Degenerate
+    polygon features survive vs the OTHER region (union/Δ: not in its
+    open interior; intersection: closed-contained; difference: A-side
+    only, not closed-contained) and are then classified as
+    shells/holes of the RESULT polygon by the normalizer.
+
+    Returns (points (m,3), polylines list[(k,3)], polygon_chains,
+    polygon_is_full)."""
+    from .builder import (FULL, overlay_geometry, overlay_result_state)
+    if op not in ("union", "intersection", "difference",
+                  "symmetric_difference"):
+        raise ValueError(op)
+    core_a, deg_a, full_a = _split_lax_region(a.region)
+    core_b, deg_b, full_b = _split_lax_region(b.region)
+    ra = FULL if full_a else core_a
+    rb = FULL if full_b else core_b
+    # --- dim 2
+    chains = overlay_geometry(ra, rb, op, polygon_model=polygon_model)
+    state = overlay_result_state(ra, rb, op, chains)
+    kept_deg: list = []
+    for degs, other, side in ((deg_a, rb, "a"), (deg_b, ra, "b")):
+        for d in degs:
+            q = np.sum(d, axis=0)
+            q = q / np.linalg.norm(q)
+            in_open = bool(polygon_contains_points_model(
+                other, q[None], "open")[0])
+            in_closed = bool(polygon_contains_points_model(
+                other, q[None], "closed")[0])
+            if op == "intersection":
+                keep = in_closed
+            elif op == "difference":
+                keep = side == "a" and not in_closed
+            else:  # union / symmetric_difference
+                keep = not in_open
+            if keep:
+                kept_deg.append(d)
+    region_out: list = ([FULL] if state == "full" else [])
+    region_out += [c for c in chains] + kept_deg
+    # --- dim 1
+    lines_out: list = []
+    if op in ("union", "difference", "symmetric_difference"):
+        srcs = [(a.lines, rb, b.lines)]
+        if op != "difference":
+            srcs.append((b.lines, ra, a.lines))
+        for lines, other_region, other_lines in srcs:
+            if not lines:
+                continue
+            part = polyline_polygon_boolean(
+                lines, other_region,
+                "union" if op == "union" else "difference",
+                polygon_model, polyline_model)
+            if op != "union" and other_lines and part:
+                part = polyline_polyline_boolean(
+                    part, other_lines, "difference", polyline_model)
+            lines_out += part
+    else:  # intersection
+        if a.lines:
+            lines_out += polyline_polygon_boolean(
+                a.lines, rb, "intersection", polygon_model,
+                polyline_model)
+        if b.lines:
+            lines_out += polyline_polygon_boolean(
+                b.lines, ra, "intersection", polygon_model,
+                polyline_model)
+        if a.lines and b.lines:
+            lines_out += polyline_polyline_boolean(
+                a.lines, b.lines, "intersection", polyline_model)
+    # --- dim 0
+    pts_out: list = []
+    in_b = _points_contained_closed(
+        a.points, rb, b.lines,
+        b.points if op != "union" else None)
+    in_a = _points_contained_closed(
+        b.points, ra, a.lines,
+        a.points if op != "union" else None)
+    if op == "intersection":
+        pts_out += list(a.points[in_b]) + list(b.points[in_a])
+    elif op == "difference":
+        pts_out += list(a.points[~in_b])
+    else:
+        pts_out += list(a.points[~in_b])
+        if op == "union" or op == "symmetric_difference":
+            pts_out += list(b.points[~in_a])
+    return normalize_closed_set(
+        pts_out, lines_out, region_out,
+        suppress_lower_dimensions=suppress_lower_dimensions,
+        merge_duplicates=merge_duplicates)

@@ -654,3 +654,153 @@ def polyline_overlay_models(spark: SparkSession,
             "pair_id", "model", "op", "line_idx", "seq", "site_cell"])
 
     return base.groupBy("pair_id").applyInPandas(run, PLPL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mixed-dimension boolean + ClosedSetNormalizer
+# (s2builderutil_closed_set_normalizer.h ComputeUnion recipe)
+
+MIXED_SCHEMA = ("group_id long, op string, dim int, feat_idx int, "
+                "seq int, site_cell long")
+
+_MIXED_A = (("0:0", "10:10", "20:20"),
+            ("0:0, 0:10", "0:0, 10:0", "15:15, 16:16"),
+            ("0:0, 0:10, 10:10, 10:0", "0:0, 1:1", "2:2",
+             "10:10, 11:11", "12:12"))
+_MIXED_B = (("0:10", "10:0", "3:3", "16:16"),
+            ("10:10, 0:10", "10:10, 10:0", "5:5, 6:6"),
+            ("19:19, 19:21, 21:21, 21:19",))
+
+
+def _shifted_vertices(text: str, dlat: float, dlng: float
+                      ) -> np.ndarray:
+    import math
+
+    from ..kernels.region import latlng_to_point
+    pts = []
+    for pair in text.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        lat_s, _, lng_s = pair.partition(":")
+        pts.append(latlng_to_point(
+            math.radians(float(lat_s) + dlat),
+            math.radians(float(lng_s) + dlng)))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def mixed_fixture(gid: int):
+    """Deterministic mixed-dimension geometry pair: the reference's
+    ComputeUnion MixedGeometry fixture
+    (s2builderutil_closed_set_normalizer_test.cc:258-306) rigidly
+    shifted per group id — points + polylines + a polygon with
+    degenerate point/sibling-pair shells and holes on side A, a
+    disjoint polygon plus coincident/interior probes on side B."""
+    from ..kernels.layers import GeometryCollection
+    dlat = 3.0 * (gid % 8) - 12.0
+    dlng = 7.0 * gid
+
+    def side(spec):
+        pts, lines, chains = spec
+        return GeometryCollection(
+            points=np.asarray([_shifted_vertices(t, dlat, dlng)[0]
+                               for t in pts]),
+            lines=[_shifted_vertices(t, dlat, dlng) for t in lines],
+            region=[_shifted_vertices(t, dlat, dlng)
+                    for t in chains])
+
+    return side(_MIXED_A), side(_MIXED_B)
+
+
+def mixed_overlay(spark: SparkSession, n_groups: int) -> DataFrame:
+    """Mixed-dimension S2BooleanOperation with ClosedSetNormalizer
+    output (NormalizeClosedSet,
+    s2builderutil_closed_set_normalizer.h:34-105): per (group, op)
+    the three normalized dimensional layers — degenerate polygon
+    shells demoted to polylines/points, degenerate holes discarded,
+    degenerate polyline edges demoted to points, lower-dimensional
+    duplicates suppressed.  One row per feature vertex (dim 0/1/2);
+    a full-sphere polygon result emits the sentinel (dim=2,
+    feat_idx=-1, site_cell=1).  One applyInPandas group per fixture
+    pair — the parallel axis is the group dimension; semantics pinned
+    bit-exact against the reference's NormalizeTest table +
+    MixedGeometry union in tests/test_closed_set.py."""
+    from ..kernels import builder as bld
+    from ..kernels import cellid as ci
+    from ..kernels import layers as ly
+    base = spark.range(n_groups).select(F.col("id").alias("group_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        a, b = mixed_fixture(gid)
+        rows = []
+        for op in bld.OPS:
+            pts, lines, chains, full = ly.mixed_boolean_layers(
+                a, b, op)
+            if full:
+                rows.append((gid, op, 2, -1, -1, 1))
+            for i, p in enumerate(pts):
+                c = ci.as_i64(ci.from_xyz(p[None, 0], p[None, 1],
+                                          p[None, 2]))
+                rows.append((gid, op, 0, i, 0, int(c[0])))
+            for i, pl in enumerate(lines):
+                cells = ci.as_i64(ci.from_xyz(pl[:, 0], pl[:, 1],
+                                              pl[:, 2]))
+                rows.extend((gid, op, 1, i, s, int(c))
+                            for s, c in enumerate(cells))
+            for i, ch in enumerate(chains):
+                cells = ci.as_i64(ci.from_xyz(ch[:, 0], ch[:, 1],
+                                              ch[:, 2]))
+                rows.extend((gid, op, 2, i, s, int(c))
+                            for s, c in enumerate(cells))
+        return pd.DataFrame(rows, columns=[
+            "group_id", "op", "dim", "feat_idx", "seq", "site_cell"])
+
+    return base.groupBy("group_id").applyInPandas(run, MIXED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ShapeIndexRegion / ShapeIndexBufferedRegion coverings
+
+SHAPE_COV_SCHEMA = ("group_id long, kind string, seq int, "
+                    "cell long")
+
+SHAPE_COV_RADII = (("plain", None), ("buf_small", 0.05),
+                   ("buf_large", 0.2))
+
+
+def shape_covering(spark: SparkSession, n_groups: int,
+                   max_cells: int = 16) -> DataFrame:
+    """RegionCoverer coverings of a mixed-dimension geometry
+    collection via S2ShapeIndexRegion, and of its fixed-radius
+    buffers via S2ShapeIndexBufferedRegion
+    (s2shape_index_region.h:63-69 GetCovering example,
+    s2shape_index_buffered_region.h:50-57 GetBufferedCovering
+    example).  Per (group, kind) the canonical covering cells in
+    sorted order; one applyInPandas group per fixture — the parallel
+    axis is the group dimension.  Kernel guarantees pinned in
+    tests/test_shape_region.py (buffered point == cap identity,
+    sampled coverage within radius)."""
+    from ..kernels.coverer import RegionCoverer
+    from ..kernels.shape_region import (ShapeIndexBufferedRegion,
+                                        ShapeIndexRegion)
+    from ..kernels import cellid as ci
+    base = spark.range(n_groups).select(F.col("id").alias("group_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        col, _ = mixed_fixture(gid)
+        rc = RegionCoverer(max_cells=max_cells)
+        rows = []
+        for kind, radius in SHAPE_COV_RADII:
+            reg = (ShapeIndexRegion(col) if radius is None
+                   else ShapeIndexBufferedRegion(col, radius))
+            cells = sorted(int(c) for c in ci.as_i64(np.asarray(
+                rc.get_covering(reg), dtype=np.uint64)))
+            rows.extend((gid, kind, s, c)
+                        for s, c in enumerate(cells))
+        return pd.DataFrame(rows, columns=[
+            "group_id", "kind", "seq", "cell"])
+
+    return base.groupBy("group_id").applyInPandas(run,
+                                                  SHAPE_COV_SCHEMA)
