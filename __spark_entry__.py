@@ -703,6 +703,21 @@ def q_shape_index_covering(spark: SparkSession,
     return bops.shape_covering(spark, N_MIXED_GROUPS)
 
 
+def q_polygon_boundaries(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """BuildPolygonBoundaries
+    (s2shapeutil_build_polygon_boundaries.h:29-66): lax loops
+    organized as sphere-subdividing connected components grouped into
+    polygons with disjoint interiors (islands + their lakes), nesting
+    anchored at S2::Origin as the point at infinity.  Fixtures are
+    rigid shifts of the reference's 12-component ComplexTest1;
+    nesting pinned against the full reference test table in
+    tests/test_polygon_boundaries.py; materialized driver-kernel
+    oracle."""
+    from s2spark.ops import boolean as bops
+    return bops.polygon_boundaries(spark, N_MIXED_GROUPS)
+
+
 N_WINDING_GROUPS = 6
 
 
@@ -1014,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_overlay_models": q_polyline_overlay_models,
         "overlay_closed_set": q_overlay_closed_set,
         "shape_index_covering": q_shape_index_covering,
+        "polygon_boundaries": q_polygon_boundaries,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -1653,6 +1669,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polyline_overlay_models": _polyline_overlay_models_oracle(),
         "overlay_closed_set": _closed_set_oracle(),
         "shape_index_covering": _shape_covering_oracle(),
+        "polygon_boundaries": _polygon_boundaries_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
@@ -2270,6 +2287,27 @@ def _shape_covering_oracle() -> str:
             "CAST(cell AS BIGINT) AS cell FROM (VALUES "
             + ", ".join(rows)
             + ") AS _sc(group_id, kind, seq, cell)")
+
+
+def _polygon_boundaries_oracle() -> str:
+    """Driver-kernel materialized expected rows for
+    polygon_boundaries (nesting pinned in
+    tests/test_polygon_boundaries.py)."""
+    from s2spark.kernels.shapeutil import build_polygon_boundaries
+    from s2spark.ops import boolean as _bops
+    rows = []
+    for gid in range(N_MIXED_GROUPS):
+        faces = build_polygon_boundaries(
+            _bops.boundaries_fixture(gid))
+        rows.extend(f"({gid}, {fi}, {ci}, {li})"
+                    for fi, face in enumerate(faces)
+                    for (ci, li) in face)
+    return ("SELECT CAST(group_id AS BIGINT) AS group_id, "
+            "CAST(face_idx AS INTEGER) AS face_idx, "
+            "CAST(comp AS INTEGER) AS comp, "
+            "CAST(loop_idx AS INTEGER) AS loop_idx FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _pb(group_id, face_idx, comp, loop_idx)")
 
 
 def oracle_sql() -> dict[str, str]:

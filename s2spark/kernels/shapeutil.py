@@ -1,0 +1,95 @@
+"""BuildPolygonBoundaries (s2shapeutil_build_polygon_boundaries.h:
+29-66, .cc:38-124): group a collection of non-crossing lax loops —
+organized as connected components that each subdivide the sphere —
+into polygons whose interiors do not intersect (each polygon =
+possibly multiple boundary loops, e.g. an island with its lakes).
+
+The loop nesting hierarchy is anchored at S2::Origin as the "point at
+infinity": loop A contains loop B iff A contains B's boundary and A
+does not contain Origin.  Loops are lax (interior on the left,
+degenerate loops allowed with empty interior)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .loops import ORIGIN, Loop
+
+__all__ = ["build_polygon_boundaries"]
+
+
+def _is_degenerate_lax(v: np.ndarray) -> bool:
+    """Empty-interior lax loop: every directed edge is matched by its
+    reverse (self-edges ignored)."""
+    from collections import Counter
+    c: Counter = Counter()
+    n = len(v)
+    for i in range(n):
+        a, b = v[i].tobytes(), v[(i + 1) % n].tobytes()
+        if a != b:
+            c[(a, b)] += 1
+    return all(c.get((b, a), 0) == k for (a, b), k in c.items())
+
+
+def build_polygon_boundaries(
+        components: list[list[np.ndarray]]
+) -> list[list[tuple[int, int]]]:
+    """components[i] = list of (n,3) lax-loop vertex arrays whose
+    boundaries subdivide the sphere (single-loop components must be
+    degenerate).  Returns the polygons as lists of (component_idx,
+    loop_idx) — one polygon per indexed (non-outer) loop holding that
+    loop plus the outer loops of components nested directly inside
+    it, plus one final polygon of all depth-0 outer loops (the
+    reference's output ordering, .cc:110-124)."""
+    if not components:
+        return []
+    comps = [[np.asarray(v, dtype=np.float64) for v in comp]
+             for comp in components]
+    origin = np.asarray(ORIGIN, dtype=np.float64)
+    # 1. index every multi-loop-component loop not containing Origin;
+    #    the one remaining loop per component is its outer loop
+    indexed: list[tuple[int, int, Loop]] = []
+    index_component: list[int] = []
+    outer: list[tuple[int, int]] = []
+    for ci, comp in enumerate(comps):
+        n_outer_before = len(outer)
+        for li, v in enumerate(comp):
+            proper = len(comp) > 1 and not _is_degenerate_lax(v)
+            lp = Loop(v) if proper else None
+            if lp is not None and not lp.contains_point(origin):
+                indexed.append((ci, li, lp))
+                index_component.append(ci)
+            else:
+                outer.append((ci, li))
+        if len(outer) != n_outer_before + 1:
+            raise ValueError(
+                f"component {ci} is not a subdivision "
+                f"({len(outer) - n_outer_before} outer loops)")
+    # 2. per component: the indexed loops containing its outer loop's
+    #    first vertex; depth = count
+    ancestors: list[list[int]] = []
+    for ci, li in outer:
+        p = comps[ci][li][0]
+        ancestors.append([k for k, (_, _, lp) in enumerate(indexed)
+                          if lp.contains_point(p)])
+    # 3. attach each outer loop to its depth-1-less ancestor
+    children: dict[int, list[tuple[int, int]]] = {}
+    for i, (ci, li) in enumerate(outer):
+        depth = len(ancestors[i])
+        anc = -1
+        if depth > 0:
+            for k in ancestors[i]:
+                if len(ancestors[index_component[k]]) == depth - 1:
+                    anc = k
+            if anc < 0:
+                raise ValueError("no ancestor at depth-1 — loops "
+                                 "cross or components overlap")
+        children.setdefault(anc, []).append((ci, li))
+    # 4. one polygon per indexed loop (children first, then the loop
+    #    itself — the reference's push_back order, .cc:115-122), plus
+    #    the depth-0 face
+    polygons: list[list[tuple[int, int]]] = []
+    for k, (ci, li, _) in enumerate(indexed):
+        polygons.append(children.get(k, []) + [(ci, li)])
+    polygons.append(children.get(-1, []))
+    return polygons

@@ -804,3 +804,63 @@ def shape_covering(spark: SparkSession, n_groups: int,
 
     return base.groupBy("group_id").applyInPandas(run,
                                                   SHAPE_COV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BuildPolygonBoundaries (s2shapeutil_build_polygon_boundaries.h)
+
+BOUNDARIES_SCHEMA = ("group_id long, face_idx int, comp int, "
+                     "loop_idx int")
+
+_BOUNDARY_COMPONENTS = (
+    ("0:0, 25:0, 50:0, 50:25, 50:50, 25:50, 0:50, 0:50",
+     "0:0, 0:25, 25:25, 25:0", "0:25, 0:50, 25:50, 25:25",
+     "25:0, 25:25, 50:25, 50:0", "25:25, 25:50, 50:50, 50:25"),
+    ("0:-10, 10:-10",),
+    ("5:5, 20:5, 20:10, 5:10", "5:5, 5:10, 10:10, 10:5",
+     "10:5, 10:10, 15:10, 15:5", "15:5, 15:10, 20:10, 20:5"),
+    ("5:15, 20:15, 20:20, 5:20", "5:15, 5:20, 20:20, 20:15"),
+    ("2:5, 2:10, 2:5",),
+    ("11:6, 14:6, 14:9, 11:9", "11:6, 11:9, 14:9, 14:6"),
+    ("16:6, 19:9, 16:6",),
+    ("30:5, 45:5, 45:20, 30:20", "30:5, 30:20, 45:20, 45:5"),
+    ("30:30, 40:30, 30:30",),
+    ("30:35, 40:35, 30:35",),
+    ("30:40, 40:40, 30:40",),
+    ("30:45, 40:45, 30:45",),
+)
+
+
+def boundaries_fixture(gid: int) -> list[list[np.ndarray]]:
+    """Rigidly shifted copy of the reference's ComplexTest1 nesting
+    (4-quadrant square, nested islands/lakes, degenerate components
+    at several depths)."""
+    dlat = 2.0 * (gid % 6) - 5.0
+    dlng = 11.0 * gid
+    return [[_shifted_vertices(t, dlat, dlng) for t in comp]
+            for comp in _BOUNDARY_COMPONENTS]
+
+
+def polygon_boundaries(spark: SparkSession,
+                       n_groups: int) -> DataFrame:
+    """BuildPolygonBoundaries
+    (s2shapeutil_build_polygon_boundaries.h:29-66): group lax loops
+    organized as sphere-subdividing components into polygons whose
+    interiors do not intersect — one row per (face, member loop).
+    One applyInPandas group per fixture; nesting semantics pinned
+    against the reference's full test table (ComplexTest1 included)
+    in tests/test_polygon_boundaries.py."""
+    from ..kernels.shapeutil import build_polygon_boundaries
+    base = spark.range(n_groups).select(F.col("id").alias("group_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        faces = build_polygon_boundaries(boundaries_fixture(gid))
+        rows = [(gid, fi, ci, li)
+                for fi, face in enumerate(faces)
+                for (ci, li) in face]
+        return pd.DataFrame(rows, columns=[
+            "group_id", "face_idx", "comp", "loop_idx"])
+
+    return base.groupBy("group_id").applyInPandas(run,
+                                                  BOUNDARIES_SCHEMA)
