@@ -121,6 +121,28 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_furthest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k FURTHEST events per customer — S2MaxDistance semantics
+    (s2max_distance_targets.h:30-60): furthest(q) = closest(-q) via
+    the chord identity |p-q|^2 + |p+q|^2 = 4, so the ring-pruned kNN
+    search runs unchanged on the antipodal query set (no broadcast
+    max-sweep); survivors re-ranked by the directly-computed chord^2
+    to the original query for bit-exactness vs the brute SQL
+    oracle."""
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    cu = dataset.geotagged_customers(spark, sf_dir) \
+        .where(F.col("c_custkey") % 10 == 0) \
+        .select("c_custkey", "cell_id", "x", "y", "z")
+    n = dataset.table_rows(sf_dir, "events")
+    level = knn.pick_level(n, KNN_K)
+    out = knn.furthest_point_join(ev, cu, KNN_K,
+                                  query_id="c_custkey",
+                                  point_id="event_id", level=level)
+    return out.select("c_custkey", "event_id", "dist2",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -992,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_range_join": q_containment_range_join,
         "disc_join": q_disc_join,
         "knn": q_knn,
+        "furthest_point": q_furthest_point,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -2469,5 +2492,17 @@ def oracle_sql() -> dict[str, str]:
             f"r AS (SELECT c_custkey, event_id, dist2, "
             f"CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey "
             f"ORDER BY dist2, event_id) AS INTEGER) AS rank FROM d) "
+            f"SELECT * FROM r WHERE rank <= {KNN_K}"),
+        "furthest_point": (
+            f"WITH q AS (SELECT c_custkey, x AS qx, y AS qy, z AS qz "
+            f"FROM {cu_geo} WHERE c_custkey % 10 = 0), "
+            f"p AS (SELECT event_id, x AS px, y AS py, z AS pz "
+            f"FROM {ev_geo}), "
+            f"d AS (SELECT q.c_custkey, p.event_id, {_D2} AS dist2 "
+            f"FROM q, p), "
+            f"r AS (SELECT c_custkey, event_id, dist2, "
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey "
+            f"ORDER BY dist2 DESC, event_id) AS INTEGER) AS rank "
+            f"FROM d) "
             f"SELECT * FROM r WHERE rank <= {KNN_K}"),
     }

@@ -152,6 +152,15 @@ def s2_cellid_from_latlng(lat: pd.Series, lng: pd.Series) -> pd.Series:
     return pd.Series(cellid.as_i64(ids))
 
 
+@pandas_udf(LongType())
+def s2_cellid_from_xyz(x: pd.Series, y: pd.Series,
+                       z: pd.Series) -> pd.Series:
+    ids = cellid.from_xyz(x.to_numpy(np.float64),
+                          y.to_numpy(np.float64),
+                          z.to_numpy(np.float64))
+    return pd.Series(cellid.as_i64(ids))
+
+
 @pandas_udf(StringType())
 def s2_token(cell: pd.Series) -> pd.Series:
     return pd.Series(cellid.to_token(cell.to_numpy(np.int64)))
