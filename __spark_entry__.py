@@ -253,6 +253,38 @@ def q_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("seq").cast("int").alias("seq"), "dist2")
 
 
+def q_track_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Polyline::Project, distributed (s2polyline.cc:268-298): each
+    probe customer point projects onto the event-track polylines
+    (one per user) and reports the globally nearest segment —
+    winning user_id, edge_id (next_vertex = edge_id + 1) and chord².
+    The sf tables' tracks are globe-scattered (consecutive events of
+    a user are not spatially local), so the reference-style regime
+    dispatch picks the BRUTE sweep over the distributed segment
+    frame — covering globe-spanning edges costs more than it prunes;
+    the ring-pruned indexed path is available for local tracks
+    (track_project_join(level=...)).  The projected point /
+    UnInterpolate fraction kernels are pinned against the reference
+    fixture tables in tests/test_polyline_project.py; the brute SQL
+    oracle recomputes the argmin segment bit-exactly."""
+    from s2spark.ops import edges as edge_ops
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("user_id") % 10 == 0) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    cu = dataset.geotagged_customers(spark, sf_dir) \
+        .where(F.col("c_custkey") % 20 == 0) \
+        .select("c_custkey", "cell_id", "x", "y", "z")
+    n = dataset.table_rows(sf_dir, "events") // 10
+    out = edge_ops.track_project_join(cu, spark, ev, "user_id",
+                                      ["ts", "event_id"],
+                                      point_id="c_custkey", n_edges=n)
+    return out.select("c_custkey",
+                      F.col("poly_id").cast("long").alias("user_id"),
+                      F.col("edge_id").cast("long").alias("edge_id"),
+                      "dist2",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-preserving hex token codec (s2cell_id.cc:221-258)."""
     ev = dataset.geotagged_events(spark, sf_dir).select("event_id",
@@ -1030,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "hausdorff": q_hausdorff,
         "track_segments": q_track_segments,
+        "track_project": q_track_project,
         "pip_join": q_pip_join,
         "image_meta": q_image_meta,
         "image_pipeline": q_image_pipeline,
@@ -1432,6 +1465,31 @@ def _geometry_oracles() -> dict[str, str]:
         f"dist2, poly_id, edge_id) AS INTEGER) AS rank FROM dist) "
         f"SELECT * FROM r WHERE rank <= 1")
 
+    # --- track_project: brute argmin segment over per-user tracks ---
+    ev_track = geo.geo_table_sql(
+        "events", dataset.geo_key_sql("event_id", "events"),
+        ["event_id", "user_id", "ts"])
+    eseg = (f"(SELECT poly_id, edge_id, ax, ay, az, bx, by, bz FROM "
+            f"(SELECT user_id AS poly_id, "
+            f"CAST(ROW_NUMBER() OVER win - 1 AS BIGINT) AS edge_id, "
+            f"x AS ax, y AS ay, z AS az, LEAD(x) OVER win AS bx, "
+            f"LEAD(y) OVER win AS by, LEAD(z) OVER win AS bz "
+            f"FROM (SELECT * FROM {ev_track} WHERE user_id % 10 = 0) "
+            f"WINDOW win AS "
+            f"(PARTITION BY user_id ORDER BY ts, event_id)) "
+            f"WHERE bx IS NOT NULL)")
+    pairs_tp = (f"(SELECT p.c_custkey, p.x, p.y, p.z, e.poly_id, "
+                f"e.edge_id, e.ax, e.ay, e.az, e.bx, e.by, e.bz FROM "
+                f"(SELECT c_custkey, x, y, z FROM {cu_geo} "
+                f"WHERE c_custkey % 20 = 0) p, {eseg} e)")
+    track_project = (
+        f"WITH {_seg_chord2_cte(pairs_tp, 'c_custkey, poly_id, edge_id')}, "
+        f"r AS (SELECT c_custkey, CAST(poly_id AS BIGINT) AS user_id, "
+        f"CAST(edge_id AS BIGINT) AS edge_id, dist2, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY "
+        f"dist2, poly_id, edge_id) AS INTEGER) AS rank FROM dist) "
+        f"SELECT * FROM r WHERE rank <= 1")
+
     # --- crossing_edges: brute-force CrossingSign over all pairs ---
     e15x = _edges_values(loops15, cols=("cx", "cy", "cz",
                                         "dx", "dy", "dz"))
@@ -1679,6 +1737,7 @@ def _geometry_oracles() -> dict[str, str]:
 
     return {
         "closest_edge": closest,
+        "track_project": track_project,
         "crossing_edges": crossing,
         "pip_join": pip_sql,
         "polygon_pip": poly_sql,

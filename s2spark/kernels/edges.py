@@ -331,3 +331,82 @@ def polyline_approx_equals(a: np.ndarray, b: np.ndarray,
     if len(a) != len(b):
         return False
     return all(_angle(a[i], b[i]) <= max_error for i in range(len(a)))
+
+
+# ---------------------------------------------------------------------------
+# S2Polyline Project / UnInterpolate / GetSuffix
+# (s2polyline.cc:238-300)
+
+def _angle_between(p: np.ndarray, q: np.ndarray) -> float:
+    """S1Angle(p, q) = atan2(|p x q|, p.q) — robust for near-0/pi."""
+    c = np.cross(p, q)
+    return float(np.arctan2(np.linalg.norm(c), np.dot(p, q)))
+
+
+def polyline_get_suffix(verts: np.ndarray, fraction: float
+                        ) -> tuple[np.ndarray, int]:
+    """S2Polyline::GetSuffix start point (s2polyline.cc:238-266):
+    the point at `fraction` of the polyline's arc length ->
+    (point, next_vertex); fraction <= 0 -> first vertex, >= 1 ->
+    last."""
+    v = np.asarray(verts, dtype=np.float64)
+    n = len(v)
+    if fraction <= 0 or n == 1:
+        return v[0], 1
+    total = sum(_angle_between(v[i - 1], v[i]) for i in range(1, n))
+    target = fraction * total
+    for i in range(1, n):
+        length = _angle_between(v[i - 1], v[i])
+        if target < length:
+            # arc-length interpolation (GetPointOnLine)
+            a, b = v[i - 1], v[i]
+            e2 = b - np.dot(b, a) * a
+            nn = np.linalg.norm(e2)
+            if nn == 0.0:
+                result = a
+            else:
+                result = a * np.cos(target) + (e2 / nn) * np.sin(target)
+                result = result / np.linalg.norm(result)
+            nxt = i + 1 if np.array_equal(result, v[i]) else i
+            return result, nxt
+        target -= length
+    return v[n - 1], n
+
+
+def polyline_project(verts: np.ndarray, p: np.ndarray
+                     ) -> tuple[np.ndarray, int]:
+    """S2Polyline::Project (s2polyline.cc:268-298): closest point of
+    the polyline to p -> (closest_point, next_vertex).  First edge
+    with the strictly smallest distance wins (the reference's `<`
+    scan order); next_vertex advances past the edge end when the
+    closest point IS that vertex."""
+    v = np.asarray(verts, dtype=np.float64)
+    p = np.asarray(p, dtype=np.float64)
+    if len(v) == 1:
+        return v[0], 1
+    a = v[:-1]
+    b = v[1:]
+    d2 = point_segment_chord2(np.broadcast_to(p, a.shape), a, b)
+    min_index = int(np.argmin(d2)) + 1  # argmin = first minimum
+    closest = project_to_edge(p, v[min_index - 1], v[min_index])
+    nxt = min_index + (1 if np.array_equal(closest, v[min_index])
+                       else 0)
+    return closest, nxt
+
+
+def polyline_uninterpolate(verts: np.ndarray, p: np.ndarray,
+                           next_vertex: int) -> float:
+    """S2Polyline::UnInterpolate (s2polyline.cc:273-289): arc-length
+    fraction of `p` given its next_vertex, clamped to 1.0."""
+    v = np.asarray(verts, dtype=np.float64)
+    n = len(v)
+    if n < 2:
+        return 0.0
+    length_sum = 0.0
+    for i in range(1, next_vertex):
+        length_sum += _angle_between(v[i - 1], v[i])
+    length_to_point = length_sum + _angle_between(v[next_vertex - 1],
+                                                  np.asarray(p))
+    for i in range(next_vertex, n):
+        length_sum += _angle_between(v[i - 1], v[i])
+    return min(1.0, length_to_point / length_sum)

@@ -376,3 +376,82 @@ def _icell_levels(edges_pd: pd.DataFrame) -> np.ndarray:
     from ..kernels import cellid
     return np.unique(cellid.level(
         edges_pd["icell"].to_numpy(np.int64)))
+
+
+def track_edge_frame(events: DataFrame, entity: str,
+                     order_cols: list[str]) -> DataFrame:
+    """Distributed track-segment frame over per-entity polylines
+    (poly_id = entity, edge_id = segment seq): each consecutive
+    point pair becomes an edge row (poly_id, edge_id, ax..bz) —
+    pure window functions, no driver-side geometry."""
+    w = Window.partitionBy(entity).orderBy(*order_cols)
+    return (events
+            .withColumn("_bx", F.lead("x").over(w))
+            .withColumn("_by", F.lead("y").over(w))
+            .withColumn("_bz", F.lead("z").over(w))
+            .withColumn("_seq",
+                        F.row_number().over(w) - F.lit(1))
+            .where(F.col("_bx").isNotNull())
+            .select(F.col(entity).alias("poly_id"),
+                    F.col("_seq").alias("edge_id"),
+                    F.col("x").alias("ax"), F.col("y").alias("ay"),
+                    F.col("z").alias("az"), F.col("_bx").alias("bx"),
+                    F.col("_by").alias("by"),
+                    F.col("_bz").alias("bz")))
+
+
+def track_edge_index(events: DataFrame, entity: str,
+                     order_cols: list[str], level: int) -> DataFrame:
+    """track_edge_frame + per-edge cell covering at min_level=`level`
+    — the (icell, poly_id, edge_id, ax..bz) contract of
+    pip.build_edge_index_distributed, so closest_edge_join /
+    crossing_edge_join consume it without driver-side geometry.
+    NOTE: only worthwhile for spatially-LOCAL track edges; a
+    globe-spanning edge intersects O(4^level) cells and the covering
+    explodes — use track_project_join's brute regime for scattered
+    tracks."""
+    seg = track_edge_frame(events, entity, order_cols)
+    cov = s2f.make_edge_covering_udf(min_level=level)
+    return (seg.withColumn("_cells", cov(
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz")))
+        .select("poly_id", "edge_id", "ax", "ay", "az",
+                "bx", "by", "bz",
+                F.explode("_cells").alias("icell")))
+
+
+def track_project_join(points: DataFrame, spark: SparkSession,
+                       events: DataFrame, entity: str,
+                       order_cols: list[str],
+                       level: int | None = None,
+                       point_id: str = "point_id",
+                       n_edges: int | None = None,
+                       broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT
+                       ) -> DataFrame:
+    """S2Polyline::Project, distributed (s2polyline.cc:268-298):
+    for each query point the globally nearest track segment — the
+    winning track (poly_id = entity), its edge_id (next_vertex =
+    edge_id + 1), and the chord^2 to it.
+
+    Regime dispatch mirrors the reference's brute-below-threshold
+    logic: with `level=None` (default) the sweep is the brute
+    crossJoin over the DISTRIBUTED segment frame — the right plan
+    when track edges are long/scattered (each would intersect
+    O(4^level) index cells, so cell-covering costs more than it
+    prunes); passing an explicit `level` opts into the ring-pruned
+    closest_edge_join over a covered edge index for spatially-local
+    tracks.  The projected POINT / UnInterpolate fraction kernels
+    are pinned by tests/test_polyline_project.py — the join emits
+    the discrete (segment, distance) outcome that is
+    brute-SQL-checkable bit-exactly."""
+    if level is None:
+        seg = track_edge_frame(events, entity, order_cols)
+        if n_edges is None:
+            n_edges = seg.count()
+        return closest_edge_join_brute(
+            points, spark, point_id=point_id, k=1, edge_index=seg,
+            broadcast=n_edges <= broadcast_edge_limit)
+    idx = track_edge_index(events, entity, order_cols, level)
+    return closest_edge_join(points, spark, point_id=point_id,
+                             k=1, level=level, edge_index=idx,
+                             n_edges=n_edges)
