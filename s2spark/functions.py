@@ -293,6 +293,33 @@ def chord2_col(x1: Column, y1: Column, z1: Column,
     return dx * dx + dy * dy + dz * dz
 
 
+def seg_chord2_col(px: Column, py: Column, pz: Column,
+                   ax: Column, ay: Column, az: Column,
+                   bx: Column, by: Column, bz: Column) -> Column:
+    """Point→segment chord² (kernels.edges.point_segment_chord2) as a
+    pure SQL expression — IDENTICAL double operation order to the
+    NumPy kernel and the DuckDB oracle CTE (_seg_chord2_cte), so the
+    three dialects stay bit-exact while the Spark side rides
+    WholeStageCodegen instead of an Arrow UDF round-trip."""
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nn = nx * nx + ny * ny + nz * nz
+    pn = px * nx + py * ny + pz * nz
+    w1 = (ny * az - nz * ay) * px + (nz * ax - nx * az) * py \
+        + (nx * ay - ny * ax) * pz
+    w2 = (by * nz - bz * ny) * px + (bz * nx - bx * nz) * py \
+        + (bx * ny - by * nx) * pz
+    d2a = chord2_col(px, py, pz, ax, ay, az)
+    d2b = chord2_col(px, py, pz, bx, by, bz)
+    sin2 = F.least(F.greatest((pn * pn) / nn, F.lit(0.0)), F.lit(1.0))
+    perp = F.lit(2.0) - F.lit(2.0) * F.sqrt(
+        F.least(F.greatest(F.lit(1.0) - sin2, F.lit(0.0)), F.lit(1.0)))
+    ends = F.least(d2a, d2b)
+    return F.when((w1 > 0) & (w2 > 0),
+                  F.least(perp, ends)).otherwise(ends)
+
+
 def make_edge_covering_udf(max_cells: int = 8, min_level: int = 0,
                            max_level: int = MAX_LEVEL):
     """Per-row covering of a geodesic segment: (ax..az, bx..bz) ->

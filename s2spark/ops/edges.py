@@ -172,8 +172,10 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
     remaining = points.select(point_id, "cell_id", "x", "y", "z")
     done = []
     rings = initial_rings
-    d2 = _seg_chord2_udf("x", "y", "z",
-                         "ax", "ay", "az", "bx", "by", "bz")
+    d2 = s2f.seg_chord2_col(
+        F.col("x"), F.col("y"), F.col("z"),
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz"))
     w = Window.partitionBy(point_id).orderBy(
         F.col("dist2"), F.col("poly_id"), F.col("edge_id"))
     for _ in range(max_rounds):
@@ -237,8 +239,10 @@ def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
         edges = _edge_table(spark, loops)
     if broadcast:
         edges = F.broadcast(edges)
-    d2 = _seg_chord2_udf("x", "y", "z",
-                         "ax", "ay", "az", "bx", "by", "bz")
+    d2 = s2f.seg_chord2_col(
+        F.col("x"), F.col("y"), F.col("z"),
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz"))
     order = F.desc("dist2") if furthest else F.col("dist2")
     w = Window.partitionBy(point_id).orderBy(
         order, F.col("poly_id"), F.col("edge_id"))
