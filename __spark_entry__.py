@@ -368,6 +368,52 @@ def q_region_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(s2f.lsb_col(F.col("cell"))).alias("leaf_cells")))
 
 
+N_OVL_A = 120
+N_OVL_B = 120
+OVL_B_BASE = 1000
+OVL_B_RADIUS_MULT = 4.0
+
+
+def q_region_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region × region intersection join over CELL-UNION regions (the
+    S2CellIndex / s2cell_iterator_join regime,
+    s2cell_iterator_join.h:148-186): two normalized cell unions
+    intersect iff a cell of one CONTAINS a cell of the other, so the
+    distributed join is two ancestor-term equi-joins (pure bit-math
+    fan-out, no cross join, no geometry kernel, exact without a
+    refine step).  Regions are cap coverings of two deterministic
+    synthetic cap sets; the oracle recomputes the overlap
+    INDEPENDENTLY from the materialized covering cells via Hilbert
+    range containment (range_min/range_max interval algebra), so the
+    join logic itself is cross-checked, not just mirrored."""
+    import math
+    cov = s2f.make_cap_covering_xyz_udf(max_cells=8, min_level=2,
+                                        max_level=16)
+    r2a = (2.0 * math.sin(0.5 * DISC_RADIUS_RAD)) ** 2
+    r2b = (2.0 * math.sin(0.5 * DISC_RADIUS_RAD
+                          * OVL_B_RADIUS_MULT)) ** 2
+    a = dataset.geotag(
+        spark.range(N_OVL_A).select(F.col("id").alias("a_id")),
+        "a_id", "caps") \
+        .select("a_id", F.explode(cov(F.col("x"), F.col("y"),
+                                      F.col("z"),
+                                      F.lit(r2a))).alias("cell"))
+    b = dataset.geotag(
+        spark.range(OVL_B_BASE, OVL_B_BASE + N_OVL_B)
+        .select(F.col("id").alias("b_id")),
+        "b_id", "caps") \
+        .select("b_id", F.explode(cov(F.col("x"), F.col("y"),
+                                      F.col("z"),
+                                      F.lit(r2b))).alias("cell"))
+    # each side feeds BOTH direction joins — materialize the (tiny)
+    # covering frames so the coverer UDF runs once per side
+    a = a.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True)
+    return joins.cell_union_overlap_join(a, b, "a_id", "b_id") \
+        .select(F.col("a_id").cast("long").alias("a_id"),
+                F.col("b_id").cast("long").alias("b_id"))
+
+
 def q_chain_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = dataset.geotagged_events(spark, sf_dir) \
         .select("event_id", "user_id", "ts", "x", "y", "z")
@@ -1071,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_codec": q_polygon_codec,
         "shape_index_codec": q_shape_index_codec,
         "region_covering": q_region_covering,
+        "region_overlap": q_region_overlap,
         "chain_midpoint": q_chain_midpoint,
         "closest_edge": q_closest_edge,
         "closest_cell": q_closest_cell,
@@ -1558,6 +1605,38 @@ def _geometry_oracles() -> dict[str, str]:
         f"CAST(leaf_cells AS BIGINT) AS leaf_cells FROM (VALUES "
         + ", ".join(cov_rows) + ") AS _c(cap_id, n_cells, leaf_cells)")
 
+    # --- region_overlap: coverings materialized, overlap recomputed
+    # INDEPENDENTLY via Hilbert range containment (two unions
+    # intersect iff one cell contains the other — interval algebra on
+    # range_min/range_max, not the term-join the engine runs) ---
+    r2b_cap = (2.0 * _m.sin(0.5 * DISC_RADIUS_RAD
+                            * OVL_B_RADIUS_MULT)) ** 2
+    ka = _np.arange(N_OVL_A, dtype=_np.int64)
+    kb = _np.arange(OVL_B_BASE, OVL_B_BASE + N_OVL_B,
+                    dtype=_np.int64)
+    axs, ays, azs = geo.xyz_np(ka)
+    bxs, bys, bzs = geo.xyz_np(kb)
+    a_rows, b_rows = [], []
+    for i in range(N_OVL_A):
+        for c in _ci.as_i64(rc.get_covering(
+                _Cap((axs[i], ays[i], azs[i]), r2cap))):
+            a_rows.append(f"({i}, {int(c)})")
+    for i in range(N_OVL_B):
+        for c in _ci.as_i64(rc.get_covering(
+                _Cap((bxs[i], bys[i], bzs[i]), r2b_cap))):
+            b_rows.append(f"({OVL_B_BASE + i}, {int(c)})")
+    region_overlap = (
+        f"WITH ac(a_id, cell) AS (VALUES {', '.join(a_rows)}), "
+        f"bc(b_id, cell) AS (VALUES {', '.join(b_rows)}), "
+        f"ar AS (SELECT a_id, cell - ((cell & (-cell)) - 1) AS rmin, "
+        f"cell + ((cell & (-cell)) - 1) AS rmax FROM ac), "
+        f"br AS (SELECT b_id, cell - ((cell & (-cell)) - 1) AS rmin, "
+        f"cell + ((cell & (-cell)) - 1) AS rmax FROM bc) "
+        f"SELECT DISTINCT CAST(a_id AS BIGINT) AS a_id, "
+        f"CAST(b_id AS BIGINT) AS b_id FROM ar, br "
+        f"WHERE (ar.rmin <= br.rmin AND br.rmax <= ar.rmax) "
+        f"OR (br.rmin <= ar.rmin AND ar.rmax <= br.rmax)")
+
     # --- polygon_overlay: interval set algebra over the per-polygon
     # exact decompositions (INDEPENDENT single-loop recursion; the
     # Spark side runs the pairwise classification).  Leaf-set algebra:
@@ -1742,6 +1821,7 @@ def _geometry_oracles() -> dict[str, str]:
         "pip_join": pip_sql,
         "polygon_pip": poly_sql,
         "region_covering": covering,
+        "region_overlap": region_overlap,
         "polygon_overlay": overlay,
         "polygon_overlay_exact": _overlay_exact_oracle(),
         "polygon_overlay_geom": _overlay_geom_oracle(),

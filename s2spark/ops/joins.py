@@ -251,3 +251,37 @@ def salt_hot_cells(probe: DataFrame, build: DataFrame, key: str,
              .otherwise(F.array(F.lit(0)))
     b = build.withColumn("_salt", F.explode(salts))
     return p, b, hot
+
+
+def cell_union_overlap_join(a_cells: DataFrame, b_cells: DataFrame,
+                            a_id: str, b_id: str,
+                            cell_a: str = "cell",
+                            cell_b: str = "cell") -> DataFrame:
+    """Region × region intersection join over CELL-UNION regions —
+    the S2CellIndex / s2cell_iterator_join regime
+    (s2cell_iterator_join.h:148-186, s2region_term_indexer.h:18-95):
+    two normalized cell unions intersect iff some cell of one
+    CONTAINS a cell of the other (S2 cells are nested — overlap is
+    always containment), so candidates come from TWO ancestor-term
+    equi-joins (A-ancestors ⋈ B-cells and B-ancestors ⋈ A-cells), no
+    cross join and no geometry kernel.  Exact by construction — no
+    refine filter needed.  -> distinct (a_id, b_id) pairs.
+
+    Each side fans out by its cell level (ancestors down to level 0),
+    stays in whole-stage codegen (sequence + dynamic-parent bit
+    math), and shuffles once per direction on the term key."""
+    def ancestors(df, idc, cellc):
+        lv = F.explode(F.sequence(
+            F.lit(0), s2f.level_col(F.col(cellc)))).alias("_lv")
+        return (df.select(idc, F.col(cellc), lv)
+                .select(idc, s2f.parent_dyn_col(F.col(cellc),
+                                                F.col("_lv"))
+                        .alias("term")))
+
+    a_terms = ancestors(a_cells, a_id, cell_a)
+    b_keys = b_cells.select(b_id, F.col(cell_b).alias("term"))
+    b_terms = ancestors(b_cells, b_id, cell_b)
+    a_keys = a_cells.select(a_id, F.col(cell_a).alias("term"))
+    d1 = a_terms.join(b_keys, "term").select(a_id, b_id)
+    d2 = b_terms.join(a_keys, "term").select(a_id, b_id)
+    return d1.unionByName(d2).distinct()
