@@ -803,6 +803,20 @@ def q_shape_index_covering(spark: SparkSession,
     return bops.shape_covering(spark, N_MIXED_GROUPS)
 
 
+def q_shape_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-level shape measures
+    (s2shape_index_measures.h:32-80, s2shape_measures.h,
+    s2centroids.h): max dimension, dim-0 point count, polyline
+    length, polygon perimeter (shells + holes + degenerate chains),
+    signed-area sum (+4pi when negative), measure-weighted centroid
+    of the max-dimension shapes — over the mixed-geometry fixture
+    sides.  Doubles come from the identical ordered kernel
+    accumulation on both sides; identities pinned in
+    tests/test_shape_measures.py."""
+    from s2spark.ops import boolean as bops
+    return bops.shape_measures(spark, N_MIXED_GROUPS)
+
+
 def q_polygon_boundaries(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
     """BuildPolygonBoundaries
@@ -1133,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_closed_set": q_overlay_closed_set,
         "shape_index_covering": q_shape_index_covering,
         "polygon_boundaries": q_polygon_boundaries,
+        "shape_measures": q_shape_measures,
         "convex_hull": q_convex_hull,
         "chain_interp": q_chain_interp,
         "track_simplify": q_track_simplify,
@@ -1832,6 +1847,7 @@ def _geometry_oracles() -> dict[str, str]:
         "overlay_closed_set": _closed_set_oracle(),
         "shape_index_covering": _shape_covering_oracle(),
         "polygon_boundaries": _polygon_boundaries_oracle(),
+        "shape_measures": _shape_measures_oracle(),
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
@@ -2449,6 +2465,36 @@ def _shape_covering_oracle() -> str:
             "CAST(cell AS BIGINT) AS cell FROM (VALUES "
             + ", ".join(rows)
             + ") AS _sc(group_id, kind, seq, cell)")
+
+
+def _shape_measures_oracle() -> str:
+    """Driver-kernel materialized expected rows for shape_measures
+    (identities pinned in tests/test_shape_measures.py); doubles
+    round-trip via %.17e."""
+    from s2spark.kernels.shape_measures import collection_measures
+    from s2spark.ops import boolean as _bops
+    rows = []
+    for gid in range(N_MIXED_GROUPS):
+        a, b = _bops.mixed_fixture(gid)
+        for side, col in (("a", a), ("b", b)):
+            m = collection_measures(col)
+            c = m["centroid"]
+            rows.append(
+                f"({gid}, '{side}', {m['dim']}, {m['num_points']}, "
+                f"{_f17(m['length'])}, {_f17(m['perimeter'])}, "
+                f"{_f17(m['area'])}, {_f17(c[0])}, {_f17(c[1])}, "
+                f"{_f17(c[2])})")
+    return ("SELECT CAST(group_id AS BIGINT) AS group_id, side, "
+            "CAST(dim AS INTEGER) AS dim, "
+            "CAST(num_points AS INTEGER) AS num_points, "
+            "CAST(length AS DOUBLE) AS length, "
+            "CAST(perimeter AS DOUBLE) AS perimeter, "
+            "CAST(area AS DOUBLE) AS area, "
+            "CAST(cx AS DOUBLE) AS cx, CAST(cy AS DOUBLE) AS cy, "
+            "CAST(cz AS DOUBLE) AS cz FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _sm(group_id, side, dim, num_points, length, "
+            "perimeter, area, cx, cy, cz)")
 
 
 def _polygon_boundaries_oracle() -> str:

@@ -864,3 +864,43 @@ def polygon_boundaries(spark: SparkSession,
 
     return base.groupBy("group_id").applyInPandas(run,
                                                   BOUNDARIES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# shape / collection measures (s2shape_index_measures.h)
+
+MEASURES_SCHEMA = ("group_id long, side string, dim int, "
+                   "num_points int, length double, perimeter double, "
+                   "area double, cx double, cy double, cz double")
+
+
+def shape_measures(spark: SparkSession, n_groups: int) -> DataFrame:
+    """Collection-level measures (s2shape_index_measures.h:32-80 +
+    s2shape_measures.h / s2centroids.h): per (group, side) the max
+    dimension, dim-0 point count, polyline length, polygon perimeter
+    (shells + holes + degenerate chains), signed-area sum (+4pi when
+    negative), and the measure-weighted centroid of the MAX-dimension
+    shapes.  Floats come from the SAME ordered kernel accumulation on
+    both engine and oracle sides (no cross-row SQL float agg), so the
+    value hash is bit-exact.  Identities pinned in
+    tests/test_shape_measures.py."""
+    from ..kernels.shape_measures import collection_measures
+    base = spark.range(n_groups).select(F.col("id").alias("group_id"))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        a, b = mixed_fixture(gid)
+        rows = []
+        for side, col in (("a", a), ("b", b)):
+            m = collection_measures(col)
+            rows.append((gid, side, m["dim"], m["num_points"],
+                         m["length"], m["perimeter"], m["area"],
+                         float(m["centroid"][0]),
+                         float(m["centroid"][1]),
+                         float(m["centroid"][2])))
+        return pd.DataFrame(rows, columns=[
+            "group_id", "side", "dim", "num_points", "length",
+            "perimeter", "area", "cx", "cy", "cz"])
+
+    return base.groupBy("group_id").applyInPandas(run,
+                                                  MEASURES_SCHEMA)
