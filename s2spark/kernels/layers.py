@@ -869,10 +869,8 @@ def mixed_boolean_layers(a: GeometryCollection, b: GeometryCollection,
         pts_out += list(a.points[in_b]) + list(b.points[in_a])
     elif op == "difference":
         pts_out += list(a.points[~in_b])
-    else:
-        pts_out += list(a.points[~in_b])
-        if op == "union" or op == "symmetric_difference":
-            pts_out += list(b.points[~in_a])
+    else:  # union / symmetric_difference: both uncontained sides
+        pts_out += list(a.points[~in_b]) + list(b.points[~in_a])
     return normalize_closed_set(
         pts_out, lines_out, region_out,
         suppress_lower_dimensions=suppress_lower_dimensions,

@@ -27,15 +27,12 @@ def _covering_set(region, max_cells=16):
 
 
 def _leaf_covered(leaf: int, covering: set) -> bool:
-    lo = np.uint64(leaf)
     for c in covering:
-        cu = np.uint64(c)
-        lv = int(ci.level(np.array([cu]))[0])
-        lo_min = int(ci.as_i64(ci.range_min(np.array([cu])))[0])
-        lo_max = int(ci.as_i64(ci.range_max(np.array([cu])))[0])
+        cu = np.array([np.uint64(c)])
+        lo_min = int(ci.as_i64(ci.range_min(cu))[0])
+        lo_max = int(ci.as_i64(ci.range_max(cu))[0])
         if lo_min <= leaf <= lo_max:
             return True
-        del lv
     return False
 
 
