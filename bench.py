@@ -298,12 +298,17 @@ def run_membw(levels=(4, 8, 16, 32), gib: float = 8.0,
 
 def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     """Same job at N and 4N cores on identical input -> throughput +
-    scaling efficiency (north-rule evidence).  All four parallelism
-    levels run so both N->4N pairs (4->16, 8->32) are reported; the
-    primary pair is 4->16 — on this single-VM sandbox the shared memory
-    bus saturates around ~16-20 threads, a single-box artifact that a
-    real multi-executor cluster (one memory bus per node) does not
-    have."""
+    scaling efficiency (north-rule evidence).  Every N->4N pair present
+    in `levels` is reported (2->8, 4->16, 8->32); the primary pair is
+    configurable via SPARK_GRAFT_PRIMARY_PAIR (default 4,16) — on this
+    single-VM sandbox the shared memory bus saturates around ~16-20
+    threads, a single-box artifact that a real multi-executor cluster
+    (one memory bus per node) does not have; the 2->8 pair runs
+    entirely in the pre-saturation regime a per-node bus cluster sees.
+    Override levels with SPARK_GRAFT_SCALE_LEVELS (comma-separated)."""
+    lv_env = os.environ.get("SPARK_GRAFT_SCALE_LEVELS")
+    if lv_env:
+        levels = tuple(int(x) for x in lv_env.split(","))
     results = {}
     all_runs: dict[int, list] = {c: [] for c in levels}
     # materialize input in its own JVM so no timed run pays (or is
@@ -318,7 +323,8 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     # efficiency is also reported per sweep + as the median, so the
     # spread is visible rather than hidden behind the best
     n_sweeps = int(os.environ.get("SPARK_GRAFT_SCALING_SWEEPS", "5"))
-    primary_pair = (4, 16)
+    pp_env = os.environ.get("SPARK_GRAFT_PRIMARY_PAIR", "4,16")
+    primary_pair = tuple(int(x) for x in pp_env.split(","))
     for sweep in range(n_sweeps):
         sweep_levels = levels if sweep < 2 else primary_pair
         for cpus in sweep_levels:
@@ -344,21 +350,24 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
         return s[m] if len(s) & 1 else 0.5 * (s[m - 1] + s[m])
 
     pairs = {f"{lo}->{hi}": eff(lo, hi)
-             for lo, hi in ((4, 16), (8, 32)) if lo in thr and hi in thr}
+             for lo, hi in ((2, 8), (4, 16), (8, 32))
+             if lo in thr and hi in thr}
     lo, hi = primary_pair
     per_sweep = [round((b / a) / (hi / lo), 3)
                  for a, b in zip(all_runs[lo], all_runs[hi])]
     eff_median = round((median(all_runs[hi]) / median(all_runs[lo]))
                        / (hi / lo), 3)
-    primary = pairs.get("4->16") or next(iter(pairs.values()))
+    primary = pairs.get(f"{lo}->{hi}") or next(iter(pairs.values()))
     report = {
-        "metric": "scaling efficiency N->4N cores (primary local[4]->"
-                  "local[16]; see BENCH.md for the single-box ceiling)",
+        "metric": "scaling efficiency N->4N cores (primary local[%d]->"
+                  "local[%d]; see BENCH.md for the single-box ceiling)"
+                  % primary_pair,
         "value": primary,
         "unit": "ratio",
         "efficiency_pairs": pairs,
-        "efficiency_median_4_16": eff_median,
-        "efficiency_per_sweep_4_16": per_sweep,
+        "primary_pair": list(primary_pair),
+        "efficiency_median_primary": eff_median,
+        "efficiency_per_sweep_primary": per_sweep,
         "throughput_rows_per_sec": thr,
         "throughput_all_runs": all_runs,
         "total_sec": {c: results[c]["total_sec"] for c in levels},
@@ -395,15 +404,16 @@ def _append_bench_md(rep: dict) -> None:
     for pair, eff in rep["efficiency_pairs"].items():
         lines.append("**Scaling efficiency local[%s] -> local[%s] "
                      "(N→4N cores): %.3f**  " % (*pair.split("->"), eff))
-    if "efficiency_per_sweep_4_16" in rep:
-        sweeps = rep["efficiency_per_sweep_4_16"]
+    if "efficiency_per_sweep_primary" in rep:
+        sweeps = rep["efficiency_per_sweep_primary"]
+        plo, phi = rep.get("primary_pair", [4, 16])
         lines += [
             "",
-            "Per-sweep 4→16 efficiency (same-sweep pairing): %s — "
+            "Per-sweep %d→%d efficiency (same-sweep pairing): %s — "
             "median %.3f, best-vs-best %.3f, spread ±%.3f."
-            % (", ".join("%.3f" % e for e in sweeps),
-               rep["efficiency_median_4_16"],
-               rep["efficiency_pairs"].get("4->16", float("nan")),
+            % (plo, phi, ", ".join("%.3f" % e for e in sweeps),
+               rep["efficiency_median_primary"],
+               rep["efficiency_pairs"].get(f"{plo}->{phi}", float("nan")),
                (max(sweeps) - min(sweeps)) / 2 if sweeps else 0.0),
             "",
             "Per-level throughput across sweeps (rows/s): "
