@@ -929,6 +929,57 @@ def q_loop_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate.validate_loops(df)
 
 
+# s2textformat index strings spanning the reference's validation-query
+# test surface (s2validation_query_test.cc:410-908): valid polygons/
+# polylines/points, bad hole orientations, duplicate/crossing edges,
+# nested shells, multi-dimensional collections, degenerate rings.
+INDEX_VALIDATION_FIXTURES = [
+    "## 1:0, 0:-1, -1:0, 0:1",
+    "# 0:0, 1:0, 0:-1, -1:0, 0:1 #",
+    "0:0 | 1:0 | 0:-1 | -1:0 | 0:1 ##",
+    "## 2:0, 0:-2, -2:0, 0:2; 0:1, -1:0, 0:-1, 1:0",
+    "## 2:0, 0:-2, -2:0, 0:2; 1:0, 0:-1, -1:0, 0:1",
+    "##",
+    "## full",
+    "## 0:4, 3:128, 4:2, 0:0",
+    "## 1:0, 0:-1, -1:0, 0:1 |  0:1, -1:2,  0:3, 1:2",
+    "## 2:0, 0:-2, -2:0, 0:2 | 2:0, 0:-2,  0:0",
+    "## 2:0, 0:-2, -2:0, 0:2; 0:2, -1:0, 0:-1, 1:0",
+    "## 2:0,  0:-2, -2:0, 0:2; 1:0,  0:-2, -1:0, 0:2",
+    "## 2:0, 0:-2, -2:0, 0:2; 2:0, 0:-1, -1:0, 0:1",
+    "## 0:3, 3:0,   0:-3, -3:0; 3:2, 0:+5, -3:2,  0:-1",
+    "## 0:-6, -6:0, 0:6, 6:0 ; 0:0,   3:0, 6:0, 6:3, 6:6, 3:6, 0:6, 0:3",
+    "## 0:0, 10:10, 10:0; 5:21, 8:21, 6:23",
+    "3:0| 0:-3| -3:0| 0:3# 2:0, 0:-2, -2:0, 0:2# 1:0, 0:-1, -1:0, 0:1",
+    "0:0 ## 2:0, 0:-2, -2:0, 0:2",
+    "# 0:-1, 0:1 # 2:0, 0:-2, -2:0, 0:2",
+    "# 0:-1, 0:1 | 1:0, -1:0 #",
+    "## 0:0",
+    "## 0:0, 1:1",
+    "## 3:0, 0:-3, -3:0, 0:+3; 3:0, 0:+1, -3:0, 0:-1",
+    "# 0:0, 1:1, 0:2, 1:3, 0:4 | 1:0, 0:1, 1:2, 0:3, 1:4 #",
+    "# 2:1, 1:0, 0:1, 1:2, 2:1 #",
+    "## 2:0, 0:-2, -2:0, 0:2; 0:0, 1:1",
+    "## 2:0, 0:-2, -2:0, -1:1, 0:-2, 1:1",
+    "## 2:0, 2:0, 0:-2, -2:0, 0:-2",
+    "# 0:0, 0:0, 1:1, 2:2 #",
+]
+
+
+def q_index_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ValidQuery / S2LegacyValidQuery over a table of shape
+    collections (s2validation_query.h:345-546): each row is one
+    s2textformat index string validated independently under both
+    query classes via a narrow mapInPandas (no shuffle).  Oracle
+    materializes the driver-side kernel verdicts; the geometric truth
+    of every verdict is pinned bit-for-bit by the reference-fixture
+    battery in tests/test_validation_query.py."""
+    from s2spark.ops import validate
+    rows = [(i, g) for i, g in enumerate(INDEX_VALIDATION_FIXTURES)]
+    df = spark.createDataFrame(rows, "index_id long, geometry string")
+    return validate.validate_collections(df)
+
+
 SNAP_LEVEL = 2
 N_WINDING_SHELLS = 6
 WINDING_SHIFT = 0.03
@@ -1158,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_buffer_geom": q_polygon_buffer_geom,
         "track_clip": q_track_clip,
         "loop_validation": q_loop_validation,
+        "index_validation": q_index_validation,
         "track_snap": q_track_snap,
         "track_snap_simplify": q_track_snap_simplify,
         "winding_number": q_winding_number,
@@ -1860,6 +1912,7 @@ def _geometry_oracles() -> dict[str, str]:
         "polygon_buffer_geom": _buffer_geom_oracle(),
         "track_clip": _track_clip_oracle(),
         "loop_validation": _validation_oracle(),
+        "index_validation": _index_validation_oracle(),
         "track_simplify": _track_simplify_oracle(),
         "track_snap_simplify": _track_snap_simplify_oracle(),
         "track_dtw": _track_dtw_oracle(),
@@ -2077,6 +2130,22 @@ def _validation_oracle() -> str:
     return ("SELECT CAST(poly_id AS BIGINT) AS poly_id, is_valid, "
             "error FROM (VALUES " + ", ".join(rows)
             + ") AS _v(poly_id, is_valid, error)")
+
+
+def _index_validation_oracle() -> str:
+    from s2spark.kernels import validation as _vq
+    rows = []
+    for i, geom in enumerate(INDEX_VALIDATION_FIXTURES):
+        shapes = _vq.parse_index(geom)
+        ok, code = _vq.valid_query(shapes)
+        lok, lcode = _vq.valid_query(shapes, legacy=True)
+        rows.append(f"({i}, {str(ok).upper()}, '{code}', "
+                    f"{str(lok).upper()}, '{lcode}')")
+    return ("SELECT CAST(index_id AS BIGINT) AS index_id, is_valid, "
+            "code, legacy_valid, legacy_code FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS _v(index_id, is_valid, code, legacy_valid, "
+              "legacy_code)")
 
 
 def _buffer_oracle() -> str:

@@ -272,6 +272,25 @@ def vertex_crossing(a, b, c, d) -> bool:
     return False
 
 
+def signed_vertex_crossing(a, b, c, d) -> int:
+    """Signed shared-vertex crossing (s2edge_crossings.cc:391-410):
+    +1 when both edges are outgoing or both incoming at the common
+    vertex and they cross, -1 for mixed direction crossings, 0
+    otherwise.  Summing these with the transverse +1-if-left
+    contributions yields winding-number deltas along a path."""
+    if a == b or c == d:
+        return 0
+    if a == c:
+        return 1 if ((b == d) or ordered_ccw(ref_dir(a), d, b, a)) else 0
+    if b == d:
+        return 1 if ordered_ccw(ref_dir(b), c, a, b) else 0
+    if a == d:
+        return -1 if ((b == c) or ordered_ccw(ref_dir(a), c, b, a)) else 0
+    if b == c:
+        return -1 if ordered_ccw(ref_dir(b), d, a, b) else 0
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # vectorized crossing sign over (edge, edge) pairs
 # ---------------------------------------------------------------------------

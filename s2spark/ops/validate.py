@@ -145,3 +145,37 @@ def loop_nesting(loops: dict[int, Loop]) -> pd.DataFrame:
         rows.append((k, depth, parent, depth % 2 == 1))
     return pd.DataFrame(rows, columns=["loop_id", "depth",
                                        "parent_id", "is_hole"])
+
+
+def validate_collections(coll_df: DataFrame) -> DataFrame:
+    """S2ValidQuery / S2LegacyValidQuery over a table of shape
+    collections (s2validation_query.h:345-546): coll_df is
+    (index_id long, geometry string) where geometry is an
+    s2textformat index string ("points # lines # polygons").  Each
+    row validates independently under BOTH query classes ->
+    (index_id, is_valid, code, legacy_valid, legacy_code).
+
+    Scale note: one row = one geometry collection; the Arrow batch
+    carries many collections and the kernel is pure NumPy per row, so
+    the op partitions on rows with no shuffle at all (narrow
+    mapInPandas over the scan)."""
+    from ..kernels import validation as vq
+
+    schema = ("index_id long, is_valid boolean, code string, "
+              "legacy_valid boolean, legacy_code string")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for iid, geom in zip(pdf["index_id"].to_numpy(),
+                                 pdf["geometry"].to_numpy()):
+                shapes = vq.parse_index(str(geom))
+                ok, code = vq.valid_query(shapes)
+                lok, lcode = vq.valid_query(shapes, legacy=True)
+                rows.append((int(iid), bool(ok), code,
+                             bool(lok), lcode))
+            yield pd.DataFrame(rows, columns=[
+                "index_id", "is_valid", "code",
+                "legacy_valid", "legacy_code"])
+
+    return coll_df.mapInPandas(run, schema)
