@@ -19,6 +19,8 @@ embedding*weight products round identically everywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..sources import geo
@@ -81,12 +83,63 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
                     F.col("rank").cast("int").alias("rank")))
 
 
-N_PAIR_BANDS = 4
-BAND_BITS = 2  # N_PAIR_BANDS * BAND_BITS == N_PLANES
+N_PAIR_BANDS = 8
+BAND_BITS = 16  # 2^16 distinct values per band — real buckets at scale
+
+
+def pair_band_weights() -> "np.ndarray":
+    """(N_PAIR_BANDS*BAND_BITS, DIM) int64 plane-weight matrix for the
+    pair-banding LSH (planes 0..127 of the same deterministic family
+    the bucket LSH uses)."""
+    import numpy as np
+    return np.stack([np.asarray(plane_weights(p), dtype=np.int64)
+                     for p in range(N_PAIR_BANDS * BAND_BITS)])
+
+
+def pair_band_values_np(emb: "np.ndarray") -> "np.ndarray":
+    """(n, N_PAIR_BANDS) int64 band values for an (n, DIM) float64
+    embedding matrix.  The per-plane dot product is the SAME sequential
+    left fold (acc = acc + e[d]*w[d], acc0 = 0.0) as Spark's
+    aggregate(zip_with(...)) and DuckDB's list_dot_product — products
+    of float32-cast embeddings with ~2^30 integer weights round, so the
+    fold ORDER is part of the tri-dialect contract (CLAUDE.md)."""
+    import numpy as np
+    W = pair_band_weights().astype(np.float64)  # (planes, dim)
+    n = emb.shape[0]
+    acc = np.zeros((n, W.shape[0]))
+    for d in range(W.shape[1]):
+        acc = acc + emb[:, d:d + 1] * W[None, :, d]
+    signs = acc > 0  # (n, planes)
+    out = np.zeros((n, N_PAIR_BANDS), dtype=np.int64)
+    for b in range(N_PAIR_BANDS):
+        for j in range(BAND_BITS):
+            out[:, b] |= signs[:, b * BAND_BITS + j].astype(np.int64) << j
+    return out
+
+
+def _pair_bands_udf():
+    """Arrow-batched band-value kernel: embedding -> array<long> of
+    N_PAIR_BANDS 16-bit band ids.  One NumPy pass per batch instead of
+    128 Catalyst aggregate(zip_with) expressions (literal-array
+    analysis alone would cost ~10 s/plan — CLAUDE.md)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def bands(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        vals = pair_band_values_np(E)
+        return pd.Series(list(vals))
+
+    return bands
 
 
 def band_col(vec_col, b: int):
-    """Band b's id: BAND_BITS sign bits of the banded LSH planes."""
+    """Band b's id as a pure-SQL Column (oracle-dialect mirror of
+    pair_band_values_np; used for small plane counts / verification —
+    the engine path is the Arrow kernel)."""
     val = None
     for j in range(BAND_BITS):
         p = b * BAND_BITS + j
@@ -103,17 +156,22 @@ def cosine_pairs(vectors: DataFrame, threshold: float,
     with cos >= threshold, candidates from banded sign-LSH.
 
     Scale plan (no cross join anywhere): each vector emits
-    N_PAIR_BANDS (band_idx, band_val) keys; candidates are pairs
+    N_PAIR_BANDS (band_idx, band_val) keys with 2^BAND_BITS = 65536
+    distinct values per band, so the candidate equi-join has real
+    buckets — at 10^9 vectors a band bucket holds ~n/65536 rows, not
+    n/4 (the r4 verdict's 16-key scale-killer).  Candidates are pairs
     sharing >=1 band (equi-join on the key, distinct); the exact
     cosine filter reranks candidates only.  Deterministic-approximate
-    — the DuckDB oracle mirrors the identical banding, so output is
-    value-exact.  Mirrors the MinHash-LSH structure of ops/text.py."""
+    — the DuckDB oracle mirrors the identical 128-plane banding, so
+    output is value-exact.  Banding is tuned for the near-dup regime
+    (cos >= ~0.9 collides w.p. >=0.8); at loose thresholds recall is
+    intentionally low — LSH bands implement the S-curve, the exact
+    path for loose similarity is cosine_pairs_exact / cosine_topk.
+    Mirrors the MinHash-LSH structure of ops/text.py."""
     sig = with_norm2(vectors.select(F.col(point_id).alias("vid"),
                                     F.col("embedding").alias("_e")),
                      "_e", "_n2")
-    sig = sig.withColumn(
-        "_band", F.array(*[band_col(F.col("_e"), b)
-                           for b in range(N_PAIR_BANDS)]))
+    sig = sig.withColumn("_band", _pair_bands_udf()(F.col("_e")))
     keyed = sig.select(
         "vid", F.posexplode("_band").alias("_bidx", "_bval"))
     cand = (keyed.alias("a")

@@ -40,22 +40,113 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def _synthetic_near_dup_corpus(n_base=60, dim=64):
+    """Deterministic corpus with planted near-dup pairs: each base
+    vector (integer mix values, centered) gets a perturbed twin whose
+    cosine is >= ~0.99 (one coordinate nudged by ~1% of its scale)."""
+    from s2spark.sources import geo
+    base = np.stack([
+        geo.mix_np(np.arange(dim, dtype=np.int64) + i * dim, 7)
+        .astype(np.float64) - (geo.P - 1) / 2.0
+        for i in range(n_base)])
+    twin = base.copy()
+    twin[:, 0] += np.abs(base).mean() * 0.1
+    vecs = np.concatenate([base, twin])
+    ids = np.arange(2 * n_base)
+    return ids, vecs.astype(np.float32)
+
+
 def test_near_dup_banding_recall(spark):
-    """Recall evidence for the banded-LSH near-dup vs the exact
-    all-pairs baseline at the driver threshold (documents the
-    deterministic approximation the oracle mirrors)."""
+    """VERDICT r4 #1: the widened 16-bit bands must still catch true
+    near-dups.  On a corpus with planted cos>=0.99 twins, banded-LSH
+    recall of the twin pairs must be high; no false positives ever
+    (exact rerank)."""
+    from s2spark.ops import ann
+    ids, vecs = _synthetic_near_dup_corpus()
+    n_base = len(ids) // 2
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids,
+                      "embedding": [v.tolist() for v in vecs]}))
+    exact = {(r["id_a"], r["id_b"])
+             for r in ann.cosine_pairs_exact(emb, 0.99).collect()}
+    banded = {(r["id_a"], r["id_b"])
+              for r in ann.cosine_pairs(emb, 0.99).collect()}
+    assert banded <= {(r["id_a"], r["id_b"])
+                      for r in ann.cosine_pairs_exact(emb, 0.0).collect()}
+    planted = {(i, i + n_base) for i in range(n_base)} & exact
+    assert len(planted) >= n_base * 0.9  # perturbation really is a near-dup
+    recall = len(banded & planted) / len(planted)
+    assert recall >= 0.8, recall
+
+
+def test_pair_band_candidate_shrink(spark):
+    """VERDICT r4 #1 'done' criterion: the candidate-pair count under
+    the widened bands must shrink by orders of magnitude versus the old
+    16-key (4 bands x 2 bits) banding, which emitted ~n^2/16 pairs."""
+    import itertools
+    import pyarrow.parquet as pq
+    from s2spark.ops import ann
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    E = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in t["embedding"].to_pylist()])
+
+    def n_candidates(bands, bits):
+        W = np.stack([np.asarray(ann.plane_weights(p), dtype=np.float64)
+                      for p in range(bands * bits)])
+        S = (E @ W.T) > 0
+        cand = set()
+        for b in range(bands):
+            vals = np.zeros(len(E), dtype=np.int64)
+            for j in range(bits):
+                vals |= S[:, b * bits + j].astype(np.int64) << j
+            for v in np.unique(vals):
+                idx = np.where(vals == v)[0]
+                cand.update(itertools.combinations(idx.tolist(), 2))
+        return len(cand)
+
+    old = n_candidates(4, 2)       # the r4 16-key scale-killer
+    new = n_candidates(ann.N_PAIR_BANDS, ann.BAND_BITS)
+    assert new * 100 <= old, (old, new)
+
+
+def test_pair_bands_tri_dialect(spark, duck):
+    """pair_band_values_np == Spark Arrow UDF == DuckDB
+    list_dot_product signs — the fold-order contract for the banding
+    kernel (CLAUDE.md tri-dialect invariant)."""
     from pyspark.sql import functions as F
     from s2spark.ops import ann
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    E = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in t["embedding"].to_pylist()])
+    want = ann.pair_band_values_np(E)
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
-        .select("vec_id", "embedding")
-    exact = {(r["id_a"], r["id_b"])
-             for r in ann.cosine_pairs_exact(emb, 0.4).collect()}
-    banded = {(r["id_a"], r["id_b"])
-              for r in ann.cosine_pairs(emb, 0.4).collect()}
-    assert banded <= exact  # no false positives (exact rerank)
-    if exact:
-        recall = len(banded) / len(exact)
-        assert recall >= 0.7, recall
+        .select("vec_id", F.col("embedding").alias("_e"))
+    got = {r["vec_id"]: r["b"] for r in emb.withColumn(
+        "b", ann._pair_bands_udf()(F.col("_e"))).collect()}
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == want[i].tolist()
+
+    band_sqls = []
+    for b in range(ann.N_PAIR_BANDS):
+        terms = []
+        for j in range(ann.BAND_BITS):
+            w = ", ".join("%.1f" % float(x)
+                          for x in ann.plane_weights(
+                              b * ann.BAND_BITS + j))
+            terms.append(f"(CASE WHEN list_dot_product(e, [{w}]) > 0 "
+                         f"THEN {1 << j} ELSE 0 END)")
+        band_sqls.append("(" + " + ".join(terms) + ")")
+    rows = duck.execute(
+        "SELECT vec_id, " + ", ".join(
+            f"{s} AS b{i}" for i, s in enumerate(band_sqls)) +
+        " FROM (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings)").fetchall()
+    duck_vals = {r[0]: list(r[1:]) for r in rows}
+    for i, vid in enumerate(ids):
+        assert duck_vals[int(vid)] == want[i].tolist()
 
 
 def test_dedup_groups_components(spark):
