@@ -325,6 +325,15 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     n_sweeps = int(os.environ.get("SPARK_GRAFT_SCALING_SWEEPS", "5"))
     pp_env = os.environ.get("SPARK_GRAFT_PRIMARY_PAIR", "4,16")
     primary_pair = tuple(int(x) for x in pp_env.split(","))
+    # fail FAST on a bad pair (ADVICE r4): a pair outside `levels`
+    # would run sweeps >=2 at cpu counts with no all_runs/results slot
+    # and crash with KeyError only after the expensive legs ran
+    if (len(primary_pair) != 2
+            or any(c not in levels for c in primary_pair)
+            or primary_pair[1] != 4 * primary_pair[0]):
+        raise SystemExit(
+            f"SPARK_GRAFT_PRIMARY_PAIR={pp_env!r} must be an N,4N pair "
+            f"drawn from the active levels {levels}")
     for sweep in range(n_sweeps):
         sweep_levels = levels if sweep < 2 else primary_pair
         for cpus in sweep_levels:

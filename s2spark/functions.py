@@ -76,6 +76,16 @@ def prefix_col(cell: Column, level: int) -> Column:
     return F.shiftrightunsigned(cell, 2 * (MAX_LEVEL - level) + 1)
 
 
+def prefix_dyn_col(cell: Column, level: Column) -> Column:
+    """prefix_col with a per-row level column: the shifted Hilbert
+    prefix id >>> (2*(30-level)+1).  Pair it with the level itself as
+    a composite join key — (level, prefix) is dense where the
+    parent_dyn_col id keeps the constant lsb marker in its low bits
+    and collapses long-keyed join hashmaps into collision chains."""
+    shift = (F.lit(2) * (F.lit(MAX_LEVEL) - level) + F.lit(1)).cast("int")
+    return F.call_function("shiftrightunsigned", cell, shift)
+
+
 def lsb_col(cell: Column) -> Column:
     return cell.bitwiseAND(-cell)
 
@@ -322,25 +332,36 @@ def seg_chord2_col(px: Column, py: Column, pz: Column,
 
 def make_edge_covering_udf(max_cells: int = 8, min_level: int = 0,
                            max_level: int = MAX_LEVEL):
-    """Per-row covering of a geodesic segment: (ax..az, bx..bz) ->
+    """Batched covering of geodesic segments: (ax..az, bx..bz) ->
     array<long>.  Candidate generation for the indexed
-    S2CrossingEdgeQuery plan (s2crossing_edge_query.h:17-24)."""
+    S2CrossingEdgeQuery plan (s2crossing_edge_query.h:17-24).
+
+    min_level > 0 selects the FIXED-LEVEL regime (all min_level cells
+    each edge may touch — the track_edge_index contract); otherwise
+    the adaptive per-edge `max_cells` budget down to max_level.  Both
+    run the level-synchronous pair-BFS kernel (kernels/edge_cover.py)
+    — one NumPy pass per Arrow batch instead of ~10 ms/edge of
+    per-row RegionCoverer Python (VERDICT r4 #2)."""
+    from .kernels import edge_cover
 
     @pandas_udf(ArrayType(LongType()))
     def s2_edge_covering(ax: pd.Series, ay: pd.Series, az: pd.Series,
                          bx: pd.Series, by: pd.Series, bz: pd.Series
                          ) -> pd.Series:
-        from .kernels import edges as ek
-        out = []
-        for a0, a1, a2, b0, b1, b2 in zip(
-                ax.to_numpy(np.float64), ay.to_numpy(np.float64),
-                az.to_numpy(np.float64), bx.to_numpy(np.float64),
-                by.to_numpy(np.float64), bz.to_numpy(np.float64)):
-            cov = ek.edge_covering((a0, a1, a2), (b0, b1, b2),
-                                   max_cells=max_cells,
-                                   min_level=min_level,
-                                   max_level=max_level)
-            out.append([int(v) for v in cov])
+        a = np.column_stack([ax.to_numpy(np.float64),
+                             ay.to_numpy(np.float64),
+                             az.to_numpy(np.float64)])
+        b = np.column_stack([bx.to_numpy(np.float64),
+                             by.to_numpy(np.float64),
+                             bz.to_numpy(np.float64)])
+        eidx, cells = edge_cover.edge_coverings_batch(
+            a, b,
+            level=min_level if min_level > 0 else None,
+            max_cells=max_cells,
+            max_level=max_level)
+        out = [[] for _ in range(len(a))]
+        for i, c in zip(eidx.tolist(), cells.tolist()):
+            out[i].append(c)
         return pd.Series(out)
 
     return s2_edge_covering

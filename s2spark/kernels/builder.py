@@ -37,12 +37,13 @@ Exactness: for inputs whose crossings are transverse (or meet at
 shared vertices), the output chains consist of input vertices and
 computed crossing points only, and equal the reference's published
 result loops bit-for-bit on the s2loop_test.cc:186-198 diamond pair
-(tests/test_builder.py).  Out of MVP scope (documented): overlapping
-collinear boundary segments, inverted (full-sphere-complement) loops,
-and snap levels coarse enough to create NEW crossings between snapped
-edges (the reference iterates snap rounding until stable; callers here
-must pick snap_level fine relative to the geometry — validated by
-tests via loop_validation on the outputs).
+(tests/test_builder.py).  Originally-out-of-scope cases that have
+since LANDED (r3/r4): overlapping collinear boundary segments
+(coincident-edge bundling), inverted (full-sphere-complement) loops,
+and iterated snap rounding until no snapped edge pair crosses
+(tests/test_builder_reference.py pins the reference's RoundToE(k)
+fixtures bit-exactly; test_winding / test_buffer exercise inverted
+and collinear inputs).
 """
 
 from __future__ import annotations

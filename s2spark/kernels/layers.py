@@ -711,14 +711,24 @@ def normalize_closed_set(points, lines, region,
                 seen.add(k)
                 uniq_pts.append(p)
         pts_out = uniq_pts
-        seen = set()
-        uniq_lines = []
+        # DuplicateEdges::MERGE is per UNDIRECTED EDGE, not per walk
+        # (ADVICE r4: two walks sharing only some coincident edges must
+        # not keep duplicate copies of those edges).  Merge each edge
+        # once — first-encountered direction, deterministic — and
+        # reassemble maximal walks like the polyline layer does.
+        edge_seen: set = set()
+        merged_edges: list = []
         for pl in lines_out:
-            k = _walk_key(list(pl))
-            if k not in seen:
-                seen.add(k)
-                uniq_lines.append(pl)
-        lines_out = uniq_lines
+            for i in range(len(pl) - 1):
+                ek = _undirected_edge_key(pl[i], pl[i + 1])
+                if ek not in edge_seen:
+                    edge_seen.add(ek)
+                    merged_edges.append((pl[i], pl[i + 1]))
+        if merged_edges:
+            from .builder import build_polylines
+            lines_out = build_polylines(merged_edges, stabilize=False)
+        else:
+            lines_out = []
     pts_arr = (np.asarray(pts_out, dtype=np.float64).reshape(-1, 3)
                if pts_out else np.empty((0, 3)))
     return pts_arr, lines_out, poly_chains, poly_full

@@ -241,12 +241,21 @@ def _check_vertex_crossings(shape: VShape) -> str | None:
     eid = 0
     for ci, v in enumerate(shape.chains):
         n = len(v)
+        base = eid
+        # degenerate edges {A,A} carry no wedge, but chain `prev` ids
+        # must skip over them (ADVICE r4: a prev pointing at a skipped
+        # degenerate edge makes the wedge scan never find the matching
+        # incoming edge and valid geometry is rejected — the reference
+        # allows {A,A} edges, s2validation_query.h:212)
+        nondegen = [k for k in range(n)
+                    if tuple(v[k]) != tuple(v[(k + 1) % n])]
+        pos = {k: idx for idx, k in enumerate(nondegen)}
         for k in range(n):
             p, q = tuple(v[k]), tuple(v[(k + 1) % n])
             if p == q:
                 eid += 1
-                continue  # degenerate edges carry no wedge
-            prev = eid - 1 if k > 0 else eid + n - 1
+                continue
+            prev = base + nondegen[pos[k] - 1]
             incident.setdefault(p, []).append(
                 _IncEdge(p, q, eid, ci, prev, -1))
             incident.setdefault(q, []).append(
@@ -368,13 +377,34 @@ def valid_query(shapes: list[VShape], legacy: bool = False) -> tuple[bool, str]:
                         if p != q)
     n = len(flat)
     if n >= 2:
-        i, j = np.triu_indices(n, k=1)
+        # Blocked pair enumeration (ADVICE r4: triu_indices over all
+        # pairs allocates O(n^2) index arrays — multi-GB at ~20k
+        # edges).  Each row block pairs with all later edges; a sound
+        # bounding-cap prune (a minor arc stays within the chord cap
+        # of its normalized midpoint, radius = chord to an endpoint)
+        # cuts the exact crossing_sign work to near-overlapping pairs.
         dims = np.array([f[0] for f in flat])
-        keep = (dims[i] == 2) | (dims[j] == 2)
-        i, j = i[keep], j[keep]
-        if i.size:
-            P = np.array([f[1] for f in flat])
-            Q = np.array([f[2] for f in flat])
+        P = np.array([f[1] for f in flat])
+        Q = np.array([f[2] for f in flat])
+        M = P + Q  # |M| > 0: antipodal edges already rejected above
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        R = np.linalg.norm(P - Mn, axis=1)
+        chunk = max(1, 4_000_000 // n)
+        for lo in range(0, n - 1, chunk):
+            bi = np.arange(lo, min(lo + chunk, n - 1))
+            cnt = n - bi - 1
+            i = np.repeat(bi, cnt)
+            j = np.concatenate(
+                [np.arange(b + 1, n) for b in bi]) if bi.size else bi
+            keep = (dims[i] == 2) | (dims[j] == 2)
+            i, j = i[keep], j[keep]
+            if not i.size:
+                continue
+            near = (np.linalg.norm(Mn[i] - Mn[j], axis=1)
+                    <= R[i] + R[j] + 1e-9)
+            i, j = i[near], j[near]
+            if not i.size:
+                continue
             cs = predicates.crossing_sign(P[i], Q[i], P[j], Q[j])
             if (cs > 0).any():
                 return False, "OVERLAPPING_GEOMETRY"

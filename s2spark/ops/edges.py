@@ -95,10 +95,21 @@ def _indexed_edges(spark: SparkSession, loops: dict[int, Loop],
     return spark.createDataFrame(edges_pd), edges_pd
 
 
-def _covered_chord2(level: int, rings: int) -> float:
+def _covered_chord2(level: int, rings: int,
+                    max_error: float = 0.0) -> float:
+    """Chord² guaranteed-covered bound of a ring search, relaxed by
+    `max_error` (s2closest_point_query_base.h:696-724: a result within
+    max_error of the proven floor may be accepted early — any
+    unexamined edge is farther than covered_ang >= found - max_error)."""
     import math
-    ang = min(metrics.MIN_WIDTH.get_value(level) * rings, math.pi)
+    ang = min(metrics.MIN_WIDTH.get_value(level) * rings
+              + max(max_error, 0.0), math.pi)
     return (2.0 * math.sin(0.5 * ang)) ** 2
+
+
+def _angle_chord2(ang: float) -> float:
+    import math
+    return (2.0 * math.sin(0.5 * min(max(ang, 0.0), math.pi))) ** 2
 
 
 BRUTE_FORCE_EDGE_THRESHOLD = 2048
@@ -117,11 +128,32 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
                       brute_threshold: int = BRUTE_FORCE_EDGE_THRESHOLD,
                       edge_index: DataFrame | None = None,
                       n_edges: int | None = None,
-                      broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT
-                      ) -> DataFrame:
+                      broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT,
+                      include_interiors: bool = False,
+                      polygons: dict[int, list[Loop]] | None = None,
+                      max_distance: float | None = None,
+                      max_error: float = 0.0) -> DataFrame:
     """(point_id, poly_id, edge_id, dist2, rank): the k nearest (or,
     with furthest=True, furthest — S2FurthestEdgeQuery,
     s2furthest_edge_query.h:16-20) indexed edges per point.
+
+    Options mirror S2ClosestEdgeQuery::Options
+    (s2closest_edge_query.h:75-135):
+    - include_interiors: a point inside a polygon's interior gets a
+      distance-0 result with edge_id = -1 (the reference's
+      is_interior() result; s2closest_edge_query_test.cc
+      TargetPointInsideIndexedPolygon).  Interiors come from
+      `polygons` (polygon_id -> even/odd loop list); with plain
+      `loops` each loop is its own polygon.
+    - max_distance (radians): only edges strictly within it are
+      returned (the "all edges within radius" mode) — and the ring
+      search STOPS expanding once the rings provably cover
+      max_distance, even with < k results.
+    - max_error (radians): early-stop slack — a k-th result within
+      max_error of the proven covered bound is accepted without
+      another ring round (the reference shrinks its search the same
+      way, s2closest_point_query_base.h:696-724).  Results remain
+      exact distances; only WHICH near-tie wins may differ.
 
     points: (point_id, cell_id, x, y, z).  Nearest uses the expanding
     -ring edge-cell index search; furthest keeps the broadcast sweep
@@ -139,6 +171,38 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
     """
     if edge_index is None and loops is None:
         raise ValueError("need loops or edge_index")
+    if include_interiors and furthest:
+        raise ValueError("include_interiors is a min-distance option")
+    maxd2 = (None if max_distance is None
+             else _angle_chord2(max_distance))
+
+    def finalize(edge_results: DataFrame) -> DataFrame:
+        """Union interior hits (dist2=0, edge_id=-1) with the edge
+        results and re-rank — at most one interior result per
+        (point, polygon), like the reference's Result(s) set."""
+        if not include_interiors:
+            return edge_results
+        polys = polygons
+        if polys is None:
+            if loops is None:
+                raise ValueError("include_interiors needs loops or "
+                                 "polygons")
+            polys = {pid: [lp] for pid, lp in loops.items()}
+        inter = (pip.polygon_pip_join(points, spark, polys,
+                                      point_id=point_id)
+                 .select(point_id,
+                         F.col("polygon_id").alias("poly_id"),
+                         F.lit(-1).cast("long").alias("edge_id"),
+                         F.lit(0.0).alias("dist2")))
+        allr = edge_results.select(point_id, "poly_id", "edge_id",
+                                   "dist2").unionByName(inter)
+        wf = Window.partitionBy(point_id).orderBy(
+            F.col("dist2"), F.col("poly_id"), F.col("edge_id"))
+        return (allr.withColumn("rank", F.row_number().over(wf))
+                .where(F.col("rank") <= k)
+                .select(point_id, "poly_id", "edge_id", "dist2",
+                        F.col("rank").cast("int").alias("rank")))
+
     if n_edges is None:
         n_edges = (sum(lp.n for lp in loops.values())
                    if edge_index is None
@@ -154,8 +218,9 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
         # (s2closest_point_query_base.h:534-537): with a tiny edge dim
         # one broadcast sweep beats several ring-join rounds — the ring
         # plan only wins once the index itself is large
-        return closest_edge_join_brute(points, spark, loops, point_id,
-                                       k, edge_index=edge_index)
+        return finalize(closest_edge_join_brute(
+            points, spark, loops, point_id, k, edge_index=edge_index,
+            max_dist2=maxd2))
     if level is None:
         level = pick_edge_level(n_edges, k)
     if edge_index is None:
@@ -191,11 +256,24 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
                 # an edge can sit in several ring cells: dedup the
                 # (point, edge) pair before ranking
                 .dropDuplicates([point_id, "poly_id", "edge_id"]))
-        topk = (cand.withColumn("dist2", d2)
-                    .withColumn("rank", F.row_number().over(w))
+        cand = cand.withColumn("dist2", d2)
+        if maxd2 is not None:
+            # max_distance mode: rank only qualifying edges (the
+            # "k closest up to a radius" contract)
+            cand = cand.where(F.col("dist2") <= maxd2)
+        topk = (cand.withColumn("rank", F.row_number().over(w))
                     .where(F.col("rank") <= k)
                     .localCheckpoint(eager=True))
-        bound = _covered_chord2(level, rings)
+        bound = _covered_chord2(level, rings, max_error)
+        if maxd2 is not None and _covered_chord2(level, rings) >= maxd2:
+            # the rings provably cover the whole max_distance ball:
+            # every remaining point is done, however many results it
+            # has (possibly zero)
+            done.append(topk.select(
+                point_id, "poly_id", "edge_id", "dist2",
+                F.col("rank").cast("int").alias("rank")))
+            remaining = None
+            break
         stats = (topk.groupBy(point_id)
                      .agg(F.max("dist2").alias("_kth"),
                           F.count(F.lit(1)).alias("_n")))
@@ -214,12 +292,13 @@ def closest_edge_join(points: DataFrame, spark: SparkSession,
         bf = closest_edge_join_brute(
             remaining.select(point_id, "x", "y", "z"), spark, loops,
             point_id, k, edge_index=edge_index,
-            broadcast=n_edges <= broadcast_edge_limit)
+            broadcast=n_edges <= broadcast_edge_limit,
+            max_dist2=maxd2)
         done.append(bf)
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
-    return out
+    return finalize(out)
 
 
 def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
@@ -227,11 +306,13 @@ def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
                             point_id: str = "point_id", k: int = 1,
                             furthest: bool = False,
                             edge_index: DataFrame | None = None,
-                            broadcast: bool = True) -> DataFrame:
+                            broadcast: bool = True,
+                            max_dist2: float | None = None) -> DataFrame:
     """Brute-force sweep (the reference's small-index regime); also
     the furthest-edge path.  With a prebuilt distributed edge_index
     the unique edge rows come from the frame (never the driver), and
-    the broadcast hint is withheld for big indexes."""
+    the broadcast hint is withheld for big indexes.  max_dist2 (chord²)
+    filters BEFORE ranking — the k closest within the radius."""
     if edge_index is not None:
         edges = edge_index.drop("icell") \
             .dropDuplicates(["poly_id", "edge_id"])
@@ -246,9 +327,12 @@ def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
     order = F.desc("dist2") if furthest else F.col("dist2")
     w = Window.partitionBy(point_id).orderBy(
         order, F.col("poly_id"), F.col("edge_id"))
-    return (points.select(point_id, "x", "y", "z")
-            .crossJoin(edges)
-            .withColumn("dist2", d2)
+    swept = (points.select(point_id, "x", "y", "z")
+             .crossJoin(edges)
+             .withColumn("dist2", d2))
+    if max_dist2 is not None:
+        swept = swept.where(F.col("dist2") <= max_dist2)
+    return (swept
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(point_id, "poly_id", "edge_id", "dist2",
@@ -263,11 +347,13 @@ def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
                        edge_key: str = "qedge_id",
                        max_cells: int = 8,
                        broadcast_term_limit: int = BROADCAST_TERM_LIMIT,
-                       edge_index: DataFrame | None = None
-                       ) -> DataFrame:
+                       edge_index: DataFrame | None = None,
+                       crossing_type: str = "all") -> DataFrame:
     """All (query edge, indexed edge) pairs with CrossingSign >= 0
     (interior crossing or shared/touching vertex — the ALL mode of
     S2CrossingEdgeQuery, s2crossing_edge_query.h:17-24).
+    crossing_type="interior" keeps only proper interior crossings
+    (CrossingSign > 0 — the reference's CrossingType::INTERIOR).
 
     query_edges: (qedge_id, ax..az, bx..bz) unit endpoints.
 
@@ -350,8 +436,9 @@ def crossing_edge_join(query_edges: DataFrame, spark: SparkSession,
             .dropDuplicates([edge_key, "poly_id", "edge_id"]))
     sign = _crossing_sign_udf("ax", "ay", "az", "bx", "by", "bz",
                               "cx", "cy", "cz", "dx", "dy", "dz")
+    min_sign = 1 if crossing_type == "interior" else 0
     return (cand.withColumn("crossing_sign", sign)
-            .where(F.col("crossing_sign") >= 0)
+            .where(F.col("crossing_sign") >= min_sign)
             .select(edge_key, "poly_id", "edge_id",
                     F.col("crossing_sign").cast("int")
                     .alias("crossing_sign")))

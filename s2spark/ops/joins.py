@@ -38,6 +38,20 @@ MIN_TERM_LEVEL = 4
 MAX_TERM_LEVEL = 16
 
 
+def term_levels(min_level: int = MIN_TERM_LEVEL,
+                max_level: int = MAX_TERM_LEVEL,
+                level_mod: int = 1) -> list[int]:
+    """The level lattice of the term indexer: min_level, min_level +
+    level_mod, ... up to the true max (s2region_term_indexer.h:159-170
+    — max_level is rounded DOWN onto the lattice).  level_mod in
+    {1,2,3} trades index size against covering granularity exactly as
+    the reference's Options::set_level_mod."""
+    if not 1 <= level_mod <= 3:
+        raise ValueError("level_mod must be 1..3")
+    true_max = max_level - (max_level - min_level) % level_mod
+    return list(range(min_level, true_max + 1, level_mod))
+
+
 def cell_equi_join(left: DataFrame, right: DataFrame, level: int,
                    cell_left: str = "cell_id", cell_right: str = "cell_id",
                    how: str = "inner") -> DataFrame:
@@ -96,15 +110,18 @@ def containment_join(points: DataFrame, regions: DataFrame,
 
 def point_terms(points: DataFrame, cell_col: str = "cell_id",
                 min_level: int = MIN_TERM_LEVEL,
-                max_level: int = MAX_TERM_LEVEL) -> DataFrame:
-    """Explode each point into ancestor terms at every level in range
-    (the "ancestor terms" fast path, s2region_term_indexer.cc:148-151).
+                max_level: int = MAX_TERM_LEVEL,
+                level_mod: int = 1) -> DataFrame:
+    """Explode each point into ancestor terms at every lattice level
+    (the "ancestor terms" fast path, s2region_term_indexer.cc:148-151;
+    level_mod per Options::set_level_mod).
 
     Pure SQL: explode(levels) + dynamic-parent bit math — stays in
-    whole-stage codegen; fan-out = max_level - min_level + 1.
+    whole-stage codegen; fan-out = |term_levels|.
     """
-    lv = F.explode(F.array(*[F.lit(x) for x
-                             in range(min_level, max_level + 1)]))
+    lv = F.explode(F.array(*[F.lit(x) for x in
+                             term_levels(min_level, max_level,
+                                         level_mod)]))
     return (points.withColumn("_lv", lv)
             .withColumn("term", s2f.parent_dyn_col(F.col(cell_col),
                                                    F.col("_lv")))
@@ -114,8 +131,18 @@ def point_terms(points: DataFrame, cell_col: str = "cell_id",
 def term_join(points: DataFrame, region_cells: DataFrame,
               point_cell: str = "cell_id", region_cell: str = "rcell",
               min_level: int = MIN_TERM_LEVEL,
-              max_level: int = MAX_TERM_LEVEL) -> DataFrame:
+              max_level: int = MAX_TERM_LEVEL,
+              level_mod: int = 1) -> DataFrame:
     """Candidate pairs: point ⋈ region-covering on the shared term.
+
+    This IS the reference's `index_contains_points_only=true` regime
+    (s2region_term_indexer.h:171-189): the point side emits only
+    ancestor terms, the region side only covering terms — the general
+    region×region two-sided scheme is cell_union_overlap_join.  With
+    level_mod > 1 the point terms live on the level lattice and every
+    region cell is SNAPPED UP to its nearest lattice ancestor (a
+    superset — candidates stay complete, the exact refine filter
+    decides).
 
     `region_cells` must hold one row per covering cell with levels
     within [min_level, max_level] (the coverer enforces this).  The
@@ -124,7 +151,19 @@ def term_join(points: DataFrame, region_cells: DataFrame,
     as an ancestor term.  Output may contain duplicates when coverings
     overlap — callers dedupe on their pair key after the exact filter.
     """
-    pts = point_terms(points, point_cell, min_level, max_level)
+    pts = point_terms(points, point_cell, min_level, max_level,
+                      level_mod)
+    if level_mod > 1:
+        # snap region cells up onto the lattice: largest allowed
+        # level <= the cell's own level (conservative superset)
+        allowed = term_levels(min_level, max_level, level_mod)
+        lv = s2f.level_col(F.col(region_cell))
+        snapped = F.lit(allowed[0])
+        for a in allowed[1:]:
+            snapped = F.when(lv >= a, F.lit(a)).otherwise(snapped)
+        region_cells = region_cells.withColumn(
+            region_cell, s2f.parent_dyn_col(F.col(region_cell),
+                                            snapped))
     # guard: a region cell COARSER than min_level emits a term no point
     # generates -> silent pair loss.  Denormalize coarse cells to their
     # min_level descendants (bounded: coverer callers never trip this;
@@ -267,21 +306,29 @@ def cell_union_overlap_join(a_cells: DataFrame, b_cells: DataFrame,
     cross join and no geometry kernel.  Exact by construction — no
     refine filter needed.  -> distinct (a_id, b_id) pairs.
 
-    Each side fans out by its cell level (ancestors down to level 0),
-    stays in whole-stage codegen (sequence + dynamic-parent bit
-    math), and shuffles once per direction on the term key."""
+    Each side fans out by its cell level (ancestors down to level 0)
+    and stays in whole-stage codegen.  The join key is the COMPOSITE
+    (level, shifted Hilbert prefix) — never a parent cell id, whose
+    constant lsb-marker low bits collapse long-keyed join hashmaps
+    into collision chains (ADVICE r4; measured 31x on prefix_col)."""
     def ancestors(df, idc, cellc):
         lv = F.explode(F.sequence(
             F.lit(0), s2f.level_col(F.col(cellc)))).alias("_lv")
         return (df.select(idc, F.col(cellc), lv)
-                .select(idc, s2f.parent_dyn_col(F.col(cellc),
-                                                F.col("_lv"))
-                        .alias("term")))
+                .select(idc, F.col("_lv").alias("lv"),
+                        s2f.prefix_dyn_col(F.col(cellc), F.col("_lv"))
+                        .alias("pfx")))
+
+    def keys(df, idc, cellc):
+        lv = s2f.level_col(F.col(cellc))
+        return df.select(idc, lv.alias("lv"),
+                         s2f.prefix_dyn_col(F.col(cellc), lv)
+                         .alias("pfx"))
 
     a_terms = ancestors(a_cells, a_id, cell_a)
-    b_keys = b_cells.select(b_id, F.col(cell_b).alias("term"))
+    b_keys = keys(b_cells, b_id, cell_b)
     b_terms = ancestors(b_cells, b_id, cell_b)
-    a_keys = a_cells.select(a_id, F.col(cell_a).alias("term"))
-    d1 = a_terms.join(b_keys, "term").select(a_id, b_id)
-    d2 = b_terms.join(a_keys, "term").select(a_id, b_id)
+    a_keys = keys(a_cells, a_id, cell_a)
+    d1 = a_terms.join(b_keys, ["lv", "pfx"]).select(a_id, b_id)
+    d2 = b_terms.join(a_keys, ["lv", "pfx"]).select(a_id, b_id)
     return d1.unionByName(d2).distinct()

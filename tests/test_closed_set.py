@@ -252,3 +252,25 @@ def test_mixed_union_degenerate_shell_outside():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_merge_duplicates_is_per_edge_not_per_walk():
+    """ADVICE r4: DuplicateEdges::MERGE operates per undirected edge —
+    two distinct walks that share only SOME coincident edges must not
+    keep duplicate copies of those edges (whole-walk dedup missed
+    this)."""
+    from s2spark.kernels.layers import _undirected_edge_key
+    pts, lines, chains = parse_index(
+        "# 0:0, 0:1, 0:2, 0:3 | 1:1, 0:1, 0:2, 1:2 #")
+    _, out_lines, _, _ = normalize_closed_set(
+        pts, lines, chains, merge_duplicates=True)
+    counts: dict = {}
+    for pl in out_lines:
+        for i in range(len(pl) - 1):
+            k = _undirected_edge_key(pl[i], pl[i + 1])
+            counts[k] = counts.get(k, 0) + 1
+    assert counts, "no edges survived"
+    assert max(counts.values()) == 1, "a duplicate edge survived"
+    # total distinct undirected edges: 3 from walk A + 3 from B - 1
+    # shared = 5
+    assert len(counts) == 5

@@ -121,6 +121,17 @@ def test_term_join_candidates_superset_of_disc_pairs(spark):
                    for x in exact.collect()}
     assert exact_pairs <= cand_pairs
     assert len(exact_pairs) > 0
+    # level_mod lattice (s2region_term_indexer.h Options::set_level_mod):
+    # snapping region cells up onto the lattice keeps candidates a
+    # superset of the exact pairs, with the coarser-key trade-off
+    for mod in (2, 3):
+        cand_m = joins.term_join(ev, regions, min_level=4,
+                                 max_level=16, level_mod=mod)
+        pairs_m = {(x["event_id"], x["c_custkey"])
+                   for x in cand_m.select("event_id",
+                                          "c_custkey").collect()}
+        assert exact_pairs <= pairs_m, mod
+        assert pairs_m >= cand_pairs, mod  # coarser keys -> no fewer
 
 
 def test_disc_join_extreme_radii_exact(spark):

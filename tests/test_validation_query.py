@@ -239,3 +239,19 @@ def test_loops_crossing():
         for legacy in (False, True):
             ok, _ = V.valid_query(shapes, legacy=legacy)
             assert not ok, (it, legacy)
+
+
+def test_degenerate_edges_in_polygon_chains_are_allowed():
+    """ADVICE r4: {A,A} degenerate edges are allowed by S2ValidQuery
+    (s2validation_query.h:212); chain prev ids must skip them so the
+    wedge scan still finds the matching incoming edge at vertices with
+    more than two incident edges."""
+    fx = V.parse_index('## 0:0, 0:0, 0:2, 2:2; 0:0, 0:-2, -2:0')
+    assert V.valid_query(fx) == (True, "OK")
+    # same geometry without the degenerate edge: still valid
+    fx2 = V.parse_index('## 0:0, 0:2, 2:2; 0:0, 0:-2, -2:0')
+    assert V.valid_query(fx2) == (True, "OK")
+    # degenerate edge at a vertex whose wedges DO interleave: invalid
+    bad = V.parse_index('## 0:0, 0:0, 0:2, 2:0; 0:0, 2:2, 0:-2')
+    ok, _ = V.valid_query(bad)
+    assert not ok
