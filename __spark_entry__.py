@@ -432,6 +432,28 @@ def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   point_id="event_id")
 
 
+POLY_DIST_MAX = 0.12  # radians — the Options::set_max_distance radius
+
+
+def q_polygon_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ClosestEdgeQuery with Options (s2closest_edge_query.h:75-135):
+    include_interiors=true gives points inside a polygon a distance-0
+    result with edge_id = -1 (s2closest_edge_query_test.cc
+    TargetPointInsideIndexedPolygon), max_distance keeps only edges
+    within 0.12 rad — points near nothing return no row.  Oracle:
+    brute min over all loop edges UNION the crossing-parity interior
+    rows, ranked, radius-filtered."""
+    from s2spark.ops import edges as eops
+    from s2spark.ops import pip
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("event_id") % 10 == 3) \
+        .select("event_id", "cell_id", "x", "y", "z")
+    return eops.closest_edge_join(ev, spark, pip.synth_loops(15),
+                                  point_id="event_id",
+                                  include_interiors=True,
+                                  max_distance=POLY_DIST_MAX)
+
+
 CLOSEST_CELL_K = 2
 
 
@@ -597,11 +619,8 @@ def _hull_points_pdf():
     g = keys % N_HULL_GROUPS
     cx, cy, cz = geo.xyz_np(g * 1000 + 7)
     centers = np.stack([cx, cy, cz], axis=1)
-    ref = np.where(np.abs(centers[:, 2:3]) < 0.9,
-                   np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0]))
-    u = np.cross(centers, ref)
-    u /= np.linalg.norm(u, axis=1, keepdims=True)
-    v = np.cross(centers, u)
+    from s2spark.kernels.pointutil import tangent_frame
+    u, v = tangent_frame(centers)
     ang = 2 * np.pi * (geo.mix_np(keys, 51) % 10_000) \
         .astype(np.float64) / 10_000.0
     rad = 0.3 * (geo.mix_np(keys, 52) % 10_000) \
@@ -1185,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_overlap": q_region_overlap,
         "chain_midpoint": q_chain_midpoint,
         "closest_edge": q_closest_edge,
+        "polygon_distance": q_polygon_distance,
         "closest_cell": q_closest_cell,
         "crossing_edges": q_crossing_edges,
         "polygon_pip": q_polygon_pip,
@@ -1579,6 +1599,32 @@ def _geometry_oracles() -> dict[str, str]:
         f"dist2, poly_id, edge_id) AS INTEGER) AS rank FROM dist) "
         f"SELECT * FROM r WHERE rank <= 1")
 
+    # --- polygon_distance: brute edge-min UNION interior parity rows,
+    # radius-filtered (Options include_interiors + max_distance;
+    # s2closest_edge_query.h:75-135) ---
+    from s2spark.ops.edges import _angle_chord2 as _a2
+    maxd2 = _a2(POLY_DIST_MAX)
+    pairs_pd = (f"(SELECT p.event_id, p.x, p.y, p.z, _e.poly_id, "
+                f"_e.edge_id, _e.ax, _e.ay, _e.az, _e.bx, _e.by, _e.bz "
+                f"FROM (SELECT * FROM {ev_geo} WHERE event_id % 10 = 3)"
+                f" p, {e15})")
+    pts_pd = f"(SELECT * FROM {ev_geo} WHERE event_id % 10 = 3)"
+    polygon_distance = (
+        f"WITH {_seg_chord2_cte(pairs_pd, keep)}, "
+        f"{_pip_inside_sql(pts_pd, 'event_id', loops15)}, "
+        f"allr AS ("
+        f"SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id, "
+        f"CAST(edge_id AS BIGINT) AS edge_id, dist2 FROM dist "
+        f"WHERE dist2 <= {_f17(maxd2)} "
+        f"UNION ALL "
+        f"SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id, "
+        f"CAST(-1 AS BIGINT) AS edge_id, CAST(0.0 AS DOUBLE) AS dist2 "
+        f"FROM ins), "
+        f"r AS (SELECT event_id, poly_id, edge_id, dist2, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY "
+        f"dist2, poly_id, edge_id) AS INTEGER) AS rank FROM allr) "
+        f"SELECT * FROM r WHERE rank <= 1")
+
     # --- track_project: brute argmin segment over per-user tracks ---
     ev_track = geo.geo_table_sql(
         "events", dataset.geo_key_sql("event_id", "events"),
@@ -1883,6 +1929,7 @@ def _geometry_oracles() -> dict[str, str]:
 
     return {
         "closest_edge": closest,
+        "polygon_distance": polygon_distance,
         "track_project": track_project,
         "crossing_edges": crossing,
         "pip_join": pip_sql,

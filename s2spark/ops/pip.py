@@ -359,22 +359,18 @@ def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12,
         f, i, j = geo.geo_np(key)
         x, y, z = geo.xyz_np(key)
         center = np.array([x[0], y[0], z[0]])
+        from ..kernels.pointutil import tangent_frame
         if shift_u:
-            ref0 = np.array([0.0, 0.0, 1.0]) if abs(center[2]) < 0.9 \
-                else np.array([1.0, 0.0, 0.0])
-            u0 = np.cross(center, ref0)
-            u0 /= np.linalg.norm(u0)
+            u0 = tangent_frame(center)[0][0]
             center = center + shift_u * u0
             center /= np.linalg.norm(center)
         nv = min_vertices + int(geo.mix_np(key, 41)[0]
                                 % (max_vertices - min_vertices + 1))
         radius = 0.02 + (int(geo.mix_np(key, 42)[0]) % 1000) / 1000 * 0.15
-        # tangent basis at center
-        ref = np.array([0.0, 0.0, 1.0]) if abs(center[2]) < 0.9 \
-            else np.array([1.0, 0.0, 0.0])
-        u = np.cross(center, ref)
-        u /= np.linalg.norm(u)
-        v = np.cross(center, u)
+        # tangent basis at center (the frozen fixture convention —
+        # kernels/pointutil.tangent_frame; oracles mirror its op order)
+        u2, v2 = tangent_frame(center)
+        u, v = u2[0], v2[0]
         ang = 2 * np.pi * np.arange(nv) / nv
         wobble = 0.5 + (geo.mix_np(np.arange(nv) + pid * 1000, 43)
                         % 1000) / 1999.0

@@ -30,14 +30,9 @@ def tangent_offset_cells(x, y, z, du, dv, level) -> np.ndarray:
     Tangent basis: e1 = normalize(c x ref), e2 = c x e1, with ref =
     +z (or +x near the poles) — deterministic per row.
     """
+    from ..kernels.pointutil import tangent_frame
     c = np.column_stack([x, y, z]).astype(np.float64)
-    polar = np.abs(c[:, 2]) >= 0.9
-    ref = np.where(polar[:, None],
-                   np.array([[1.0, 0.0, 0.0]]),
-                   np.array([[0.0, 0.0, 1.0]]))
-    e1 = np.cross(c, ref)
-    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
-    e2 = np.cross(c, e1)
+    e1, e2 = tangent_frame(c)
     p = c + du[:, None] * e1 + dv[:, None] * e2
     p /= np.linalg.norm(p, axis=1, keepdims=True)
     leaf = cellid.from_xyz(p[:, 0], p[:, 1], p[:, 2])
