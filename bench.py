@@ -57,6 +57,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark.stop()
 
     headline = round(sum(times[q] for q in HEADLINE if q in times), 3)
+    # row counts go to a sidecar: the driver captures only a ~2000-char
+    # stdout tail, and the full dict blew past it (BENCH_r04.json
+    # parsed:null) — the printed line must stay small AND complete
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_detail.json"), "w") as f:
+        json.dump({"rows": rows, "events_rows": n_events,
+                   "sf": sf_dir, "cpus": cpus, "queries": times}, f,
+                  indent=1, sort_keys=True)
     return {
         "metric": "headline spatial-join + tile-assign wall time",
         "value": headline,
@@ -64,7 +72,6 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "queries": times,
         "sf": sf_dir,
         "cpus": cpus,
-        "rows": rows,
         "events_rows": n_events,
         "headline_rows_per_sec": round(n_events * len(HEADLINE) / headline)
         if headline else None,
@@ -461,7 +468,9 @@ def main() -> None:
     elif "--scale-job" in sys.argv:
         print(json.dumps(run_scale_job(cpus, n_rows)))
     else:
-        print(json.dumps(run_bench(sf_dir, cpus)))
+        # compact separators: the driver parses a bounded stdout tail
+        print(json.dumps(run_bench(sf_dir, cpus),
+                         separators=(",", ":")))
 
 
 if __name__ == "__main__":
