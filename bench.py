@@ -331,18 +331,26 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
     # spread is visible rather than hidden behind the best
     n_sweeps = int(os.environ.get("SPARK_GRAFT_SCALING_SWEEPS", "5"))
     pp_env = os.environ.get("SPARK_GRAFT_PRIMARY_PAIR", "4,16")
-    primary_pair = tuple(int(x) for x in pp_env.split(","))
+    # one or more ';'-separated N,4N pairs: every pair gets same-sweep
+    # pairing across ALL sweeps (sweeps >= 2 run the union of the
+    # pairs' levels), so e.g. "2,8;4,16" yields 5-sweep medians for
+    # both pairs from one official run
+    primary_pairs = [tuple(int(x) for x in p.split(","))
+                     for p in pp_env.split(";")]
     # fail FAST on a bad pair (ADVICE r4): a pair outside `levels`
     # would run sweeps >=2 at cpu counts with no all_runs/results slot
     # and crash with KeyError only after the expensive legs ran
-    if (len(primary_pair) != 2
-            or any(c not in levels for c in primary_pair)
-            or primary_pair[1] != 4 * primary_pair[0]):
-        raise SystemExit(
-            f"SPARK_GRAFT_PRIMARY_PAIR={pp_env!r} must be an N,4N pair "
-            f"drawn from the active levels {levels}")
+    for pp in primary_pairs:
+        if (len(pp) != 2 or any(c not in levels for c in pp)
+                or pp[1] != 4 * pp[0]):
+            raise SystemExit(
+                f"SPARK_GRAFT_PRIMARY_PAIR={pp_env!r} must be "
+                f"';'-separated N,4N pairs drawn from the active "
+                f"levels {levels}")
+    primary_pair = primary_pairs[0]
+    pair_union = tuple(sorted({c for pp in primary_pairs for c in pp}))
     for sweep in range(n_sweeps):
-        sweep_levels = levels if sweep < 2 else primary_pair
+        sweep_levels = levels if sweep < 2 else pair_union
         for cpus in sweep_levels:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SCALE_ROWS=str(n_rows),
@@ -369,10 +377,17 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
              for lo, hi in ((2, 8), (4, 16), (8, 32))
              if lo in thr and hi in thr}
     lo, hi = primary_pair
-    per_sweep = [round((b / a) / (hi / lo), 3)
-                 for a, b in zip(all_runs[lo], all_runs[hi])]
-    eff_median = round((median(all_runs[hi]) / median(all_runs[lo]))
-                       / (hi / lo), 3)
+    per_sweep_pairs = {}
+    median_pairs = {}
+    for plo, phi in primary_pairs:
+        per_sweep_pairs[f"{plo}->{phi}"] = [
+            round((b / a) / (phi / plo), 3)
+            for a, b in zip(all_runs[plo], all_runs[phi])]
+        median_pairs[f"{plo}->{phi}"] = round(
+            (median(all_runs[phi]) / median(all_runs[plo]))
+            / (phi / plo), 3)
+    per_sweep = per_sweep_pairs[f"{lo}->{hi}"]
+    eff_median = median_pairs[f"{lo}->{hi}"]
     primary = pairs.get(f"{lo}->{hi}") or next(iter(pairs.values()))
     report = {
         "metric": "scaling efficiency N->4N cores (primary local[%d]->"
@@ -384,6 +399,8 @@ def run_scaling(n_rows: int, levels=(4, 8, 16, 32)) -> dict:
         "primary_pair": list(primary_pair),
         "efficiency_median_primary": eff_median,
         "efficiency_per_sweep_primary": per_sweep,
+        "efficiency_per_sweep_pairs": per_sweep_pairs,
+        "efficiency_median_pairs": median_pairs,
         "throughput_rows_per_sec": thr,
         "throughput_all_runs": all_runs,
         "total_sec": {c: results[c]["total_sec"] for c in levels},
@@ -421,16 +438,22 @@ def _append_bench_md(rep: dict) -> None:
         lines.append("**Scaling efficiency local[%s] -> local[%s] "
                      "(N→4N cores): %.3f**  " % (*pair.split("->"), eff))
     if "efficiency_per_sweep_primary" in rep:
-        sweeps = rep["efficiency_per_sweep_primary"]
-        plo, phi = rep.get("primary_pair", [4, 16])
+        pair_sweeps = rep.get(
+            "efficiency_per_sweep_pairs",
+            {"%d->%d" % tuple(rep.get("primary_pair", [4, 16])):
+             rep["efficiency_per_sweep_primary"]})
+        med = rep.get("efficiency_median_pairs", {})
+        lines.append("")
+        for pk, sweeps in pair_sweeps.items():
+            plo, phi = (int(v) for v in pk.split("->"))
+            lines.append(
+                "Per-sweep %d→%d efficiency (same-sweep pairing): %s — "
+                "median %.3f, best-vs-best %.3f, spread ±%.3f.  "
+                % (plo, phi, ", ".join("%.3f" % e for e in sweeps),
+                   med.get(pk, rep["efficiency_median_primary"]),
+                   rep["efficiency_pairs"].get(pk, float("nan")),
+                   (max(sweeps) - min(sweeps)) / 2 if sweeps else 0.0))
         lines += [
-            "",
-            "Per-sweep %d→%d efficiency (same-sweep pairing): %s — "
-            "median %.3f, best-vs-best %.3f, spread ±%.3f."
-            % (plo, phi, ", ".join("%.3f" % e for e in sweeps),
-               rep["efficiency_median_primary"],
-               rep["efficiency_pairs"].get(f"{plo}->{phi}", float("nan")),
-               (max(sweeps) - min(sweeps)) / 2 if sweeps else 0.0),
             "",
             "Per-level throughput across sweeps (rows/s): "
             + "; ".join(
