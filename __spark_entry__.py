@@ -1248,7 +1248,7 @@ def _shingle_code_sql(s: str) -> str:
 
 
 def _text_oracles() -> dict[str, str]:
-    from s2spark.ops.ann import N_PLANES, plane_weights
+    from s2spark.ops.ann import plane_weights
     mh = text.MINHASH_SALT
     shingle_expr = f"substring(text, pos, {text.SHINGLE})"
     codes_cte = (
@@ -1304,16 +1304,9 @@ def _text_oracles() -> dict[str, str]:
                "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
                "n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 "
                "FROM v)")
-    bucket_terms = []
-    for p in range(N_PLANES):
-        w = ", ".join("%.1f" % float(x) for x in plane_weights(p))
-        bucket_terms.append(f"(CASE WHEN list_dot_product(e, [{w}]) > 0 "
-                            f"THEN {1 << p} ELSE 0 END)")
-    bucket_sql = "(" + " + ".join(bucket_terms) + ")"
-
     # banded pair-LSH (mirrors ann.band_col: N_PAIR_BANDS bands of
     # BAND_BITS sign bits over the same planes)
-    from s2spark.ops.ann import BAND_BITS, N_PAIR_BANDS
+    from s2spark.ops.ann import BAND_BITS, N_PAIR_BANDS, lsh_bits_sql
     band_sqls = []
     for b in range(N_PAIR_BANDS):
         terms = []
@@ -1326,6 +1319,11 @@ def _text_oracles() -> dict[str, str]:
     band_defs = ", ".join(f"{s} AS b{i}" for i, s in enumerate(band_sqls))
     band_match = " OR ".join(f"a.b{i} = b.b{i}"
                              for i in range(N_PAIR_BANDS))
+    # lsh_ann: same bands masked to the corpus-calibrated key width
+    lsh_bits_ladder = lsh_bits_sql("SELECT * FROM embeddings")
+    band_match_masked = " OR ".join(
+        f"(a.b{i} & mm.mask) = (b.b{i} & mm.mask)"
+        for i in range(N_PAIR_BANDS))
 
     return {
         "dedup_exact": (
@@ -1457,12 +1455,24 @@ def _text_oracles() -> dict[str, str]:
             f"(PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INTEGER)"
             f" AS rank FROM s) SELECT * FROM r WHERE rank <= 5"),
         "embedding_lsh_ann": (
-            f"WITH {emb_cte}, bk AS (SELECT vec_id, e, n2, {bucket_sql} "
-            f"AS bkt FROM n), q AS (SELECT vec_id AS qid, e AS qe, n2 AS "
-            f"qn, bkt FROM bk WHERE vec_id % 20 = 0), s AS (SELECT q.qid, "
-            f"p.vec_id, list_dot_product(qe, p.e) / (sqrt(qn) * "
-            f"sqrt(p.n2)) AS cos_sim FROM bk p JOIN q USING (bkt) "
-            f"WHERE q.qid != p.vec_id), r AS (SELECT qid, vec_id, cos_sim,"
+            # multi-table LSH with the corpus-calibrated key width:
+            # mask = 2^lsh_bits(COUNT(*)) - 1 via the integer ladder
+            # (ann.lsh_bits_sql), band values masked per table, the
+            # same-table-same-key OR-match mirrors the Spark
+            # (table, key) equi-joins, candidates deduped by DISTINCT
+            f"WITH {emb_cte}, bd AS (SELECT vec_id, {band_defs} FROM n), "
+            f"mm AS (SELECT (CAST(1 AS BIGINT) << {lsh_bits_ladder}) - 1 "
+            f"AS mask), "
+            f"q AS (SELECT vec_id AS qid FROM embeddings "
+            f"WHERE vec_id % 20 = 0), "
+            f"cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id "
+            f"FROM bd a JOIN q ON q.qid = a.vec_id, bd b, mm "
+            f"WHERE a.vec_id != b.vec_id AND ({band_match_masked})), "
+            f"s AS (SELECT c.qid, c.vec_id, "
+            f"list_dot_product(x.e, y.e) / (sqrt(x.n2) * sqrt(y.n2)) AS "
+            f"cos_sim FROM cand c JOIN n x ON x.vec_id = c.qid "
+            f"JOIN n y ON y.vec_id = c.vec_id), "
+            f"r AS (SELECT qid, vec_id, cos_sim,"
             f" CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim "
             f"DESC, vec_id) AS INTEGER) AS rank FROM s) "
             f"SELECT * FROM r WHERE rank <= 5"),

@@ -8,10 +8,13 @@ bit-identical between Spark's `aggregate(zip_with(...))` and DuckDB's
 - cosine_topk : brute-force exact top-k (the baseline / oracle path).
   Scale: queries broadcast; candidates stream; per-query heap = window
   rank.  O(|Q|·|P|) — correct reference, not the scale path.
-- lsh_ann     : 8 deterministic integer hyperplanes (tri-dialect LCG
-  weights) -> 256 sign buckets -> candidates share the query's bucket
-  -> exact cosine rerank.  The scale path: one equi-join on bucket id;
-  per-bucket skew handled like any hot cell (ops.joins.salt_hot_cells).
+- lsh_ann     : multi-table sign LSH — N_PAIR_BANDS hash tables over
+  the shared deterministic 128-plane family, each keyed by
+  lsh_bits(n) sign bits (corpus-calibrated: expected bucket <= ~256
+  rows, saturating at 16 bits / 65536 buckets per table) ->
+  candidates = union of the query's buckets -> exact cosine rerank.
+  The scale path: equi-joins on (table, key); per-bucket skew handled
+  like any hot cell (ops.joins.salt_hot_cells).
 
 Weights are *integer-valued* doubles (mix(p*64+d) - (P-1)/2), so
 embedding*weight products round identically everywhere.
@@ -25,7 +28,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..sources import geo
 
-N_PLANES = 8
 PLANE_SALT = 31
 DIM = 64
 _CENTER = (geo.P - 1) // 2
@@ -211,17 +213,6 @@ def cosine_pairs_exact(vectors: DataFrame, threshold: float,
             .select("id_a", "id_b", "cos_sim"))
 
 
-def bucket_col(vec_col):
-    """LSH bucket id: bit p = [dot(emb, plane_p) > 0]."""
-    out = None
-    for p in range(N_PLANES):
-        bit = (F.when(_dot_expr(vec_col, plane_weights(p)) > 0, 1)
-               .otherwise(0))
-        term = bit * F.lit(1 << p)
-        out = term if out is None else out + term
-    return out
-
-
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                point_id: str = "vec_id") -> DataFrame:
     """Coarse quantization: each vector -> its max-cosine centroid
@@ -304,23 +295,82 @@ def ivf_ann(vectors: DataFrame, queries: DataFrame, k: int,
                     F.col("rank").cast("int").alias("rank")))
 
 
+LSH_MIN_BITS = 4
+LSH_TARGET_BUCKET = 256
+
+
+def lsh_bits(n_vectors: int) -> int:
+    """Per-table key width, calibrated to the corpus: the smallest
+    bits in [LSH_MIN_BITS, BAND_BITS] with n <= LSH_TARGET_BUCKET *
+    2^bits, i.e. expected bucket occupancy <= ~256 rows.  Pure-integer
+    threshold ladder so the DuckDB oracle derives the IDENTICAL value
+    from COUNT(*) (float log2 could round differently at the
+    boundaries).  At 10^9 vectors this saturates at 16 bits: buckets
+    of ~15k rows, a query probes N_PAIR_BANDS of them — O(n/8k) rerank
+    per query instead of the old single-8-bit-bucket O(n/256)."""
+    bits = LSH_MIN_BITS
+    while bits < BAND_BITS and n_vectors > LSH_TARGET_BUCKET << bits:
+        bits += 1
+    return bits
+
+
+def lsh_bits_sql(table_sql: str = "SELECT * FROM embeddings") -> str:
+    """DuckDB scalar mirroring lsh_bits: 4 + one CASE per ladder rung
+    (the `while` set {k : n > 256<<k} is a prefix, so its count IS the
+    increment)."""
+    terms = " + ".join(
+        f"(CASE WHEN cnt > {LSH_TARGET_BUCKET << k} THEN 1 ELSE 0 END)"
+        for k in range(LSH_MIN_BITS, BAND_BITS))
+    return (f"(SELECT {LSH_MIN_BITS} + {terms} FROM "
+            f"(SELECT COUNT(*) AS cnt FROM ({table_sql})))")
+
+
 def lsh_ann(vectors: DataFrame, queries: DataFrame, k: int,
-            query_id: str = "qid", point_id: str = "vec_id") -> DataFrame:
-    """Approximate top-k: candidates from the query's sign bucket,
-    exact cosine rerank.  Same plan in the oracle -> identical output
-    (approximation error is deterministic, not random)."""
+            query_id: str = "qid", point_id: str = "vec_id",
+            n_vectors: int | None = None) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE sign LSH: N_PAIR_BANDS hash
+    tables, each keyed by lsh_bits(n) sign bits of the shared
+    128-plane family (the cosine_pairs banding, masked to the
+    calibrated width); candidates = union over tables of the query's
+    bucket, deduped, then exact cosine rerank.  The key width grows
+    with the corpus (expected bucket <= ~256 rows up to 16 bits), so
+    the per-query rerank stays bounded at 10^9 vectors — the r4
+    verdict's 256-bucket calibration fix.  Deterministic: the DuckDB
+    oracle mirrors bits, banding, and rerank, so output is
+    value-exact.  One metadata count() derives the corpus size (same
+    contract as ivf_ann's stride)."""
+    if n_vectors is None:
+        n_vectors = vectors.count()
+    mask = (1 << lsh_bits(n_vectors)) - 1
+    bands = _pair_bands_udf()
     q = (with_norm2(queries.withColumnRenamed("embedding", "_qe"),
                     "_qe", "_qn")
-         .withColumn("_bkt", bucket_col(F.col("_qe"))))
+         .withColumn("_band", bands(F.col("_qe"))))
     p = (with_norm2(vectors.withColumnRenamed("embedding", "_pe"),
                     "_pe", "_pn")
-         .withColumn("_bkt", bucket_col(F.col("_pe"))))
+         .withColumn("_band", bands(F.col("_pe"))))
+    qk = (q.select(query_id,
+                   F.posexplode("_band").alias("_bidx", "_bval"))
+          .select(query_id, "_bidx",
+                  F.col("_bval").bitwiseAND(mask).alias("_bkey")))
+    pk = (p.select(point_id,
+                   F.posexplode("_band").alias("_bidx", "_bval"))
+          .select(point_id, "_bidx",
+                  F.col("_bval").bitwiseAND(mask).alias("_bkey")))
+    # dedup ids BEFORE re-attaching embeddings: the exploded join
+    # carries only (id, table, key) — never 8 copies of the vectors
+    cand = (pk.join(F.broadcast(qk), ["_bidx", "_bkey"])
+            .where(F.col(query_id) != F.col(point_id))
+            .select(query_id, point_id)
+            .dropDuplicates([query_id, point_id]))
     sim = (_dot_cols(F.col("_qe"), F.col("_pe"))
            / (F.sqrt("_qn") * F.sqrt("_pn")))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"),
                                              F.col(point_id))
-    return (p.join(F.broadcast(q), "_bkt")
-            .where(F.col(query_id) != F.col(point_id))
+    return (cand
+            .join(p.select(point_id, "_pe", "_pn"), point_id)
+            .join(F.broadcast(q.select(query_id, "_qe", "_qn")),
+                  query_id)
             .withColumn("cos_sim", sim)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

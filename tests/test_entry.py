@@ -182,3 +182,51 @@ def test_dedup_groups_lazy_convergence_probe(spark):
     assert r1 == r3
     assert s3["convergence_checks"] < s1["convergence_checks"]
     assert all(g == 0 for (_, g, n) in r1 if n == 8)  # path comp root
+
+
+def test_lsh_bits_ladder():
+    """Corpus-calibrated key width: integer ladder, clamped to
+    [4, 16], monotone in n (r4 verdict: 256 fixed buckets degenerate
+    at 10^9 rows)."""
+    from s2spark.ops import ann
+    assert ann.lsh_bits(0) == 4
+    assert ann.lsh_bits(256 << 4) == 4          # boundary: n == 256*2^4
+    assert ann.lsh_bits((256 << 4) + 1) == 5    # just past it
+    assert ann.lsh_bits(10 ** 6) == 12
+    assert ann.lsh_bits(10 ** 9) == 16          # saturates at BAND_BITS
+    assert ann.lsh_bits(10 ** 12) == 16
+    prev = 0
+    for n in (10, 10 ** 3, 10 ** 5, 10 ** 7, 10 ** 9):
+        b = ann.lsh_bits(n)
+        assert b >= prev
+        prev = b
+
+
+def test_lsh_bits_sql_matches_python(duck):
+    from s2spark.ops import ann
+    n = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    got = duck.execute("SELECT " + ann.lsh_bits_sql()).fetchone()[0]
+    assert got == ann.lsh_bits(n)
+
+
+def test_lsh_ann_multitable_recall(spark):
+    """The multi-table LSH must rank a planted cos>=0.99 twin first
+    for most queries, and per-query cos_sim must be non-increasing in
+    rank (exact rerank of the banded candidates)."""
+    from s2spark.ops import ann
+    ids, vecs = _synthetic_near_dup_corpus()
+    n_base = len(ids) // 2
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids,
+                      "embedding": [v.tolist() for v in vecs]}))
+    qs = emb.where(emb.vec_id < 40) \
+        .select(emb.vec_id.alias("qid"), "embedding")
+    out = ann.lsh_ann(emb, qs, k=3).toPandas()
+    hits = 0
+    for qid, grp in out.groupby("qid"):
+        grp = grp.sort_values("rank")
+        sims = grp["cos_sim"].to_numpy()
+        assert (np.diff(sims) <= 1e-15).all()
+        if int(qid) + n_base in set(grp["vec_id"].astype(int)):
+            hits += 1
+    assert hits >= 0.8 * 40, hits
