@@ -28,6 +28,7 @@ AQE skew-join as the backstop.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +51,126 @@ def term_levels(min_level: int = MIN_TERM_LEVEL,
         raise ValueError("level_mod must be 1..3")
     true_max = max_level - (max_level - min_level) % level_mod
     return list(range(min_level, true_max + 1, level_mod))
+
+
+def _term_str(cell: int, ancestor: bool, marker: str, prefix: str) -> str:
+    from ..kernels import cellid as _ci
+    tok = _ci.to_token([int(cell)])[0]
+    return prefix + tok if ancestor else prefix + marker + tok
+
+
+def region_index_terms(covering, min_level: int = MIN_TERM_LEVEL,
+                       max_level: int = MAX_TERM_LEVEL,
+                       level_mod: int = 1,
+                       optimize_for_space: bool = False,
+                       marker: str = "$", prefix: str = "") -> list[str]:
+    """String index terms for a canonical covering — the reference's
+    GetIndexTermsForCanonicalCovering (s2region_term_indexer.cc:163-
+    211): a covering term per cell (below the true max level), the
+    cell's own ancestor term UNLESS optimize_for_space (true-max cells
+    always, since no query cell can be their descendant), and ancestor
+    terms for all proper lattice ancestors (prev-cell dedup).  Ancestor
+    terms are bare tokens, covering terms carry the marker character
+    (GetTerm, s2region_term_indexer.cc:121-131)."""
+    from ..kernels import cellid as _ci
+    lattice = term_levels(min_level, max_level, level_mod)
+    true_max = lattice[-1]
+    terms: list[str] = []
+    prev: int | None = None
+    prev_level = -1
+    for cell in covering:
+        cell = int(cell)
+        level = int(_ci.level(np.array([cell], dtype=np.int64))[0])
+        if level < true_max:
+            terms.append(_term_str(cell, False, marker, prefix))
+        if level == true_max or not optimize_for_space:
+            terms.append(_term_str(cell, True, marker, prefix))
+        while (level := level - level_mod) >= min_level:
+            anc = int(_ci.as_i64(_ci.parent(
+                np.array([cell], dtype=np.int64), level))[0])
+            if prev is not None and prev_level > level and int(
+                    _ci.as_i64(_ci.parent(np.array([prev],
+                                          dtype=np.int64), level))[0]) == anc:
+                break  # this ancestor chain is already emitted
+            terms.append(_term_str(anc, True, marker, prefix))
+        prev = cell
+        prev_level = int(_ci.level(np.array([cell], dtype=np.int64))[0])
+    return terms
+
+
+def region_query_terms(covering, min_level: int = MIN_TERM_LEVEL,
+                       max_level: int = MAX_TERM_LEVEL,
+                       level_mod: int = 1, points_only: bool = False,
+                       optimize_for_space: bool = False,
+                       marker: str = "$", prefix: str = "") -> list[str]:
+    """String query terms for a canonical covering — the reference's
+    GetQueryTermsForCanonicalCovering (s2region_term_indexer.cc:
+    214-258): an ancestor term per covering cell; then (unless the
+    index holds only points) covering terms for the cell itself when
+    optimize_for_space (below true max) and for all proper lattice
+    ancestors."""
+    from ..kernels import cellid as _ci
+    lattice = term_levels(min_level, max_level, level_mod)
+    true_max = lattice[-1]
+    terms: list[str] = []
+    prev: int | None = None
+    prev_level = -1
+    for cell in covering:
+        cell = int(cell)
+        level = int(_ci.level(np.array([cell], dtype=np.int64))[0])
+        terms.append(_term_str(cell, True, marker, prefix))
+        if points_only:
+            continue
+        if optimize_for_space and level < true_max:
+            terms.append(_term_str(cell, False, marker, prefix))
+        while (level := level - level_mod) >= min_level:
+            anc = int(_ci.as_i64(_ci.parent(
+                np.array([cell], dtype=np.int64), level))[0])
+            if prev is not None and prev_level > level and int(
+                    _ci.as_i64(_ci.parent(np.array([prev],
+                                          dtype=np.int64), level))[0]) == anc:
+                break
+            terms.append(_term_str(anc, False, marker, prefix))
+        prev = cell
+        prev_level = int(_ci.level(np.array([cell], dtype=np.int64))[0])
+    return terms
+
+
+def point_index_terms(leaf_cell: int, min_level: int = MIN_TERM_LEVEL,
+                      max_level: int = MAX_TERM_LEVEL,
+                      level_mod: int = 1, marker: str = "$",
+                      prefix: str = "") -> list[str]:
+    """Index terms for a point: ancestor terms at every lattice level
+    (s2region_term_indexer.cc:133-154 — the point's own cell is
+    indexed as an ancestor term, never a covering term)."""
+    from ..kernels import cellid as _ci
+    out = []
+    for lv in term_levels(min_level, max_level, level_mod):
+        anc = int(_ci.as_i64(_ci.parent(
+            np.array([int(leaf_cell)], dtype=np.int64), lv))[0])
+        out.append(_term_str(anc, True, marker, prefix))
+    return out
+
+
+def point_query_terms(leaf_cell: int, min_level: int = MIN_TERM_LEVEL,
+                      max_level: int = MAX_TERM_LEVEL,
+                      level_mod: int = 1, points_only: bool = False,
+                      marker: str = "$", prefix: str = "") -> list[str]:
+    """Query terms for a point target: one ancestor term at the true
+    max level, then (unless points-only) covering terms at every
+    lattice level (s2region_term_indexer.cc GetQueryTerms(point))."""
+    from ..kernels import cellid as _ci
+    lattice = term_levels(min_level, max_level, level_mod)
+    cell = np.array([int(leaf_cell)], dtype=np.int64)
+    lv = lattice[-1]
+    out = [_term_str(int(_ci.as_i64(_ci.parent(cell, lv))[0]),
+                     True, marker, prefix)]
+    if points_only:
+        return out
+    for lv in reversed(lattice):
+        out.append(_term_str(int(_ci.as_i64(_ci.parent(cell, lv))[0]),
+                             False, marker, prefix))
+    return out
 
 
 def cell_equi_join(left: DataFrame, right: DataFrame, level: int,
