@@ -69,7 +69,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "metric": "headline spatial-join + tile-assign wall time",
         "value": headline,
         "unit": "sec",
-        "queries": times,
+        # 2-decimal copy on the printed line (the driver captures a
+        # ~2000-char stdout tail; full precision lives in the sidecar)
+        "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf_dir,
         "cpus": cpus,
         "events_rows": n_events,
@@ -125,7 +127,7 @@ def run_scale_job(cpus: int, n_rows: int,
     images.select("cell_id").limit(1000).count()
     queries.select("cell_id").limit(1000).count()
     (spark.range(0, cpus * 1000, numPartitions=cpus)
-     .select(_g.geo_struct_udf()(F.col("id"))).count())
+     .select(_g.geo_cell_udf()(F.col("id"))).count())
 
     from s2spark.sources import geo as geosrc
 
@@ -133,10 +135,14 @@ def run_scale_job(cpus: int, n_rows: int,
 
     def phase_encode():
         # the point->cellid kernel over every row (CPU-bound; the
-        # reference's headline microbench, s2coords.h:271-276)
+        # reference's headline microbench, s2coords.h:271-276).
+        # geo_cell_udf returns ONLY the cell id: Catalyst can't prune
+        # struct fields through a pandas UDF, so the hand-pruned
+        # variant cuts Arrow return traffic 4x and skips xyz flops
+        # the phase never consumes (bit-identical cell ids).
         outputs["faces"] = (images.select(
-            geosrc.geo_struct_udf()(F.col("phash")).alias("_g"))
-            .select(s2f_face(F.col("_g.cell_id")).alias("face"))
+            s2f_face(geosrc.geo_cell_udf()(F.col("phash")))
+            .alias("face"))
             .groupBy("face").count().count())
 
     def phase_tiles():

@@ -275,24 +275,13 @@ def s2_disk_cells(cell: pd.Series, level: pd.Series,
     ring r ∪= AppendAllNeighbors(ring r-1); cross-face wrap handled by
     the kernel (s2cell_id.cc:569-610).  Bounded: (2r+1)^2 cells/row.
     """
-    out = []
     lv = level.to_numpy(np.int64)
     rg = rings.to_numpy(np.int64)
-    ids = cellid.parent(cell.to_numpy(np.int64), lv)
-    for k in range(len(ids)):
-        frontier = np.array([ids[k]], dtype=np.uint64)
-        seen = {int(ids[k])}
-        for _ in range(int(rg[k])):
-            nbrs = cellid.append_all_neighbors(
-                frontier, np.full(len(frontier), lv[k], dtype=np.int64))
-            new = {int(v) for arr in nbrs for v in arr} - seen
-            if not new:
-                break
-            seen |= new
-            frontier = np.array(sorted(new), dtype=np.uint64)
-        out.append(cellid.as_i64(
-            np.array(sorted(seen), dtype=np.uint64)).tolist())
-    return pd.Series(out)
+    rows, cells = cellid.disk_cells_batch(
+        cell.to_numpy(np.int64), lv, rg)
+    counts = np.bincount(rows, minlength=len(cell))
+    splits = np.split(cellid.as_i64(cells), np.cumsum(counts)[:-1])
+    return pd.Series([a.tolist() for a in splits])
 
 
 def chord2_col(x1: Column, y1: Column, z1: Column,

@@ -653,6 +653,97 @@ def append_all_neighbors(ids, nbr_level) -> list:
     return out
 
 
+_DISK_DI = np.array([-1, 1, 0, 0, -1, 1, -1, 1], dtype=np.int64)
+_DISK_DJ = np.array([-1, -1, -1, 1, 0, 0, 1, 1], dtype=np.int64)
+
+
+def disk_cells_batch(ids, lv, rings) -> tuple:
+    """Level-`lv` cells within `rings` neighbor rings of each id's
+    level-`lv` ancestor, for EVERY row at once -> flat (row, cell)
+    arrays sorted by (row, cell), unique per row.
+
+    Level-synchronous BFS vectorized across rows; per-row semantics
+    identical to iterated same-level AppendAllNeighbors
+    (s2cell_id.cc:569-610): the 8 surrounding same-size (i,j) offsets,
+    off-face offsets wrapped via FromFaceIJWrap one ring at a time
+    (multi-ring wrap is only correct ring-by-ring — the wrap kernel
+    clips to one leaf step off-face).  Replaces a per-row Python
+    set-BFS that cost ~0.6 ms/row (29 s for a 50k-row disc_join query
+    side); this runs the same frame in ~0.1 s."""
+    cid = as_u64(np.atleast_1d(ids))
+    n = cid.shape[0]
+    lv = np.broadcast_to(np.asarray(lv, dtype=np.int64), (n,))
+    rg = np.broadcast_to(np.asarray(rings, dtype=np.int64), (n,))
+    centers = parent(cid, lv)
+    cf, ci, cj = to_face_ij_orientation(centers)
+    cs = get_size_ij(lv)
+    ci &= -cs
+    cj &= -cs
+    # Fast path: rows whose whole (2k+1)^2 grid stays on one face need
+    # neither BFS nor dedup — emit the offset grid directly (covers
+    # ~99% of rows away from face boundaries; identical cell sets).
+    lo_i, lo_j = ci - rg * cs, cj - rg * cs
+    hi_i, hi_j = ci + (rg + 1) * cs, cj + (rg + 1) * cs
+    interior = ((lo_i >= 0) & (hi_i <= MAX_SIZE)
+                & (lo_j >= 0) & (hi_j <= MAX_SIZE))
+    fast_r_parts, fast_c_parts = [], []
+    fast_rows = np.nonzero(interior)[0]
+    for g in np.unique(rg[fast_rows]) if fast_rows.size else []:
+        rows_g = fast_rows[rg[fast_rows] == g]
+        w = 2 * int(g) + 1
+        di = np.arange(-int(g), int(g) + 1, dtype=np.int64)
+        DI = np.repeat(di, w)[None, :]
+        DJ = np.tile(di, w)[None, :]
+        m = w * w
+        s_g = cs[rows_g][:, None]
+        ii = (ci[rows_g][:, None] + DI * s_g).ravel()
+        jj = (cj[rows_g][:, None] + DJ * s_g).ravel()
+        fast_c_parts.append(parent(from_face_ij(
+            np.repeat(cf[rows_g], m).astype(np.uint64),
+            ii.astype(np.uint64), jj.astype(np.uint64)),
+            np.repeat(lv[rows_g], m)))
+        fast_r_parts.append(np.repeat(rows_g, m))
+    bfs = np.nonzero(~interior)[0]
+    seen_r = bfs
+    seen_c = centers[bfs]
+    front_r, front_c = seen_r, seen_c
+    for r in range(int(rg[bfs].max()) if bfs.size else 0):
+        act = rg[front_r] > r
+        fr, fc = front_r[act], front_c[act]
+        if fr.size == 0:
+            break
+        f, i, j = to_face_ij_orientation(fc)
+        s = get_size_ij(lv[fr])
+        i &= -s
+        j &= -s
+        ii = (i[:, None] + _DISK_DI[None, :] * s[:, None]).ravel()
+        jj = (j[:, None] + _DISK_DJ[None, :] * s[:, None]).ravel()
+        inb = ((ii >= 0) & (ii < MAX_SIZE)
+               & (jj >= 0) & (jj < MAX_SIZE))
+        cand_c = parent(from_face_ij_same(np.repeat(f, 8), ii, jj, inb),
+                        np.repeat(lv[fr], 8))
+        cand_r = np.repeat(fr, 8)
+        all_r = np.concatenate([seen_r, cand_r])
+        all_c = np.concatenate([seen_c, cand_c])
+        new_f = np.concatenate([np.zeros(seen_r.size, dtype=bool),
+                                np.ones(cand_r.size, dtype=bool)])
+        order = np.lexsort((new_f, all_c, all_r))
+        all_r, all_c, new_f = all_r[order], all_c[order], new_f[order]
+        first = np.empty(all_r.size, dtype=bool)
+        first[0] = True
+        np.logical_or(all_r[1:] != all_r[:-1], all_c[1:] != all_c[:-1],
+                      out=first[1:])
+        seen_r, seen_c = all_r[first], all_c[first]
+        fresh = first & new_f
+        front_r, front_c = all_r[fresh], all_c[fresh]
+    if fast_rows.size:
+        out_r = np.concatenate(fast_r_parts + [seen_r])
+        out_c = np.concatenate(fast_c_parts + [seen_c])
+        order = np.lexsort((out_c, out_r))
+        return out_r[order], out_c[order]
+    return seen_r, seen_c
+
+
 # ---------------------------------------------------------------------------
 # range tiling (s2cell_id.cc:174-195)
 # ---------------------------------------------------------------------------

@@ -157,6 +157,32 @@ def geo_struct_udf():
     return _GEO_STRUCT
 
 
+_GEO_CELL = None
+
+
+def geo_cell_udf():
+    """key:int64 -> leaf cell_id:long — the encode kernel alone.
+
+    Catalyst cannot prune struct fields through a pandas UDF, so a
+    consumer that needs only the cell id would otherwise pay the full
+    geo_struct_udf: 4x the Arrow return bytes plus the xyz flops
+    (st_to_uv, face_uv_to_xyz, normalize).  Same mixes, same
+    from_face_ij — bit-identical to geo_struct_udf().cell_id."""
+    global _GEO_CELL
+    if _GEO_CELL is None:
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        @pandas_udf(LongType())
+        def _geo_cell(key):
+            k = key.to_numpy(np.int64)
+            return pd.Series(cell_np(k))
+
+        _GEO_CELL = _geo_cell
+    return _GEO_CELL
+
+
 # ---------------------------------------------------------------------------
 # Spark SQL dialect (pure Column expressions -> whole-stage codegen)
 # ---------------------------------------------------------------------------

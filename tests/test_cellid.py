@@ -361,3 +361,77 @@ def test_expanded_by_distance_uv():
         assert shrunk[0][1] <= bound[0][1] + 1e-15
         assert shrunk[1][0] >= bound[1][0] - 1e-15
         assert shrunk[1][1] <= bound[1][1] + 1e-15
+
+
+class TestDiskCellsBatch:
+    """disk_cells_batch == iterated AppendAllNeighbors set-BFS per row
+    (the kernel behind s2_disk_cells; disc_join/knn ring candidates)."""
+
+    @staticmethod
+    def _reference(cells, lv, rg):
+        from s2spark.kernels import cellid
+        out = []
+        ids = cellid.parent(np.asarray(cells, np.int64), lv)
+        for k in range(len(ids)):
+            frontier = np.array([ids[k]], dtype=np.uint64)
+            seen = {int(ids[k])}
+            for _ in range(int(rg[k])):
+                nbrs = cellid.append_all_neighbors(
+                    frontier, np.full(len(frontier), lv[k],
+                                      dtype=np.int64))
+                new = {int(v) for arr in nbrs for v in arr} - seen
+                if not new:
+                    break
+                seen |= new
+                frontier = np.array(sorted(new), dtype=np.uint64)
+            out.append(cellid.as_i64(
+                np.array(sorted(seen), dtype=np.uint64)).tolist())
+        return out
+
+    @staticmethod
+    def _batch(cells, lv, rg):
+        from s2spark.kernels import cellid
+        rows, cc = cellid.disk_cells_batch(
+            np.asarray(cells, np.int64), lv, rg)
+        counts = np.bincount(rows, minlength=len(cells))
+        return [a.tolist() for a in
+                np.split(cellid.as_i64(cc), np.cumsum(counts)[:-1])]
+
+    def _probe_cells(self):
+        from s2spark.kernels import cellid
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(60, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = [cellid.as_i64(cellid.from_xyz(v[:, 0], v[:, 1], v[:, 2]))]
+        # cube corners (3-neighbor diagonals) and face-edge midpoints
+        # (cross-face wrap) — where the fast path must fall to BFS
+        hard = np.array([[1, 1, 1], [1, 1, -1], [1, -1, 1], [-1, 1, 1],
+                         [-1, -1, -1], [1, -1, -1], [-1, 1, -1],
+                         [-1, -1, 1], [1, 0, 1], [1, 0, -1], [0, 1, 1],
+                         [1, 1, 0], [0, -1, -1], [-1, 0, 1]], dtype=float)
+        hard /= np.linalg.norm(hard, axis=1, keepdims=True)
+        pts.append(cellid.as_i64(cellid.from_xyz(
+            hard[:, 0] + 1e-9, hard[:, 1], hard[:, 2])))
+        return np.concatenate(pts)
+
+    def test_matches_reference_bfs(self):
+        cells = self._probe_cells()
+        for lvv in (0, 1, 5, 14, 30):
+            for rgv in (1, 2, 3):
+                lv = np.full(len(cells), lvv)
+                rg = np.full(len(cells), rgv)
+                assert (self._batch(cells, lv, rg)
+                        == self._reference(cells, lv, rg)), (lvv, rgv)
+
+    def test_mixed_levels_and_rings(self):
+        cells = self._probe_cells()
+        rng = np.random.default_rng(3)
+        lv = rng.integers(0, 15, len(cells))
+        rg = rng.integers(1, 4, len(cells))
+        assert self._batch(cells, lv, rg) == self._reference(cells, lv, rg)
+
+    def test_empty(self):
+        from s2spark.kernels import cellid
+        e = np.array([], dtype=np.int64)
+        rows, cc = cellid.disk_cells_batch(e, e, e)
+        assert rows.size == 0 and cc.size == 0
