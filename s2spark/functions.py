@@ -284,6 +284,35 @@ def s2_disk_cells(cell: pd.Series, level: pd.Series,
     return pd.Series([a.tolist() for a in splits])
 
 
+@pandas_udf(ArrayType(LongType()))
+def s2_disk_cells_within(cell: pd.Series, level: pd.Series,
+                         rings: pd.Series, x: pd.Series, y: pd.Series,
+                         z: pd.Series, r2pad: pd.Series) -> pd.Series:
+    """s2_disk_cells pruned to cells whose exact min chord² to the
+    row's point is <= r2pad (S2Cell::GetDistance semantics,
+    s2cell.cc:389-416) — the disc_join candidate ring minus the cells
+    the disc cannot touch (~half of a 3x3 ring on average).
+
+    Conservative: any point within chord² r2 of the query lies in a
+    ring cell whose min distance <= r2 <= r2pad, so pruning preserves
+    the candidate-superset guarantee (callers pad r2 by a relative
+    epsilon to absorb the distance kernel's float rounding)."""
+    from .ops.cells import point_cell_chord2  # lazy: ops imports us
+    lv = level.to_numpy(np.int64)
+    rg = rings.to_numpy(np.int64)
+    rows, cells = cellid.disk_cells_batch(
+        cell.to_numpy(np.int64), lv, rg)
+    p = np.column_stack([x.to_numpy(np.float64),
+                         y.to_numpy(np.float64),
+                         z.to_numpy(np.float64)])[rows]
+    keep = (point_cell_chord2(p, cellid.as_i64(cells))
+            <= r2pad.to_numpy(np.float64)[rows])
+    rows, cells = rows[keep], cells[keep]
+    counts = np.bincount(rows, minlength=len(cell))
+    splits = np.split(cellid.as_i64(cells), np.cumsum(counts)[:-1])
+    return pd.Series([a.tolist() for a in splits])
+
+
 def chord2_col(x1: Column, y1: Column, z1: Column,
                x2: Column, y2: Column, z2: Column) -> Column:
     """Squared chord distance |a-b|^2 — the S1ChordAngle proxy; pure SQL

@@ -350,12 +350,19 @@ def disc_join(points: DataFrame, queries: DataFrame, radius_rad: float,
     # until r * kMinWidth covers the radius (2 rings already span all
     # 6 faces).
     rings = max(1, math.ceil(radius_rad / metrics.MIN_WIDTH.get_value(lv)))
+    # ring cells the disc cannot touch (exact min-chord² > r²) are
+    # pruned per query BEFORE the join — ~half the 3x3 ring on
+    # average, so ~half the candidate rows through the chord² filter.
+    # The pad absorbs the distance kernel's float rounding; the exact
+    # r² filter below is unchanged, so results are identical.
+    r2pad = r2 * (1.0 + 1e-9) + 1e-12
     q = (queries.select(query_id,
                         F.col("x").alias("_qx"), F.col("y").alias("_qy"),
                         F.col("z").alias("_qz"),
-                        F.explode(s2f.s2_disk_cells(
-                            F.col("cell_id"), F.lit(lv),
-                            F.lit(rings))).alias("_rc"))
+                        F.explode(s2f.s2_disk_cells_within(
+                            F.col("cell_id"), F.lit(lv), F.lit(rings),
+                            F.col("x"), F.col("y"), F.col("z"),
+                            F.lit(r2pad))).alias("_rc"))
          .select(query_id, "_qx", "_qy", "_qz",
                  s2f.prefix_col(F.col("_rc"), lv).alias("_jc")))
     if broadcast_queries:

@@ -435,3 +435,49 @@ class TestDiskCellsBatch:
         e = np.array([], dtype=np.int64)
         rows, cc = cellid.disk_cells_batch(e, e, e)
         assert rows.size == 0 and cc.size == 0
+
+
+def test_disk_cells_distance_prune_superset():
+    """The distance-pruned ring (disc_join candidates) must keep every
+    cell that can contain a point within chord² r2 of the query —
+    prune ⊆ ring, and a dense sample of in-disc points always lands
+    in a kept cell."""
+    import math
+
+    from s2spark.kernels import cellid, coords
+    from s2spark.ops.cells import point_cell_chord2
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(200, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    leaf = cellid.as_i64(cellid.from_xyz(v[:, 0], v[:, 1], v[:, 2]))
+    radius = 0.01
+    r2 = (2.0 * math.sin(0.5 * radius)) ** 2
+    r2pad = r2 * (1.0 + 1e-9) + 1e-12
+    lv = np.full(len(leaf), 6)
+    rows, cells = cellid.disk_cells_batch(leaf, lv, np.ones(len(leaf)))
+    p = v[rows]
+    d2 = point_cell_chord2(p, cellid.as_i64(cells))
+    keep = d2 <= r2pad
+    assert 0 < keep.sum() < keep.size  # prunes something, keeps something
+    # every query keeps its own center cell (distance 0)
+    kept_rows = set(rows[keep][d2[keep] == 0.0].tolist())
+    assert kept_rows == set(range(len(leaf)))
+    # sample points inside each disc; their level-6 cell must be kept
+    kept_pairs = set(zip(rows[keep].tolist(),
+                         cellid.as_i64(cells)[keep].tolist()))
+    for qi in range(0, len(leaf), 10):
+        q = v[qi]
+        t = np.zeros(3); t[np.argmin(np.abs(q))] = 1.0
+        e1 = np.cross(q, t); e1 /= np.linalg.norm(e1)
+        e2 = np.cross(q, e1)
+        for frac in (0.999, 0.5):
+            for ang in np.linspace(0, 2 * np.pi, 17):
+                d = radius * frac
+                pt = (math.cos(d) * q
+                      + math.sin(d) * (math.cos(ang) * e1
+                                       + math.sin(ang) * e2))
+                pc = int(cellid.as_i64(cellid.parent(cellid.from_xyz(
+                    np.array([pt[0]]), np.array([pt[1]]),
+                    np.array([pt[2]])), np.int64(6)))[0])
+                assert (qi, pc) in kept_pairs, (qi, frac, ang)
