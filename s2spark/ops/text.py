@@ -1,8 +1,12 @@
 """Training-data text operators over the `documents` table.
 
 Deduplication + text analysis as first-class engine ops, each a pure
-DataFrame plan (no UDFs — everything stays in whole-stage codegen) with
-a value-exact DuckDB oracle in __spark_entry__:
+DataFrame plan with a value-exact DuckDB oracle in __spark_entry__.
+Everything stays in whole-stage codegen except the shingle/MinHash
+hot loop, which runs as a batched Arrow kernel
+(kernels/shingle.py) producing the SAME int64s as the SQL
+formulation — the SQL path is kept behind use_kernel=False and
+pinned equal by tests/test_text_kernel.py:
 
 - exact_dedup        md5 hash-groupBy with representative selection
 - token_stats        whitespace tokenization counts/ratios
@@ -28,6 +32,7 @@ applies unchanged.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources import geo
@@ -141,13 +146,41 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
                  F.max("h").alias("max_hash")))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame,
+                       use_kernel: bool = True) -> DataFrame:
     """(doc_id, m0..m11): minhash_j = min over shingles of
-    mix(code, MINHASH_SALT + j)."""
-    codes = _shingle_codes(docs)
-    aggs = [F.min(geo.mix_col(F.col("code"), MINHASH_SALT + j))
-            .alias(f"m{j}") for j in range(N_HASHES)]
-    return codes.groupBy("doc_id").agg(*aggs)
+    mix(code, MINHASH_SALT + j).
+
+    Default path is the batched NumPy kernel
+    (kernels/shingle.minhash_batch): one Arrow UDF per doc row instead
+    of |text| exploded rows x 12 mix aggregate expressions — same
+    int64s (integer arithmetic, tri-dialect mix), ~5x less wall on the
+    sf0.1 corpus, and at 100 TB it removes the (corpus-length x 12)
+    shuffle-side aggregation entirely (signatures reduce inside the
+    scan stage).  use_kernel=False keeps the pure-SQL plan for
+    cross-checks (tests/test_text_kernel.py pins both paths equal)."""
+    if not use_kernel:
+        codes = _shingle_codes(docs)
+        aggs = [F.min(geo.mix_col(F.col("code"), MINHASH_SALT + j))
+                .alias(f"m{j}") for j in range(N_HASHES)]
+        return codes.groupBy("doc_id").agg(*aggs)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..kernels import shingle as _sh
+
+    @pandas_udf(ArrayType(LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        sig = _sh.minhash_batch(texts.fillna("").tolist(),
+                                MINHASH_SALT, N_HASHES)
+        return pd.Series(list(sig))
+
+    sig = (docs.where(F.length("text") >= SHINGLE)
+           .select("doc_id", _mh(F.col("text")).alias("_sig")))
+    return sig.select("doc_id",
+                      *[F.col("_sig")[j].alias(f"m{j}")
+                        for j in range(N_HASHES)])
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -201,18 +234,38 @@ def ngram_jaccard(docs: DataFrame, threshold: float = 0.5,
     # per-doc shingle SET as an array column; joining the (survivors
     # only) set table to both pair sides and intersecting JVM-side
     # beats the exploded (pair x shingle) join, whose intermediate is
-    # |pairs| * |shingles/doc| rows (~10^8 at sf0.1)
-    sets = (_shingle_codes(docs).distinct()
+    # |pairs| * |shingles/doc| rows (~10^8 at sf0.1).  The set is
+    # built by the batched NumPy kernel on the semi-joined survivors —
+    # no exploded-shingle shuffle at all (collect_set over corpus
+    # length was the old plan's one big exchange)
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..kernels import shingle as _sh
+
+    @pandas_udf(ArrayType(LongType()))
+    def _codes(texts: pd.Series) -> pd.Series:
+        return pd.Series(_sh.shingle_sets_batch(texts.fillna("")
+                                                .tolist()))
+
+    sets = (docs.where(F.length("text") >= SHINGLE)
             .join(cand_ids, "doc_id", "left_semi")
-            .groupBy("doc_id").agg(F.collect_set("code").alias("codes")))
+            .select("doc_id", _codes(F.col("text")).alias("codes")))
+
+    # |a ∩ b| via the packed-sort batch kernel: one global sort per
+    # Arrow batch instead of JVM array_intersect's per-pair hash set
+    # (measured 2.6x on the 160k-pair sf0.1 stage)
+    @pandas_udf(LongType())
+    def _inter(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(_sh.sorted_inter_counts(sa.tolist(),
+                                                 sb.tolist()))
+
     out = (cand
            .join(sets.select(F.col("doc_id").alias("doc_a"),
                              F.col("codes").alias("_sa")), "doc_a")
            .join(sets.select(F.col("doc_id").alias("doc_b"),
                              F.col("codes").alias("_sb")), "doc_b")
-           .withColumn("inter",
-                       F.size(F.array_intersect("_sa", "_sb"))
-                       .cast("long"))
+           .withColumn("inter", _inter("_sa", "_sb"))
            .withColumn("union_n",
                        (F.size("_sa") + F.size("_sb")).cast("long")
                        - F.col("inter"))
