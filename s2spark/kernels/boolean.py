@@ -83,6 +83,78 @@ def _batch_states(loop, cids: np.ndarray, need: np.ndarray) -> np.ndarray:
     return states
 
 
+def _soup(loop):
+    """Flat directed edge arrays (ec, ed) for a Loop (.vertices) or a
+    multi-loop region (.loops); None for unknown duck types (callers
+    fall back to the per-cell full-edge-set path)."""
+    if hasattr(loop, "vertices"):
+        v = loop.vertices
+        return v, np.roll(v, -1, axis=0)
+    if hasattr(loop, "loops"):
+        ls = loop.loops
+        if not ls:
+            z = np.zeros((0, 3), dtype=np.float64)
+            return z, z
+        ec = np.concatenate([lp.vertices for lp in ls])
+        ed = np.concatenate([np.roll(lp.vertices, -1, axis=0)
+                             for lp in ls])
+        return ec, ed
+    return None
+
+
+def _states_threaded(loop, soup, cids: np.ndarray, need: np.ndarray,
+                     cands: list) -> tuple[np.ndarray, list]:
+    """_batch_states with CANDIDATE-EDGE THREADING (the S2ShapeIndex
+    build recursion, s2shape_index.cc UpdateEdges): each cell's
+    boundary test runs only over the edges that intersected its
+    parent — sound because a child cell is a subset of its parent, so
+    any edge meeting the child met the parent and survived there.
+    Per-cell work is O(local boundary), not O(total edges); verdicts
+    are identical (same exact soup_edges_intersect_cell test).
+    Returns (states, surviving candidate ids per cell — None where
+    not needed)."""
+    from .loops import soup_edges_intersect_cell
+    from .region import Cell
+    states = np.full(len(cids), -1, dtype=np.int8)
+    out_cands: list = [None] * len(cids)
+    idx = np.nonzero(need)[0]
+    if idx.size == 0:
+        return states, out_cands
+    bnd = np.zeros(idx.size, dtype=bool)
+    if soup is None:  # unknown duck type: full edge set per cell
+        for k, i in enumerate(idx):
+            bnd[k] = bool(loop.edge_intersects_cell(
+                Cell(int(cids[i]))).any())
+        ec = ed = None
+    else:
+        ec, ed = soup
+    for k, i in enumerate(idx):
+        if ec is None:
+            break
+        cand = cands[i]
+        if cand is not None and cand.size:
+            hits = soup_edges_intersect_cell(ec[cand], ed[cand],
+                                             Cell(int(cids[i])))
+            sur = cand[hits]
+            out_cands[i] = sur
+            bnd[k] = bool(sur.size)
+        else:
+            out_cands[i] = np.zeros(0, dtype=np.int64)
+    states[idx[bnd]] = BND
+    rest = idx[~bnd]
+    if rest.size:
+        x, y, z = cellid.to_point(cids[rest])
+        pts = np.stack([x, y, z], axis=1)
+        if hasattr(loop, "contains_points"):
+            ins = np.asarray(loop.contains_points(pts), dtype=bool)
+        else:
+            ins = np.fromiter((bool(loop.contains_point(p)) for p in pts),
+                              dtype=bool, count=rest.size)
+        states[rest[ins]] = IN
+        states[rest[~ins]] = OUT
+    return states, out_cands
+
+
 def _dfs_order(cids: np.ndarray) -> np.ndarray:
     """Pre-order DFS over Hilbert children == ascending interval
     start; for disjoint cells that is range_min order."""
@@ -98,12 +170,21 @@ def classify_pair(a, b, max_level: int) -> np.ndarray:
     cids = cellid.from_face(np.arange(6))
     psa = np.full(6, BND, dtype=np.int8)  # parent states (BND ⇒ test)
     psb = np.full(6, BND, dtype=np.int8)
+    soup_a, soup_b = _soup(a), _soup(b)
+    all_a = (np.arange(len(soup_a[0]), dtype=np.int64)
+             if soup_a is not None else None)
+    all_b = (np.arange(len(soup_b[0]), dtype=np.int64)
+             if soup_b is not None else None)
+    ca: list = [all_a] * 6
+    cb: list = [all_b] * 6
     out_c: list[np.ndarray] = []
     out_sa: list[np.ndarray] = []
     out_sb: list[np.ndarray] = []
     for level in range(max_level + 1):
-        sa = np.where(psa != BND, psa, _batch_states(a, cids, psa == BND))
-        sb = np.where(psb != BND, psb, _batch_states(b, cids, psb == BND))
+        ta, ca = _states_threaded(a, soup_a, cids, psa == BND, ca)
+        tb, cb = _states_threaded(b, soup_b, cids, psb == BND, cb)
+        sa = np.where(psa != BND, psa, ta)
+        sb = np.where(psb != BND, psb, tb)
         decided = (sa != BND) & (sb != BND)
         keep = decided & ((sa == IN) | (sb == IN))
         terminal = keep | (np.full(len(cids), level >= max_level) & ~decided)
@@ -119,6 +200,9 @@ def classify_pair(a, b, max_level: int) -> np.ndarray:
                             np.tile(np.arange(4), len(par)))
         psa = np.repeat(sa[descend], 4)
         psb = np.repeat(sb[descend], 4)
+        didx = np.nonzero(descend)[0]
+        ca = [c for i in didx for c in (ca[i],) * 4]
+        cb = [c for i in didx for c in (cb[i],) * 4]
     if not out_c:
         return np.zeros(0, dtype=[("cell", np.int64),
                                   ("sa", np.int8), ("sb", np.int8)])
@@ -141,21 +225,28 @@ def classify_loop(loop, max_level: int
     polygon side of the overlay oracle.  Level-synchronous BFS with
     batched center/containment kernels; outputs in DFS order."""
     cids = cellid.from_face(np.arange(6))
+    soup = _soup(loop)
+    cands: list = [np.arange(len(soup[0]), dtype=np.int64)
+                   if soup is not None else None] * 6
     interior: list[np.ndarray] = []
     boundary: list[np.ndarray] = []
     for level in range(max_level + 1):
-        s = _batch_states(loop, cids, np.ones(len(cids), dtype=bool))
+        s, cands = _states_threaded(loop, soup, cids,
+                                    np.ones(len(cids), dtype=bool),
+                                    cands)
         if (s == IN).any():
             interior.append(cids[s == IN])
         if level >= max_level:
             if (s == BND).any():
                 boundary.append(cids[s == BND])
             break
-        par = cids[s == BND]
-        if not len(par):
+        bidx = np.nonzero(s == BND)[0]
+        if not bidx.size:
             break
+        par = cids[bidx]
         cids = cellid.child(np.repeat(par, 4),
                             np.tile(np.arange(4), len(par)))
+        cands = [c for i in bidx for c in (cands[i],) * 4]
 
     def pack(chunks: list[np.ndarray]) -> np.ndarray:
         if not chunks:

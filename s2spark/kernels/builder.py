@@ -188,7 +188,21 @@ def select_sites(points: list[np.ndarray] | np.ndarray,
 # ---------------------------------------------------------------------------
 # crossing subdivision
 
-def _parity_contains(loops: list[Loop], points: np.ndarray) -> np.ndarray:
+def _parity_calibration(loops: list[Loop]) -> bool:
+    """The constant XOR offset of _parity_contains for this loop set
+    (pure function of the loops — cacheable by repeat callers like
+    ResultRegion, which answers one contains_points per BFS level)."""
+    m_left = _calibration_probe(loops)
+    if m_left is None:
+        return False
+    probe = 0
+    for lp in loops:
+        probe += int(lp.contains_points(m_left[None, :])[0])
+    return (probe % 2) == 0  # raw XOR says outside at an inside point
+
+
+def _parity_contains(loops: list[Loop], points: np.ndarray,
+                     calib: bool | None = None) -> np.ndarray:
     """Multi-loop even/odd containment with INTERIOR-ON-LEFT
     orientation semantics (the reference's lax-polygon /
     GetReferencePoint construction, s2shapeutil_get_reference_point.h):
@@ -208,13 +222,8 @@ def _parity_contains(loops: list[Loop], points: np.ndarray) -> np.ndarray:
     member = (acc % 2) == 1
     if not loops:
         return member
-    m_left = _calibration_probe(loops)
-    if m_left is None:
-        return member
-    probe = 0
-    for lp in loops:
-        probe += int(lp.contains_points(m_left[None, :])[0])
-    calib = (probe % 2) == 0  # raw XOR says outside at an inside point
+    if calib is None:
+        calib = _parity_calibration(loops)
     return member ^ calib
 
 
@@ -1089,6 +1098,7 @@ class ResultRegion:
         # degenerate 1/2-vertex chains (CLOSED-model point/edge
         # output) carry no interior — skip them for region queries
         self.loops = [Loop(c) for c in chains if len(c) >= 3]
+        self._calib: bool | None = None
 
     def edge_intersects_cell(self, cell) -> np.ndarray:
         return np.concatenate(
@@ -1098,8 +1108,11 @@ class ResultRegion:
     def contains_points(self, points: np.ndarray) -> np.ndarray:
         if not self.loops:
             return np.zeros(np.asarray(points).shape[0], dtype=bool)
-        return _parity_contains(self.loops, np.asarray(points,
-                                                      dtype=np.float64))
+        if self._calib is None:  # probe once; constant for the region
+            self._calib = _parity_calibration(self.loops)
+        return _parity_contains(self.loops,
+                                np.asarray(points, dtype=np.float64),
+                                calib=self._calib)
 
     def contains_point(self, p) -> bool:
         return bool(self.contains_points(np.asarray([p]))[0])
