@@ -39,6 +39,27 @@ from .kernels import cellid
 MAX_LEVEL = cellid.MAX_LEVEL
 
 
+def spread(df, parts: int | None = None):
+    """Widen the map side of a broadcast sweep to the session's
+    default parallelism.
+
+    A crossJoin/broadcast-hash-join inherits the streaming side's
+    partitioning; a small single-file table scans as ONE split, so the
+    whole sweep (candidate expansion + distance expressions) runs in
+    one task no matter how many cores exist.  Round-robin repartition
+    up to defaultParallelism — a shuffle of just the probe rows, paid
+    once, never on the broadcast side.  No-op when the side is already
+    at least that wide (cluster-scale inputs with natural splits keep
+    their partitioning and skip the exchange)."""
+    sess = df.sparkSession
+    want = int(parts or sess.sparkContext.defaultParallelism)
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        return df.repartition(want)
+    return df if have >= want else df.repartition(want)
+
+
 # ---------------------------------------------------------------------------
 # tier 1: pure SQL bit math (JVM codegen, no UDF)
 # ---------------------------------------------------------------------------

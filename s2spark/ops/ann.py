@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .. import functions as s2f
 from ..sources import geo
 
 PLANE_SALT = 31
@@ -76,7 +77,7 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
            / (F.sqrt("_qn") * F.sqrt("_pn")))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"),
                                              F.col(point_id))
-    return (p.crossJoin(F.broadcast(q))
+    return (s2f.spread(p).crossJoin(F.broadcast(q))
             .where(F.col(query_id) != F.col(point_id))
             .withColumn("cos_sim", sim)
             .withColumn("rank", F.row_number().over(w))
@@ -206,7 +207,7 @@ def cosine_pairs_exact(vectors: DataFrame, threshold: float,
                    "_eb", "_nb")
     sim = (_dot_cols(F.col("_ea"), F.col("_eb"))
            / (F.sqrt("_na") * F.sqrt("_nb")))
-    return (a.crossJoin(b)
+    return (s2f.spread(a).crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim", sim)
             .where(F.col("cos_sim") >= threshold)
@@ -228,7 +229,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
            / (F.sqrt("_vn") * F.sqrt("_cn")))
     w = Window.partitionBy(point_id).orderBy(F.desc("_csim"),
                                              F.col("cid"))
-    return (v.crossJoin(c)
+    return (s2f.spread(v).crossJoin(c)
             .withColumn("_csim", sim)
             .withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") == 1)

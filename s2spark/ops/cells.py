@@ -110,7 +110,7 @@ def closest_cell_join_brute(points: DataFrame, index: DataFrame,
                             point_id: str = "point_id",
                             k: int = 1) -> DataFrame:
     """(point_id, icell, label, dist2, rank) — broadcast sweep."""
-    cand = points.select(point_id, "x", "y", "z") \
+    cand = s2f.spread(points.select(point_id, "x", "y", "z")) \
         .crossJoin(F.broadcast(index.select("icell", "label")))
     return _rank_topk(cand, point_id, k)
 

@@ -327,7 +327,7 @@ def closest_edge_join_brute(points: DataFrame, spark: SparkSession,
     order = F.desc("dist2") if furthest else F.col("dist2")
     w = Window.partitionBy(point_id).orderBy(
         order, F.col("poly_id"), F.col("edge_id"))
-    swept = (points.select(point_id, "x", "y", "z")
+    swept = (s2f.spread(points.select(point_id, "x", "y", "z"))
              .crossJoin(edges)
              .withColumn("dist2", d2))
     if max_dist2 is not None:
@@ -455,7 +455,7 @@ def crossing_edge_join_brute(query_edges: DataFrame, spark: SparkSession,
         .withColumnRenamed("by", "dy").withColumnRenamed("bz", "dz"))
     sign = _crossing_sign_udf("ax", "ay", "az", "bx", "by", "bz",
                               "cx", "cy", "cz", "dx", "dy", "dz")
-    return (query_edges.crossJoin(idx)
+    return (s2f.spread(query_edges).crossJoin(idx)
             .withColumn("crossing_sign", sign)
             .where(F.col("crossing_sign") >= 0)
             .select(edge_key, "poly_id", "edge_id",

@@ -52,21 +52,33 @@ def _covered_chord2(level: int, rings: int) -> float:
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              query_id: str, point_id: str, level: int,
-             max_rounds: int = 3, initial_rings: int = 2) -> DataFrame:
+             max_rounds: int = 3, initial_rings: int = 2,
+             brute_remainder: int = 64) -> DataFrame:
     """k nearest points per query -> (query_id, point_id, dist2, rank).
 
     points:  (point_id, cell_id, x, y, z); queries: (query_id, cell_id,
     x, y, z).  `level` = ring cell level (use pick_level()).
+
+    Once a round leaves <= brute_remainder unsatisfied queries the
+    loop dispatches them straight to the brute sweep instead of paying
+    another ring round — a wider ring round is ~3 fixed-cost jobs
+    (candidate join, top-k checkpoint, anti-join) regardless of how
+    few queries remain, while the brute window on a handful of
+    stragglers is one job (the reference's brute-below-threshold
+    regime applied to the REMAINDER, not just the index size).
+    Results are identical either way: both paths rank the exact
+    chord² with the same id tie-break.
     """
     # localCheckpoint (not cache) so repeated calls in a long session
     # don't accumulate executor storage: the blocks are released when
     # the frame is GC'd, and every round reuses the materialized RDD
-    pts = points.select(
+    pts = s2f.spread(points.select(
         point_id, F.col("x").alias("_px"), F.col("y").alias("_py"),
         F.col("z").alias("_pz"),
-        s2f.prefix_col(F.col("cell_id"), level).alias("_pcell")) \
+        s2f.prefix_col(F.col("cell_id"), level).alias("_pcell"))) \
         .localCheckpoint(eager=True)
-    remaining = queries.select(query_id, "cell_id", "x", "y", "z")
+    remaining = s2f.spread(
+        queries.select(query_id, "cell_id", "x", "y", "z"))
     done = []
     # rings=2 initially: at pick_level densities the ring-1 coverage
     # bound (1 x kMinWidth) barely exceeds the typical k-th neighbor
@@ -104,9 +116,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                         .select(query_id, point_id, "dist2", "rank"))
         remaining = (remaining.join(ok_ids, query_id, "left_anti")
                      .localCheckpoint(eager=True))
-        if remaining.isEmpty():
+        n_rem = remaining.count()
+        if n_rem == 0:
             remaining = None
             break
+        if n_rem <= brute_remainder:
+            break  # stragglers: one brute window beats a ring round
         rings *= 2
     if remaining is not None:
         # brute-force stragglers (rare): cross join + window top-k
