@@ -278,3 +278,21 @@ def test_polygon_overlay_groups_per_pair(spark):
     plan = plan_of(bops.polygon_overlay(spark, la, lb, max_level=5))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spread_widens_single_partition_probe_only(spark):
+    """spread() must lift a one-split probe side to the session's
+    parallelism (one task on 32 cores otherwise) and no-op on an
+    already-wide frame — and never touch the broadcast side."""
+    from s2spark import functions as s2f
+    one = spark.range(0, 1000, 1, 1)           # single partition
+    wide = spark.range(0, 1000, 1, 64)         # wider than default
+    want = spark.sparkContext.defaultParallelism
+    assert s2f.spread(one).rdd.getNumPartitions() == want
+    assert s2f.spread(wide) is wide            # literal no-op, no shuffle
+    plan = plan_of(s2f.spread(one).crossJoin(
+        F.broadcast(spark.range(3).withColumnRenamed("id", "rid"))))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the exchange must sit on the probe side only: exactly one
+    # round-robin repartition, no shuffle of the broadcast side
+    assert plan.count("RoundRobinPartitioning") == 1
