@@ -551,12 +551,12 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary payloads aren't SQL-expressible); pixel invariants are
     pinned by tests/test_image.py."""
     from s2spark.image import ops as imops
-    img = dataset.synth_images_with_bytes(spark, 200)
-    feats = imops.image_features(img)
-    tiles_df = img.select("image_id",
-                          s2f.parent_col(F.col("cell_id"), 4)
-                          .alias("tile"))
-    return (feats.join(tiles_df, "image_id")
+    img = dataset.synth_images_with_bytes(spark, 200) \
+        .withColumn("tile", s2f.parent_col(F.col("cell_id"), 4))
+    # tile rides the decode pass as a passthrough column: one scan of
+    # the payload bytes, no self-join re-deriving the synth+encode UDF
+    feats = imops.image_features(img, passthrough=("tile",))
+    return (feats
             .groupBy("tile")
             .agg(F.count(F.lit(1)).alias("n_images"),
                  F.sum(F.bit_count(F.col("phash64"))).alias("sum_bits")))

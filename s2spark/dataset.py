@@ -104,8 +104,12 @@ def synth_images(spark: SparkSession, n_rows: int,
     """The scaling-benchmark input: synth_images_from over a range.
     `bytes` is intentionally absent — payload codecs are exercised by
     the small-scale image tests, not the throughput job."""
-    base = spark.range(0, n_rows, numPartitions=partitions or
-                       spark.sparkContext.defaultParallelism * 4)
+    dp = spark.sparkContext.defaultParallelism
+    # small test tables: don't scatter a few hundred rows over dp*4
+    # near-empty splits — every downstream Python-UDF stage pays a
+    # worker launch per split.  Large inputs keep dp*4 for AQE slack.
+    auto = min(dp * 4, max(dp, n_rows // 64 + 1))
+    base = spark.range(0, n_rows, numPartitions=partitions or auto)
     return synth_images_from(base, "id")
 
 

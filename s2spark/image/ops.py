@@ -114,13 +114,20 @@ def avg_phash_udf(data):
 
 
 def image_features(df: DataFrame, bytes_col: str = "bytes",
-                   fmt_col: str = "fmt") -> DataFrame:
+                   fmt_col: str = "fmt",
+                   passthrough: tuple = ()) -> DataFrame:
     """mapInPandas feature pipeline: decode -> 4x4 block-mean RGB grid
     (48 doubles) + perceptual hash.  Demonstrates the multimodal batch
-    shape: opaque binary in, fixed-width features out."""
+    shape: opaque binary in, fixed-width features out.
+
+    passthrough: extra input columns echoed to the output unchanged,
+    so downstream rollups (e.g. a tile key) ride the single decode
+    pass instead of re-deriving the image frame and joining back —
+    the payload column is scanned once, not twice."""
     fields = [StructField("image_id", df.schema["image_id"].dataType),
               StructField("phash64", LongType())]
     fields += [StructField(f"f{i}", DoubleType()) for i in range(48)]
+    fields += [StructField(c, df.schema[c].dataType) for c in passthrough]
     schema = StructType(fields)
 
     def gen(batches):
@@ -128,15 +135,17 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
             rows = []
             # zip over materialized columns, not iterrows (decode is
             # inherently per-row; the row-access idiom need not be)
-            for img_id, blob, fmt in zip(pdf["image_id"].to_numpy(),
-                                         pdf[bytes_col].to_numpy(),
-                                         pdf[fmt_col].to_numpy()):
+            extras = [pdf[c].to_numpy() for c in passthrough]
+            for img_id, blob, fmt, *ex in zip(pdf["image_id"].to_numpy(),
+                                              pdf[bytes_col].to_numpy(),
+                                              pdf[fmt_col].to_numpy(),
+                                              *extras):
                 if fmt != "png":
                     raise NotImplementedError("non-PNG decode unavailable")
                 img = png.decode_rgb(bytes(blob))
                 grid = block_mean_resize(img, 4, 4).ravel()
-                rows.append((img_id, avg_phash(img), *grid))
+                rows.append((img_id, avg_phash(img), *grid, *ex))
             yield pd.DataFrame(rows, columns=[f.name for f in fields])
 
-    return df.select("image_id", bytes_col, fmt_col) \
+    return df.select("image_id", bytes_col, fmt_col, *passthrough) \
         .mapInPandas(gen, schema=schema)
