@@ -102,6 +102,24 @@ def test_decode_fields_and_features(spark):
         assert again[r["image_id"]] == r["phash64"]
 
 
+def test_image_features_passthrough(spark):
+    """Passthrough columns ride the single decode pass unchanged —
+    values, dtype, and schema position (appended after the features),
+    so rollup keys never need a re-derive + join-back."""
+    from pyspark.sql import functions as F
+    from s2spark import dataset
+    df = dataset.synth_images_with_bytes(spark, 12) \
+        .withColumn("tile", F.col("w").cast("long") * 1000) \
+        .withColumn("tag", F.concat(F.lit("t-"), F.col("image_id")))
+    feats = ops.image_features(df, passthrough=("tile", "tag"))
+    assert feats.columns[-2:] == ["tile", "tag"]
+    assert dict(feats.dtypes)["tile"] == "bigint"
+    got = {r["image_id"]: (r["tile"], r["tag"]) for r in feats.collect()}
+    want = {r["image_id"]: (r["w"] * 1000, f"t-{r['image_id']}")
+            for r in df.select("image_id", "w").collect()}
+    assert got == want
+
+
 def test_non_png_decode_raises(spark):
     from pyspark.sql import functions as F
     from s2spark import dataset
