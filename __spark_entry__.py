@@ -562,6 +562,55 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.bit_count(F.col("phash64"))).alias("sum_bits")))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal contract: synth real RIFF/PCM16 WAV
+    payloads -> mapInPandas decode -> integer clip features, tile key
+    riding the single decode pass as a passthrough column.  The oracle
+    re-derives every decoded SAMPLE in DuckDB (the synth formula is
+    tri-dialect), so the WAV encode/decode round-trip itself is inside
+    the value-hash check."""
+    from s2spark.audio import ops as audops
+    # payload synth+decode is Python-UDF work: a single-file orders
+    # scan would run the whole pipeline in ONE task (spread() note)
+    orders = s2f.spread(dataset.load(spark, sf_dir, "orders")
+                        .select(F.col("o_orderkey").alias("id")))
+    aud = dataset.synth_audio_with_bytes(orders, "id") \
+        .withColumn("tile", s2f.parent_col(F.col("cell_id"), 6))
+    feats = audops.audio_features(aud, passthrough=("tile",))
+    return feats.select(
+        "audio_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sum_sq"),
+        F.col("peak").cast("long").alias("peak"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        "tile")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg: synth RV01 containers (PNG frames) -> frame-sample
+    every 2nd frame via the seek table (skipped frames never decoded)
+    -> exact integer pixel checksum per sampled frame.  The oracle
+    re-derives every sampled frame's pixels in DuckDB, so container
+    framing + PNG round-trip + sampling stride are all inside the
+    value-hash check."""
+    from s2spark.video import ops as vidops
+    # same single-task hazard as audio_features: PNG encode/decode per
+    # frame is the dominant cost — widen before the payload UDFs.
+    # %4 subset: the query exercises per-frame codec throughput, not
+    # scan scale (mirrored in the oracle's WHERE)
+    orders = s2f.spread(dataset.load(spark, sf_dir, "orders")
+                        .where(F.col("o_orderkey") % 4 == 0)
+                        .select(F.col("o_orderkey").alias("id")))
+    vid = dataset.synth_video_with_bytes(orders, "id")
+    frames = vidops.frame_sample(vid, every_k=2)
+    return frames.select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("h").cast("long").alias("h"),
+        F.col("w").cast("long").alias("w"),
+        F.col("pix_sum"))
+
+
 def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup candidates by perceptual-hash banding (4x16-bit
     bands over the 64-bit phash) + Hamming distance."""
@@ -1196,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "image_meta": q_image_meta,
         "image_pipeline": q_image_pipeline,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "cell_tokens": q_cell_tokens,
         "cell_vector_codec": q_cell_vector_codec,
         "polygon_codec": q_polygon_codec,
@@ -2682,6 +2733,14 @@ def oracle_sql() -> dict[str, str]:
     img_geo = geo.geo_table_sql(img_base, "phash",
                                 ["id", "w", "h", "fmt"], with_xyz=False)
 
+    # audio_features: mirror synth_audio_from column formulas exactly
+    aud_base = (f"(SELECT o_orderkey AS id, "
+                f"{geo.mix_sql('o_orderkey', 21)} AS aseed, "
+                f"120 + ({geo.mix_sql('o_orderkey', 22)} % 381) AS ns "
+                f"FROM orders)")
+    aud_geo = geo.geo_table_sql(aud_base, "aseed",
+                                ["id", "aseed", "ns"], with_xyz=False)
+
     extra = _text_oracles()
     extra.update(_geometry_oracles())
     extra.update({
@@ -2708,6 +2767,55 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(h) AS BIGINT) AS sum_h, "
             f"CAST(SUM(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END) AS "
             f"BIGINT) AS n_png FROM {img_geo} GROUP BY 1"),
+        # audio_features: re-derive every decoded WAV sample (synth
+        # formula is tri-dialect; dataset.synth_audio_from /
+        # audio.ops.synth_samples) — the WAV codec round-trip is inside
+        # the hash check.  Integer features only (CLAUDE.md invariant).
+        "audio_features": (
+            f"WITH g AS (SELECT * FROM {aud_geo}), "
+            f"idx AS (SELECT id, ns, cell, aseed, "
+            f"unnest(generate_series(0, ns - 1)) AS i FROM g), "
+            f"samp AS (SELECT id, ns, cell, i, "
+            f"(({geo.mix_sql('aseed + i', 23)} % 65536) - 32768) AS s, "
+            f"CASE WHEN i > 0 THEN "
+            f"(({geo.mix_sql('aseed + i - 1', 23)} % 65536) - 32768) "
+            f"END AS sp FROM idx) "
+            f"SELECT 'aud' || lpad(CAST(id AS VARCHAR), 12, '0') AS "
+            f"audio_id, CAST(ns AS BIGINT) AS n_samples, "
+            f"CAST(SUM(s * s) AS BIGINT) AS sum_sq, "
+            f"CAST(MAX(ABS(s)) AS BIGINT) AS peak, "
+            f"CAST(SUM(CASE WHEN sp IS NOT NULL AND ((s < 0) != (sp < 0)) "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings, "
+            f"{geo.parent_sql('cell', 6)} AS tile "
+            f"FROM samp GROUP BY id, ns, cell"),
+        # video_frames: re-derive every SAMPLED frame's pixels (frame f
+        # = image-synth frame seeded vseed + f; stride 2 mirrors
+        # frame_sample(every_k=2)).  NumPy %256 is non-negative; the
+        # blue channel can go negative pre-mod, hence the +256 wrap.
+        "video_frames": (
+            f"WITH base AS (SELECT o_orderkey AS id, "
+            f"{geo.mix_sql('o_orderkey', 34)} AS vseed, "
+            f"2 + ({geo.mix_sql('o_orderkey', 31)} % 7) AS nf, "
+            f"6 + ({geo.mix_sql('o_orderkey', 32)} % 11) AS w, "
+            f"6 + ({geo.mix_sql('o_orderkey', 33)} % 11) AS h "
+            f"FROM orders WHERE o_orderkey % 4 = 0), "
+            f"fr AS (SELECT id, vseed, w, h, "
+            f"unnest(generate_series(0, nf - 1, 2)) AS f FROM base), "
+            f"seed AS (SELECT id, f, w, h, "
+            f"({geo.mix_sql('vseed + f', 51)} % 256) AS r0, "
+            f"({geo.mix_sql('vseed + f', 52)} % 256) AS g0, "
+            f"({geo.mix_sql('vseed + f', 53)} % 256) AS b0 FROM fr), "
+            f"px AS (SELECT id, f, w, h, r0, g0, b0, "
+            f"unnest(generate_series(0, w * h - 1)) AS p FROM seed), "
+            f"v AS (SELECT id, f, w, h, (p // w) AS y, (p % w) AS x, "
+            f"r0, g0, b0 FROM px) "
+            f"SELECT 'vid' || lpad(CAST(id AS VARCHAR), 12, '0') AS "
+            f"video_id, CAST(f AS BIGINT) AS frame_idx, "
+            f"CAST(h AS BIGINT) AS h, CAST(w AS BIGINT) AS w, "
+            f"CAST(SUM(((y*7 + x*13 + r0) % 256) "
+            f"+ (((y*7 + x*13)*3 + g0) % 256) "
+            f"+ ((((y*11 - x*5 + b0) % 256) + 256) % 256)) AS BIGINT) "
+            f"AS pix_sum FROM v GROUP BY id, f, h, w"),
         "hausdorff": (
             f"WITH m AS (SELECT c.c_custkey, MIN({d2cs}) AS md "
             f"FROM {cu_geo} c, {su_geo} s GROUP BY 1) "

@@ -130,6 +130,54 @@ def synth_images_with_bytes(spark: SparkSession, n_rows: int) -> DataFrame:
                     "phash", "cell_id", "x", "y", "z"))
 
 
+def synth_audio_from(keyed: DataFrame, key_col: str = "id") -> DataFrame:
+    """Deterministic audio-metadata rows from any integer-keyed frame
+    (audio leg of the multimodal contract): (audio_id, sr, n_samples,
+    fmt, aseed) + aseed-seeded geo.  Tri-dialect reproducible — sample
+    values derive from aseed via the mix hash (audio.ops.synth_samples),
+    so a DuckDB oracle can re-derive every decoded sample."""
+    key = F.col(key_col)
+    df = keyed.select(
+        F.format_string("aud%012d", key).alias("audio_id"),
+        F.lit(8000).alias("sr"),
+        (F.lit(120) + (geo.mix_col(key, 22) % 381))
+        .cast("int").alias("n_samples"),
+        F.when(geo.mix_col(key, 24) % 2 == 0, "wav")
+        .otherwise("flac").alias("fmt"),
+        geo.mix_col(key, 21).alias("aseed"))
+    return geotag(df, "aseed", "audio")
+
+
+def synth_audio_with_bytes(keyed: DataFrame, key_col: str = "id"
+                           ) -> DataFrame:
+    """Audio table WITH real RIFF/PCM16 WAV payloads (deterministic
+    samples from aseed; fmt forced to wav so every row decodes)."""
+    from .audio.ops import synth_wav_udf
+    base = synth_audio_from(keyed, key_col)
+    return (base.withColumn("fmt", F.lit("wav"))
+            .withColumn("bytes", synth_wav_udf(F.col("aseed"),
+                                               F.col("n_samples"))))
+
+
+def synth_video_with_bytes(keyed: DataFrame, key_col: str = "id"
+                           ) -> DataFrame:
+    """Deterministic video rows WITH RV01 container payloads: frame f
+    is the image-modality synth frame seeded by vseed + f (PNG, exact
+    round-trip).  (video_id, n_frames, w, h, fmt, vseed, video)."""
+    from .video.ops import synth_video_udf
+    key = F.col(key_col)
+    df = keyed.select(
+        F.format_string("vid%012d", key).alias("video_id"),
+        (F.lit(2) + (geo.mix_col(key, 31) % 7))
+        .cast("int").alias("n_frames"),
+        (F.lit(6) + (geo.mix_col(key, 32) % 11)).cast("int").alias("w"),
+        (F.lit(6) + (geo.mix_col(key, 33) % 11)).cast("int").alias("h"),
+        F.lit("rv01").alias("fmt"),
+        geo.mix_col(key, 34).alias("vseed"))
+    return df.withColumn("video", synth_video_udf(
+        F.col("vseed"), F.col("n_frames"), F.col("w"), F.col("h")))
+
+
 def geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geotag(load(spark, sf_dir, "events"), "event_id", "events")
 
