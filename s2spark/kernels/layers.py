@@ -510,10 +510,36 @@ def _points_in_collection(pts: np.ndarray, c: GeometryCollection
     return inside
 
 
+def _region_overlay(a_region, b_region, op: str):
+    """overlay_geometry with the reference's input-snap fallback:
+    vertex-on-edge (T-junction) inputs — e.g. s2polygon_test.cc's
+    kNearFar2 vertex 8:-175 sitting exactly on kNearFar1's meridian
+    edge 1:-175→9:-175 — fail the exact overlay's coincident-boundary
+    calibration (the sub-edges along the shared geodesic are not
+    bit-identical).  The reference handles these through snap rounding
+    (s2builder.h snap contract); we mirror it by pre-snapping both
+    inputs with IdentitySnapFunction(intersection merge radius), which
+    merges each vertex onto the edge it touches and splits that edge
+    at the site, making the incident sub-edges bit-identical
+    (polygon_approx._presnap).  Returns (a', b', chains) — the
+    possibly-snapped regions, so result-state probes stay consistent
+    with the chains."""
+    from .builder import overlay_geometry
+    try:
+        return a_region, b_region, overlay_geometry(a_region, b_region,
+                                                    op)
+    except ValueError:
+        from .polygon_approx import (INTERSECTION_MERGE_RADIUS,
+                                     _presnap)
+        a2, b2 = _presnap(a_region, b_region,
+                          INTERSECTION_MERGE_RADIUS)
+        return a2, b2, overlay_geometry(a2, b2, op)
+
+
 def boolean_intersects(a: GeometryCollection,
                        b: GeometryCollection) -> bool:
     """S2BooleanOperation::Intersects — is a ∩ b non-empty?"""
-    from .builder import overlay_geometry, overlay_result_state
+    from .builder import overlay_result_state
     if _points_in_collection(a.points, b).any():
         return True
     if _points_in_collection(b.points, a).any():
@@ -527,10 +553,11 @@ def boolean_intersects(a: GeometryCollection,
                                              "intersection"):
             return True
     if a.region_nonempty() and b.region_nonempty():
-        chains = overlay_geometry(a.region, b.region, "intersection")
+        ra, rb, chains = _region_overlay(a.region, b.region,
+                                         "intersection")
         if chains:
             return True
-        return overlay_result_state(a.region, b.region,
+        return overlay_result_state(ra, rb,
                                     "intersection", chains) == "full"
     return False
 
@@ -538,7 +565,7 @@ def boolean_intersects(a: GeometryCollection,
 def boolean_contains(a: GeometryCollection,
                      b: GeometryCollection) -> bool:
     """S2BooleanOperation::Contains — is b − a empty (a ⊇ b)?"""
-    from .builder import overlay_geometry, overlay_result_state
+    from .builder import overlay_result_state
     if not _points_in_collection(b.points, a).all():
         return False
     if b.lines:
@@ -558,10 +585,11 @@ def boolean_contains(a: GeometryCollection,
     if b.region_nonempty():
         if not a.region_nonempty():
             return False
-        chains = overlay_geometry(b.region, a.region, "difference")
+        rb, ra, chains = _region_overlay(b.region, a.region,
+                                         "difference")
         if chains:
             return False
-        if overlay_result_state(b.region, a.region, "difference",
+        if overlay_result_state(rb, ra, "difference",
                                 chains) == "full":
             return False
     return True

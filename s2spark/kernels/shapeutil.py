@@ -15,7 +15,41 @@ import numpy as np
 
 from .loops import ORIGIN, Loop
 
-__all__ = ["build_polygon_boundaries"]
+__all__ = ["build_polygon_boundaries", "nested_loops_to_lax"]
+
+
+def nested_loops_to_lax(loops: list[Loop]) -> list[Loop]:
+    """S2Polygon::InitNested loop convention -> engine lax orientation
+    (s2polygon.h:128-146, s2polygon.cc InitNested/InitLoopProperties):
+    the reference's polygons take every loop CCW around its own
+    interior and derive shell/hole from NESTING DEPTH (holes = odd
+    depth); the engine's region convention is interior-on-LEFT for
+    every loop (s2shapeutil_get_reference_point.h semantics, what
+    builder._parity_contains and the overlay consume).  Conversion =
+    reverse the vertex order of odd-depth loops.
+
+    Depth is measured at a verified strictly-interior probe of each
+    loop (the left-nudged clear-edge midpoint that calibrates parity
+    containment), so loops that share vertices with their parents —
+    e.g. the s2polygon_test.cc kNear0/kNear1 fixtures, where every
+    vertex of the inner loop lies on the outer loop — still nest
+    correctly."""
+    from .builder import _calibration_probe
+    if not loops:
+        return []
+    probes = []
+    for lp in loops:
+        p = _calibration_probe([lp])
+        if p is None:
+            raise ValueError("loop has no clear probe edge")
+        probes.append(p[None, :])
+    out = []
+    for i, lp in enumerate(loops):
+        depth = sum(int(m.contains_points(probes[i])[0])
+                    for j, m in enumerate(loops) if j != i)
+        out.append(Loop(lp.vertices[::-1].copy()) if depth % 2
+                   else lp)
+    return out
 
 
 def _is_degenerate_lax(v: np.ndarray) -> bool:
