@@ -80,6 +80,19 @@ def region_loops(region) -> tuple[list, bool]:
     return list(region), False
 
 
+def region_complement(region):
+    """S2Polygon::InitToComplement (s2polygon.h:270-276): the sphere
+    minus the region.  Under the interior-on-left convention the
+    complement is the same boundary traversed the other way — reverse
+    every loop; [] <-> FULL for the boundary-less cases."""
+    loops, full = region_loops(region)
+    if full:
+        return []
+    if not loops:
+        return FULL
+    return [Loop(lp.vertices[::-1].copy()) for lp in loops]
+
+
 def region_contains(loops: list, is_full: bool,
                     points: np.ndarray) -> np.ndarray:
     if is_full:

@@ -14,7 +14,7 @@ import pytest
 
 from s2spark.kernels.builder import FULL
 from s2spark.kernels.layers import (GeometryCollection, boolean_contains,
-                                    boolean_intersects)
+                                    boolean_equals, boolean_intersects)
 from s2spark.kernels.loops import Loop, parse_vertices
 from s2spark.kernels.shapeutil import nested_loops_to_lax
 
@@ -234,6 +234,128 @@ def test_init_contains_point(a_str, p_str):
                    math.sin(lng) * math.cos(lat), math.sin(lat)]])
     loop = Loop(parse_vertices(a_str))
     assert bool(loop.contains_points(p)[0])
+
+
+# ---------------------------------------------------------------------
+# Op-result identities, s2polygon_test.cc:486-575 + :605-640:
+# TestNestedPair / TestDisjointPair / TestOverlappingPair /
+# TestComplements run for every relation row exactly as the reference's
+# TestRelationWithDesc dispatches them.  CheckEqual is realized as
+# SEMANTIC region equality (boolean_equals = empty symmetric
+# difference), which is what the reference's builder-normalized
+# comparison establishes.
+
+def _op_region(a: GeometryCollection, b: GeometryCollection,
+               op: str) -> GeometryCollection:
+    from s2spark.kernels.builder import overlay_result_state
+    from s2spark.kernels.layers import _region_overlay
+    ra, rb, chains = _region_overlay(a.region, b.region, op)
+    loops = [Loop(c) for c in chains if len(c) >= 3]
+    if loops:
+        return GeometryCollection(region=loops)
+    state = overlay_result_state(ra, rb, op, [])
+    return GeometryCollection(region=FULL if state == "full" else [])
+
+
+def _complement(gc: GeometryCollection) -> GeometryCollection:
+    from s2spark.kernels.builder import region_complement
+    return GeometryCollection(region=region_complement(gc.region))
+
+
+def _is_empty(gc: GeometryCollection) -> bool:
+    return not gc.region_nonempty()
+
+
+def _is_full(gc: GeometryCollection) -> bool:
+    from s2spark.kernels.builder import region_loops
+    return region_loops(gc.region)[1]
+
+
+def _one_nested_pair(a, b):
+    # s2polygon_test.cc:487-505
+    assert boolean_contains(a, b)
+    assert boolean_intersects(a, b) == (not _is_empty(b))
+    assert boolean_equals(_op_region(a, b, "union"), a)
+    assert boolean_equals(_op_region(a, b, "intersection"), b)
+    assert _is_empty(_op_region(b, a, "difference"))
+    assert boolean_equals(_op_region(a, b, "difference"),
+                          _op_region(a, b, "symmetric_difference"))
+
+
+def _one_disjoint_pair(a, b):
+    # s2polygon_test.cc:508-537 (the combined-layer union check is
+    # realized as union == symmetric difference, which for disjoint
+    # inputs is the same identity)
+    assert not boolean_intersects(a, b)
+    assert boolean_contains(a, b) == _is_empty(b)
+    assert boolean_contains(b, a) == _is_empty(a)
+    assert _is_empty(_op_region(a, b, "intersection"))
+    assert boolean_equals(_op_region(a, b, "difference"), a)
+    assert boolean_equals(_op_region(b, a, "difference"), b)
+    assert boolean_equals(_op_region(a, b, "union"),
+                          _op_region(a, b, "symmetric_difference"))
+
+
+def _one_covering_pair(a, b):
+    # s2polygon_test.cc:541-548
+    assert boolean_contains(a, b) == _is_full(a)
+    assert boolean_contains(b, a) == _is_full(b)
+    assert _is_full(_op_region(a, b, "union"))
+
+
+def _one_overlapping_pair(a, b):
+    # s2polygon_test.cc:553-572
+    assert not boolean_contains(a, b)
+    assert not boolean_contains(b, a)
+    assert boolean_intersects(a, b)
+    assert not _is_full(_op_region(a, b, "union"))
+    assert not _is_empty(_op_region(a, b, "intersection"))
+    e = _op_region(b, a, "difference")
+    assert not _is_empty(e)
+    f = _op_region(a, b, "difference")
+    assert boolean_equals(
+        _op_region(e, f, "union"),
+        _op_region(a, b, "symmetric_difference"))
+
+
+def _complement_identities(a, b):
+    # TestOneComplementPair, s2polygon_test.cc:614-628: a−b == a∩b̄ and
+    # DeMorgan ā∪b == complement(a∩b̄) — one representative combination
+    # of the reference's four
+    a1, b1 = _complement(a), _complement(b)
+    a_and_b1 = _op_region(a, b1, "intersection")
+    assert boolean_equals(_op_region(a, b, "difference"), a_and_b1)
+    assert boolean_equals(_complement(_op_region(a1, b, "union")),
+                          a_and_b1)
+
+
+@pytest.mark.parametrize(
+    "a_name,b_name,contains,contained,intersects", RELATIONS,
+    ids=[f"{a}~{b}" for a, b, *_ in RELATIONS])
+def test_relation_identities(a_name, b_name, contains, contained,
+                             intersects):
+    a, b = _POLYGONS[a_name], _POLYGONS[b_name]
+    a1, b1 = _complement(a), _complement(b)
+    if contains:      # TestNestedPair(a, b), s2polygon_test.cc:576-586
+        _one_nested_pair(a, b)
+        _one_nested_pair(b1, a1)
+        _one_disjoint_pair(a1, b)
+        _one_covering_pair(a, b1)
+    if contained:     # TestNestedPair(b, a)
+        _one_nested_pair(b, a)
+        _one_nested_pair(a1, b1)
+        _one_disjoint_pair(b1, a)
+        _one_covering_pair(b, a1)
+    if not intersects:  # TestDisjointPair, s2polygon_test.cc:590-600
+        _one_disjoint_pair(a, b)
+        _one_covering_pair(a1, b1)
+        _one_nested_pair(a1, b)
+        _one_nested_pair(b1, a)
+    if intersects and not (contains or contained):
+        # TestOverlappingPair, s2polygon_test.cc:604-613 (the a1/b1
+        # combinations repeat the same identity on complements)
+        _one_overlapping_pair(a, b)
+    _complement_identities(a, b)
 
 
 def test_nested_to_lax_depths():
