@@ -306,6 +306,24 @@ class R1Interval:
             return R1Interval(self.lo, self.hi)
         return R1Interval(min(self.lo, o.lo), max(self.hi, o.hi))
 
+    def intersection(self, o: "R1Interval") -> "R1Interval":
+        # may be (lo > hi) = empty; callers normalize (r1interval.h)
+        return R1Interval(max(self.lo, o.lo), min(self.hi, o.hi))
+
+    def interior_contains_interval(self, o: "R1Interval") -> bool:
+        if o.is_empty():
+            return True
+        return o.lo > self.lo and o.hi < self.hi
+
+    def interior_intersects(self, o: "R1Interval") -> bool:
+        return (o.lo < self.hi and self.lo < o.hi
+                and self.lo < self.hi and o.lo <= o.hi)
+
+    def add_point(self, p: float) -> "R1Interval":
+        if self.is_empty():
+            return R1Interval(p, p)
+        return R1Interval(min(self.lo, p), max(self.hi, p))
+
 
 @dataclass
 class S1Interval:
@@ -331,6 +349,20 @@ class S1Interval:
         if S1Interval._positive_distance(p1, p2) <= math.pi:
             return S1Interval(p1, p2)
         return S1Interval(p2, p1)
+
+    @staticmethod
+    def from_bounds(lo: float, hi: float) -> "S1Interval":
+        """The reference's checked 2-arg constructor
+        (s1interval.h:224-228): -pi endpoints canonicalize to +pi
+        unless the other endpoint pins the seam (both fixups test the
+        ORIGINAL arguments, so (-pi, -pi) becomes the (pi, pi) point
+        interval, not Empty)."""
+        nlo, nhi = lo, hi
+        if lo == -math.pi and hi != math.pi:
+            nlo = math.pi
+        if hi == -math.pi and lo != math.pi:
+            nhi = math.pi
+        return S1Interval(nlo, nhi)
 
     @staticmethod
     def _positive_distance(a: float, b: float) -> float:
@@ -386,6 +418,26 @@ class S1Interval:
         if o.is_inverted():
             return o.lo <= self.hi or o.hi >= self.lo
         return o.lo <= self.hi and o.hi >= self.lo
+
+    def interior_contains_interval(self, o: "S1Interval") -> bool:
+        # s1interval.cc:102-110
+        if self.is_inverted():
+            if not o.is_inverted():
+                return o.lo > self.lo or o.hi < self.hi
+            return (o.lo > self.lo and o.hi < self.hi) or o.is_empty()
+        if o.is_inverted():
+            return self.is_full() or o.is_empty()
+        return (o.lo > self.lo and o.hi < self.hi) or self.is_full()
+
+    def interior_intersects(self, o: "S1Interval") -> bool:
+        # s1interval.cc:123-131
+        if self.is_empty() or o.is_empty() or self.lo == self.hi:
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo < self.hi or o.hi > self.lo
+        if o.is_inverted():
+            return o.lo < self.hi or o.hi > self.lo
+        return (o.lo < self.hi and o.hi > self.lo) or self.is_full()
 
     def expanded(self, margin: float) -> "S1Interval":
         if margin >= 0:
@@ -471,7 +523,8 @@ class LatLngRect:
                      lng_hi: float) -> "LatLngRect":
         return LatLngRect(
             R1Interval(math.radians(lat_lo), math.radians(lat_hi)),
-            S1Interval(math.radians(lng_lo), math.radians(lng_hi)))
+            S1Interval.from_bounds(math.radians(lng_lo),
+                                   math.radians(lng_hi)))
 
     @staticmethod
     def empty() -> "LatLngRect":
@@ -491,12 +544,77 @@ class LatLngRect:
     def contains_point(self, p) -> bool:
         return self.contains_latlng(_latitude(p), _longitude(p))
 
+    def interior_contains_latlng(self, lat_rad: float,
+                                 lng_rad: float) -> bool:
+        """S2LatLngRect::InteriorContains(S2LatLng)
+        (s2latlng_rect.cc:167-173)."""
+        return (self.lat.lo < lat_rad < self.lat.hi
+                and self.lng.interior_contains(lng_rad))
+
     def contains_rect(self, o: "LatLngRect") -> bool:
         return (self.lat.contains_interval(o.lat)
                 and self.lng.contains_interval(o.lng))
 
     def intersects_rect(self, o: "LatLngRect") -> bool:
         return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
+
+    def interior_contains_rect(self, o: "LatLngRect") -> bool:
+        """S2LatLngRect::InteriorContains (s2latlng_rect.cc:179-182)."""
+        return (self.lat.interior_contains_interval(o.lat)
+                and self.lng.interior_contains_interval(o.lng))
+
+    def interior_intersects_rect(self, o: "LatLngRect") -> bool:
+        """S2LatLngRect::InteriorIntersects (s2latlng_rect.cc:188-191)."""
+        return (self.lat.interior_intersects(o.lat)
+                and self.lng.interior_intersects(o.lng))
+
+    def union(self, o: "LatLngRect") -> "LatLngRect":
+        """S2LatLngRect::Union (s2latlng_rect.cc:160-163): smallest
+        rect containing both (lng union may be over-wide, as the
+        reference's S1Interval union is minimal but a rect union of
+        disjoint lng spans keeps the shorter bridge)."""
+        return LatLngRect(self.lat.union(o.lat), self.lng.union(o.lng))
+
+    def intersection(self, o: "LatLngRect") -> "LatLngRect":
+        """S2LatLngRect::Intersection (s2latlng_rect.cc:165-175):
+        componentwise interval intersection, normalized to the
+        canonical empty rect when either component is empty (the
+        result may be over-conservative for wrapped lng spans, same
+        as the reference)."""
+        lat = self.lat.intersection(o.lat)
+        lng = self.lng.intersection(o.lng)
+        if lat.is_empty() or lng.is_empty():
+            return LatLngRect.empty()
+        return LatLngRect(lat, lng)
+
+    def add_point(self, p) -> "LatLngRect":
+        """S2LatLngRect::AddPoint (s2latlng_rect.cc:118-126)."""
+        lat_rad, lng_rad = _latitude(p), _longitude(p)
+        return LatLngRect(self.lat.add_point(lat_rad),
+                          self.lng.union(S1Interval.from_point(lng_rad)))
+
+    def approx_equals(self, o: "LatLngRect",
+                      max_error_rad: float = 1e-15) -> bool:
+        """S2LatLngRect::ApproxEquals (s2latlng_rect.cc)."""
+        def r1_close(a: R1Interval, b: R1Interval) -> bool:
+            if a.is_empty():
+                return b.is_empty() or (b.hi - b.lo) <= 2 * max_error_rad
+            if b.is_empty():
+                return (a.hi - a.lo) <= 2 * max_error_rad
+            return (abs(a.lo - b.lo) <= max_error_rad
+                    and abs(a.hi - b.hi) <= max_error_rad)
+
+        def s1_close(a: S1Interval, b: S1Interval) -> bool:
+            if a.is_empty():
+                return b.is_empty() or b.get_length() <= 2 * max_error_rad
+            if b.is_empty():
+                return a.get_length() <= 2 * max_error_rad
+            return (abs(math.remainder(a.lo - b.lo, 2 * math.pi))
+                    <= max_error_rad
+                    and abs(math.remainder(a.hi - b.hi, 2 * math.pi))
+                    <= max_error_rad)
+
+        return r1_close(self.lat, o.lat) and s1_close(self.lng, o.lng)
 
     def expanded(self, lat_margin: float, lng_margin: float) -> "LatLngRect":
         lat = self.lat.expanded(lat_margin)
@@ -589,6 +707,11 @@ class Cap:
     def get_radius_rad(self) -> float:
         return -1.0 if self.is_empty() else chord2_to_angle(self.radius2)
 
+    def get_area(self) -> float:
+        """S2Cap::GetArea = 2*pi*height, height = chord2/2
+        (s2cap.cc:56-58)."""
+        return 2.0 * math.pi * max(0.0, 0.5 * self.radius2)
+
     def complement(self) -> "Cap":
         if self.is_full():
             return Cap.empty()
@@ -609,6 +732,123 @@ class Cap:
 
     def contains_point(self, p) -> bool:
         return chord2(self.center, p) <= self.radius2
+
+    def _dist_rad(self, o: "Cap") -> float:
+        c = _cross(self.center, o.center)
+        return math.atan2(math.sqrt(_norm2(c)),
+                          _dot(self.center, o.center))
+
+    def contains_cap(self, o: "Cap") -> bool:
+        """S2Cap::Contains(S2Cap) (s2cap.cc:72-75): radius >=
+        dist(centers) + other radius, with full/empty shortcuts."""
+        if self.is_full() or o.is_empty():
+            return True
+        if self.is_empty():
+            return False
+        return (self.get_radius_rad()
+                >= self._dist_rad(o) + o.get_radius_rad())
+
+    def intersects_cap(self, o: "Cap") -> bool:
+        """S2Cap::Intersects(S2Cap) (s2cap.cc:77-80)."""
+        if self.is_empty() or o.is_empty():
+            return False
+        return (self.get_radius_rad() + o.get_radius_rad()
+                >= self._dist_rad(o))
+
+    def interior_intersects_cap(self, o: "Cap") -> bool:
+        """S2Cap::InteriorIntersects (s2cap.cc:82-86): this cap needs
+        a non-empty interior (radius > 0)."""
+        if self.radius2 <= 0 or o.is_empty():
+            return False
+        return (self.get_radius_rad() + o.get_radius_rad()
+                > self._dist_rad(o))
+
+    def add_cap(self, o: "Cap") -> "Cap":
+        """S2Cap::AddCap (s2cap.cc:102-112): grow this cap's radius
+        (center unchanged) until it contains the other."""
+        if self.is_empty():
+            return Cap(o.center, o.radius2)
+        if o.is_empty():
+            return Cap(self.center, self.radius2)
+        dist = self._dist_rad(o) + o.get_radius_rad()
+        return Cap(self.center,
+                   max(self.radius2, angle_to_chord2(dist)))
+
+    def union(self, o: "Cap") -> "Cap":
+        """S2Cap::Union (s2cap.cc:120-140): the smallest cap
+        containing both — midpoint construction along the great
+        circle through the centers when neither engulfs the other."""
+        if self.get_radius_rad() < o.get_radius_rad():
+            return o.union(self)
+        if self.is_full() or o.is_empty():
+            return Cap(self.center, self.radius2)
+        r_a, r_b = self.get_radius_rad(), o.get_radius_rad()
+        dist = self._dist_rad(o)
+        if r_a >= dist + r_b:
+            return Cap(self.center, self.radius2)
+        result_radius = 0.5 * (dist + r_a + r_b)
+        # GetPointOnLine(center, o.center, 0.5*(dist - r_a + r_b))
+        t = 0.5 * (dist - r_a + r_b)
+        a = np.asarray(self.center, dtype=np.float64)
+        b = np.asarray(o.center, dtype=np.float64)
+        e2 = b - _dot(b, a) * a
+        nn = math.sqrt(_norm2(e2))
+        if nn == 0.0:
+            c = a
+        else:
+            c = a * math.cos(t) + (e2 / nn) * math.sin(t)
+            c = c / math.sqrt(_norm2(c))
+        return Cap(tuple(float(x) for x in c),
+                   angle_to_chord2(result_radius))
+
+    def approx_equals(self, o: "Cap", max_error_rad: float = 1e-14
+                      ) -> bool:
+        """S2Cap::ApproxEquals (s2cap.cc:206-216)."""
+        r2 = max_error_rad * max_error_rad
+        if (chord2(self.center, o.center) <= r2
+                and abs(self.get_radius_rad() - o.get_radius_rad())
+                <= max_error_rad):
+            return True
+        if self.is_empty():
+            return o.get_radius_rad() <= max_error_rad
+        if o.is_empty():
+            return self.get_radius_rad() <= max_error_rad
+        if self.is_full():
+            return o.get_radius_rad() >= math.pi - max_error_rad
+        if o.is_full():
+            return self.get_radius_rad() >= math.pi - max_error_rad
+        return False
+
+    def get_rect_bound(self) -> "LatLngRect":
+        """S2Cap::GetRectBound (s2cap.cc:150-196): pole checks + the
+        law-of-sines longitude extent."""
+        if self.is_empty():
+            return LatLngRect.empty()
+        center_lat = _latitude(self.center)
+        center_lng = _longitude(self.center)
+        cap_angle = self.get_radius_rad()
+        all_longitudes = False
+        lat_lo = center_lat - cap_angle
+        if lat_lo <= -math.pi / 2:
+            lat_lo = -math.pi / 2
+            all_longitudes = True
+        lat_hi = center_lat + cap_angle
+        if lat_hi >= math.pi / 2:
+            lat_hi = math.pi / 2
+            all_longitudes = True
+        if all_longitudes:
+            return LatLngRect(R1Interval(lat_lo, lat_hi),
+                              S1Interval.full())
+        sin_a = math.sin(cap_angle)
+        sin_c = math.cos(center_lat)
+        if sin_a > sin_c:
+            return LatLngRect(R1Interval(lat_lo, lat_hi),
+                              S1Interval.full())
+        angle_a = math.asin(sin_a / sin_c)
+        lo = math.remainder(center_lng - angle_a, 2 * math.pi)
+        hi = math.remainder(center_lng + angle_a, 2 * math.pi)
+        return LatLngRect(R1Interval(lat_lo, lat_hi),
+                          S1Interval(lo, hi))
 
     def _sin2(self) -> float:
         # sin^2(radius) = r2 * (1 - r2/4) for chord^2 r2

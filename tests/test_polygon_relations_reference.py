@@ -379,10 +379,9 @@ def test_overlap_fractions():
 
 def test_nested_to_lax_depths():
     """The converter reverses exactly the odd-depth loops: near_3210's
-    loops (near0, near2, near3, near1 order) nest as
-    near0⊂near1⊂near2⊂near3, so near1 (depth 3) and near3 (depth 1)
-    flip while near0 (depth 4... the hemisphere-free count is 3 others
-    containing near0) stays put only if its depth is even."""
+    loops nest as near0⊂near1⊂near2⊂near3, so in listed order
+    (near0, near2, near3, near1) the depths are (3, 1, 0, 2) and the
+    odd-depth loops near0 and near2 flip."""
     loops = [Loop(parse_vertices(s))
              for s in (NEAR0, NEAR2, NEAR3, NEAR1)]
     out = nested_loops_to_lax(loops)
