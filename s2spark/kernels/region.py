@@ -131,6 +131,24 @@ def latlng_to_point(lat_rad: float, lng_rad: float):
             math.sin(lat_rad))
 
 
+def point_angle(a, b) -> float:
+    """S1Angle(S2Point, S2Point): atan2(|a×b|, a·b) — scale-invariant
+    (callers pass the unnormalized bisector-intersection point)."""
+    c = _cross(a, b)
+    return math.atan2(math.sqrt(_norm2(c)), _dot(a, b))
+
+
+def _edge_angle_distance(x, a, b) -> float:
+    """S2::GetDistance(x, a, b) in radians (s2edge_distances.cc):
+    min over the geodesic edge (a, b) of the distance to unit x."""
+    from .edges import point_segment_chord2
+    c2 = float(point_segment_chord2(
+        np.asarray([x], dtype=np.float64),
+        np.asarray([a], dtype=np.float64),
+        np.asarray([b], dtype=np.float64))[0])
+    return chord2_to_angle(c2)
+
+
 # ---------------------------------------------------------------------------
 # S2Cell (geometry derived on the fly from the id; s2cell.cc)
 # ---------------------------------------------------------------------------
@@ -324,6 +342,24 @@ class R1Interval:
             return R1Interval(p, p)
         return R1Interval(min(self.lo, p), max(self.hi, p))
 
+    def get_center(self) -> float:
+        return 0.5 * (self.lo + self.hi)
+
+    def get_length(self) -> float:
+        return self.hi - self.lo
+
+    def interior_contains(self, p: float) -> bool:
+        return self.lo < p < self.hi
+
+    def directed_hausdorff(self, o: "R1Interval") -> float:
+        """R1Interval::GetDirectedHausdorffDistance (r1interval.h:
+        144-148): max over points of self of the distance to o."""
+        if self.is_empty():
+            return 0.0
+        if o.is_empty():
+            return math.inf
+        return max(0.0, self.hi - o.hi, o.lo - self.lo)
+
 
 @dataclass
 class S1Interval:
@@ -467,6 +503,40 @@ class S1Interval:
             return S1Interval.full()  # singleton -> full
         return S1Interval(self.hi, self.lo)
 
+    def get_center(self) -> float:
+        """S1Interval::GetCenter (s1interval.cc:44-52), range
+        (-pi, pi]."""
+        center = 0.5 * (self.lo + self.hi)
+        if not self.is_inverted():
+            return center
+        return center + math.pi if center <= 0 else center - math.pi
+
+    def get_complement_center(self) -> float:
+        """S1Interval::GetComplementCenter (s1interval.cc:54-60) —
+        singletons have a full complement, whose 'center' is the
+        antipodal point."""
+        if self.lo != self.hi:
+            return self.complement().get_center()
+        return self.hi + math.pi if self.hi <= 0 else self.hi - math.pi
+
+    def directed_hausdorff(self, o: "S1Interval") -> float:
+        """S1Interval::GetDirectedHausdorffDistance (s1interval.cc:
+        145-161): max over points of self of the distance to o,
+        realized either at o's complement center or at a matching
+        lo/hi endpoint pair."""
+        if o.contains_interval(self):
+            return 0.0  # includes the empty-self case
+        if o.is_empty():
+            return math.pi
+        occ = o.get_complement_center()
+        if self.contains(occ):
+            return S1Interval._positive_distance(o.hi, occ)
+        hi_hi = (S1Interval._positive_distance(o.hi, self.hi)
+                 if S1Interval(o.hi, occ).contains(self.hi) else 0.0)
+        lo_lo = (S1Interval._positive_distance(self.lo, o.lo)
+                 if S1Interval(occ, o.lo).contains(self.lo) else 0.0)
+        return max(hi_hi, lo_lo)
+
     def intersection(self, o: "S1Interval") -> "S1Interval":
         """s1interval.h Intersection semantics (two-piece overlaps
         return the shorter input)."""
@@ -568,6 +638,80 @@ class LatLngRect:
         return (self.lat.interior_intersects(o.lat)
                 and self.lng.interior_intersects(o.lng))
 
+    @staticmethod
+    def from_point_pair(lat1: float, lng1: float,
+                        lat2: float, lng2: float) -> "LatLngRect":
+        """S2LatLngRect::FromPointPair (radians): the minimal rect
+        containing both points (shorter longitude arc)."""
+        return LatLngRect(R1Interval.from_point_pair(lat1, lat2),
+                          S1Interval.from_point_pair(lng1, lng2))
+
+    @staticmethod
+    def from_point(lat: float, lng: float) -> "LatLngRect":
+        return LatLngRect(R1Interval(lat, lat), S1Interval.from_point(lng))
+
+    def get_distance_latlng(self, lat_rad: float, lng_rad: float
+                            ) -> float:
+        """S2LatLngRect::GetDistance(S2LatLng) in radians
+        (s2latlng_rect.cc:561-586): inside the longitude span the
+        distance is purely latitudinal; otherwise it is the distance
+        to the nearer longitudinal edge (picked by which half of the
+        complement the point falls in)."""
+        a = self
+        if a.lng.contains(lng_rad):
+            return max(0.0, lat_rad - a.lat.hi, a.lat.lo - lat_rad)
+        interval = S1Interval(a.lng.hi, a.lng.get_complement_center())
+        a_lng = a.lng.hi if interval.contains(lng_rad) else a.lng.lo
+        lo = latlng_to_point(a.lat.lo, a_lng)
+        hi = latlng_to_point(a.lat.hi, a_lng)
+        return _edge_angle_distance(latlng_to_point(lat_rad, lng_rad),
+                                    lo, hi)
+
+    def get_distance_rect(self, o: "LatLngRect") -> float:
+        """S2LatLngRect::GetDistance(S2LatLngRect) in radians
+        (s2latlng_rect.cc:506-559): 0 on intersection; a pure
+        latitude gap when the longitude spans overlap; otherwise the
+        min of the four point-to-longitudinal-edge distances between
+        the nearest pair of longitudinal edges."""
+        a, b = self, o
+        if a.lng.intersects(b.lng):
+            if a.lat.intersects(b.lat):
+                return 0.0
+            if a.lat.lo > b.lat.hi:
+                lo, hi = b.lat.hi, a.lat.lo
+            else:
+                lo, hi = a.lat.hi, b.lat.lo
+            return hi - lo
+        lo_hi = S1Interval.from_point_pair(a.lng.lo, b.lng.hi)
+        hi_lo = S1Interval.from_point_pair(a.lng.hi, b.lng.lo)
+        if lo_hi.get_length() < hi_lo.get_length():
+            a_lng, b_lng = a.lng.lo, b.lng.hi
+        else:
+            a_lng, b_lng = a.lng.hi, b.lng.lo
+        a_lo = latlng_to_point(a.lat.lo, a_lng)
+        a_hi = latlng_to_point(a.lat.hi, a_lng)
+        b_lo = latlng_to_point(b.lat.lo, b_lng)
+        b_hi = latlng_to_point(b.lat.hi, b_lng)
+        return min(_edge_angle_distance(a_lo, b_lo, b_hi),
+                   _edge_angle_distance(a_hi, b_lo, b_hi),
+                   _edge_angle_distance(b_lo, a_lo, a_hi),
+                   _edge_angle_distance(b_hi, a_lo, a_hi))
+
+    def get_directed_hausdorff(self, o: "LatLngRect") -> float:
+        """S2LatLngRect::GetDirectedHausdorffDistance in radians
+        (s2latlng_rect.cc:588-605): reduce to the longitudinal-edge
+        problem via the S1 directed Hausdorff of the lng spans."""
+        if self.is_empty():
+            return 0.0
+        if o.is_empty():
+            return math.pi
+        lng_distance = self.lng.directed_hausdorff(o.lng)
+        return _hausdorff_lng_edge(lng_distance, self.lat, o.lat)
+
+    def get_hausdorff(self, o: "LatLngRect") -> float:
+        return max(self.get_directed_hausdorff(o),
+                   o.get_directed_hausdorff(self))
+
     def union(self, o: "LatLngRect") -> "LatLngRect":
         """S2LatLngRect::Union (s2latlng_rect.cc:160-163): smallest
         rect containing both (lng union may be over-wide, as the
@@ -663,6 +807,72 @@ class LatLngRect:
 
     def get_cell_union_bound(self) -> list:
         return self.get_cap_bound().get_cell_union_bound()
+
+
+def _bisector_intersection(lat: R1Interval, lng: float):
+    """Intersection of longitude 0 with the perpendicular bisector of
+    the longitudinal edge at `lng` spanning `lat`
+    (s2latlng_rect.cc GetBisectorIntersection).  Unnormalized — the
+    consumers (latitude / point_angle) are scale-invariant."""
+    from .edges import _robust_cross
+    lng = abs(lng)
+    lat_center = lat.get_center()
+    if lat_center >= 0:
+        ortho_bisector = latlng_to_point(lat_center - math.pi / 2, lng)
+    else:
+        ortho_bisector = latlng_to_point(-lat_center - math.pi / 2,
+                                         lng - math.pi)
+    ortho_lng = np.array([0.0, -1.0, 0.0])
+    return _robust_cross(ortho_lng,
+                         np.asarray(ortho_bisector, dtype=np.float64))
+
+
+def _interior_max_distance(a_lat: R1Interval, b) -> float:
+    """Max distance from point b to the longitude-0 segment spanning
+    a_lat, IF realized in a_lat's interior, else -1
+    (s2latlng_rect.cc GetInteriorMaxDistance).  The farthest point is
+    the antipode of b's projection onto the y=0 plane."""
+    if a_lat.is_empty() or b[0] >= 0:
+        return -1.0
+    ip = _normalize((-b[0], 0.0, -b[2]))
+    if a_lat.interior_contains(_latitude(ip)):
+        return point_angle(b, ip)
+    return -1.0
+
+
+def _hausdorff_lng_edge(lng_diff: float, a: R1Interval, b: R1Interval
+                        ) -> float:
+    """Directed Hausdorff distance from the longitudinal edge
+    spanning latitudes `a` (at longitude 0 wlog) to the edge spanning
+    `b` at longitude `lng_diff` (s2latlng_rect.cc:607-680).  Case
+    analysis over b's three-edge Voronoi diagram on a's hemisphere:
+    the max is realized at a's endpoints, at the equator crossing
+    (lng_diff <= pi/2), or at the bisector crossing / the two
+    interior-farthest points (lng_diff > pi/2)."""
+    if lng_diff == 0:
+        return a.directed_hausdorff(b)
+    b_lng = lng_diff
+    b_lo = latlng_to_point(b.lo, b_lng)
+    b_hi = latlng_to_point(b.hi, b_lng)
+    a_lo = latlng_to_point(a.lo, 0.0)
+    a_hi = latlng_to_point(a.hi, 0.0)
+    max_distance = max(_edge_angle_distance(a_lo, b_lo, b_hi),
+                       _edge_angle_distance(a_hi, b_lo, b_hi))
+    if lng_diff <= math.pi / 2:
+        if a.contains(0.0) and b.contains(0.0):
+            max_distance = max(max_distance, lng_diff)
+    else:
+        p = _bisector_intersection(b, b_lng)
+        p_lat = _latitude(p)
+        if a.contains(p_lat):
+            max_distance = max(max_distance, point_angle(p, b_lo))
+        if p_lat > a.lo:
+            max_distance = max(max_distance, _interior_max_distance(
+                R1Interval(a.lo, min(p_lat, a.hi)), b_lo))
+        if p_lat < a.hi:
+            max_distance = max(max_distance, _interior_max_distance(
+                R1Interval(max(p_lat, a.lo), a.hi), b_hi))
+    return max_distance
 
 
 # ---------------------------------------------------------------------------
