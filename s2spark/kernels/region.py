@@ -149,6 +149,17 @@ def _edge_angle_distance(x, a, b) -> float:
     return chord2_to_angle(c2)
 
 
+def _seg_max_angle(x, a, b) -> float:
+    """S2::UpdateMaxDistance(x, a, b) in radians (s2edge_distances.cc:
+    236-250): the endpoint max when it stays within the hemisphere around
+    x; past pi/2 the interior of the edge can be further, and the max is
+    pi minus the min distance from the antipode of x."""
+    m = max(chord2(x, a), chord2(x, b))
+    if m <= 2.0:  # S1ChordAngle::Right
+        return chord2_to_angle(m)
+    return math.pi - _edge_angle_distance(_neg(x), a, b)
+
+
 # ---------------------------------------------------------------------------
 # S2Cell (geometry derived on the fly from the id; s2cell.cc)
 # ---------------------------------------------------------------------------
@@ -247,6 +258,129 @@ class Cell:
             r = LatLngRect(R1Interval(-math.pi / 2, -pole_min_lat),
                            S1Interval.full())
         return r.expanded(DBL_EPSILON, 0.0)
+
+    # -- distance API (s2cell.cc:322-560) ---------------------------------
+    # All public methods return RADIANS.  Internally the minimum side works
+    # in chord^2 through kernels.edges.point_segment_chord2, which already
+    # folds the reference's VertexChordDist / EdgeDistance decision tree
+    # (closest point on a geodesic segment is either interior or an
+    # endpoint) into one clamped projection.
+
+    def _uvw(self, p):
+        """FaceXYZtoUVW: p expressed in this face's (u-axis, v-axis, norm)
+        frame (s2coords.h:189)."""
+        return (_dot(p, get_u_axis(self.face)),
+                _dot(p, get_v_axis(self.face)),
+                _dot(p, get_norm(self.face)))
+
+    def _uvw_inside(self, p) -> bool:
+        """True iff p lies in the closed wedge intersection of the four
+        edge great circles — the reference's dir00..dir11 sign tests
+        (s2cell.cc:369-404): dirIJ = p_u - p_w*u_bound etc."""
+        u, v, w = self._uvw(p)
+        return (u - w * self.u_lo >= 0 and u - w * self.u_hi <= 0 and
+                v - w * self.v_lo >= 0 and v - w * self.v_hi <= 0)
+
+    def _vertices(self) -> np.ndarray:
+        return np.asarray([self.get_vertex(k) for k in range(4)],
+                          dtype=np.float64)
+
+    def _boundary_distance2(self, p) -> float:
+        """min chord^2 from p to the four boundary edges."""
+        from .edges import point_segment_chord2
+        va = self._vertices()
+        vb = np.roll(va, -1, axis=0)
+        pp = np.broadcast_to(np.asarray(p, dtype=np.float64), (4, 3))
+        return float(point_segment_chord2(pp, va, vb).min())
+
+    def get_distance(self, p) -> float:
+        """S2Cell::GetDistance(S2Point) in radians (s2cell.cc:421-423):
+        zero for points in the (closed) cell, else boundary distance."""
+        if self._uvw_inside(p):
+            return 0.0
+        return chord2_to_angle(self._boundary_distance2(p))
+
+    def get_boundary_distance(self, p) -> float:
+        """S2Cell::GetBoundaryDistance (s2cell.cc:425-427): distance to the
+        boundary even for interior points."""
+        return chord2_to_angle(self._boundary_distance2(p))
+
+    def get_max_distance(self, p) -> float:
+        """S2Cell::GetMaxDistance(S2Point) in radians (s2cell.cc:429-445):
+        vertex max if within the hemisphere around p, else pi minus the
+        minimum distance to the antipode."""
+        vmax = max(chord2(p, tuple(v)) for v in self._vertices())
+        if vmax <= 2.0:  # S1ChordAngle::Right
+            return chord2_to_angle(vmax)
+        return math.pi - self.get_distance(_neg(p))
+
+    def get_distance_edge(self, a, b) -> float:
+        """S2Cell::GetDistance(a, b) in radians (s2cell.cc:447-489):
+        min distance from the cell to the geodesic edge (a, b)."""
+        from .edges import point_segment_chord2
+        from .predicates import crossing_sign
+        if self._uvw_inside(a) or self._uvw_inside(b):
+            return 0.0
+        va = self._vertices()
+        vb = np.roll(va, -1, axis=0)
+        aa = np.broadcast_to(np.asarray(a, dtype=np.float64), (4, 3))
+        bb = np.broadcast_to(np.asarray(b, dtype=np.float64), (4, 3))
+        if (crossing_sign(aa, bb, va, vb) >= 0).any():
+            return 0.0
+        # endpoint-to-boundary and cell-vertex-to-edge-interior minima
+        d2 = min(self._boundary_distance2(a), self._boundary_distance2(b),
+                 float(point_segment_chord2(va, aa, bb).min()))
+        return chord2_to_angle(d2)
+
+    def get_max_distance_edge(self, a, b) -> float:
+        """S2Cell::GetMaxDistance(a, b) in radians (s2cell.cc:491-501)."""
+        m = max(self.get_max_distance(a), self.get_max_distance(b))
+        if m <= 0.5 * math.pi:
+            return m
+        return math.pi - self.get_distance_edge(_neg(a), _neg(b))
+
+    def _uv_intersects(self, o: "Cell") -> bool:
+        return (self.u_lo <= o.u_hi and o.u_lo <= self.u_hi and
+                self.v_lo <= o.v_hi and o.v_lo <= self.v_hi)
+
+    def get_distance_cell(self, o: "Cell") -> float:
+        """S2Cell::GetDistance(S2Cell) in radians (s2cell.cc:503-532):
+        zero when the (u,v) rects touch on the same face (cells sharing a
+        partial edge or corner count as intersecting), else the min over
+        all 32 (vertex of one, edge of the other) pairs."""
+        from .edges import point_segment_chord2
+        if self.face == o.face and self._uv_intersects(o):
+            return 0.0
+        va, vb = self._vertices(), o._vertices()
+        d2 = min(
+            float(point_segment_chord2(
+                np.repeat(va, 4, axis=0), np.tile(vb, (4, 1)),
+                np.tile(np.roll(vb, -1, axis=0), (4, 1))).min()),
+            float(point_segment_chord2(
+                np.repeat(vb, 4, axis=0), np.tile(va, (4, 1)),
+                np.tile(np.roll(va, -1, axis=0), (4, 1))).min()))
+        return chord2_to_angle(d2)
+
+    def get_max_distance_cell(self, o: "Cell") -> float:
+        """S2Cell::GetMaxDistance(S2Cell) in radians (s2cell.cc:534-560):
+        pi when the antipodal image of o (transposed uv on the opposite
+        face) intersects this cell, else the max over the 32
+        (vertex, edge) pairs."""
+        opp_face = o.face - 3 if o.face >= 3 else o.face + 3
+        if self.face == opp_face:
+            # antipodal uv rect = transpose of o's uv rect
+            if (self.u_lo <= o.v_hi and o.v_lo <= self.u_hi and
+                    self.v_lo <= o.u_hi and o.u_lo <= self.v_hi):
+                return math.pi
+        va, vb = self._vertices(), o._vertices()
+        m = 0.0
+        for verts, edges in ((va, vb), (vb, va)):
+            e1 = np.roll(edges, -1, axis=0)
+            for x in verts:
+                for j in range(4):
+                    m = max(m, _seg_max_angle(tuple(x), tuple(edges[j]),
+                                              tuple(e1[j])))
+        return m
 
     def _get_latitude(self, i: int, j: int) -> float:
         p = _face_uv_to_xyz(self.face, self.u_lo if i == 0 else self.u_hi,
