@@ -127,3 +127,128 @@ def build_polygon_boundaries(
         polygons.append(children.get(k, []) + [(ci, li)])
     polygons.append(children.get(-1, []))
     return polygons
+
+
+# ---------------------------------------------------------------------------
+# S2ShapeNestingQuery (s2shape_nesting_query.h:47-95, .cc:97-288)
+# ---------------------------------------------------------------------------
+
+def shape_nesting(chains: list[np.ndarray],
+                  datum_chain: int = 0) -> list[dict]:
+    """Evaluate shell/hole relations between the chains of one polygon
+    shape (S2ShapeNestingQuery::ComputeShapeNesting).  Chains follow the
+    lax convention (interior on the left); the result is one dict per
+    chain: {"parent": chain_id or -1, "holes": [chain ids]}.  Shells
+    have parent -1; a hole's parent is its immediate enclosing shell.
+
+    The classification shoots a geodesic segment from the datum chain
+    (default: first chain, the reference's FirstChain strategy) to a
+    nearby vertex of each other chain, seeds the parity state from the
+    wedge tests at both endpoints, toggles per crossed chain, reduces
+    the parent sets transitively, and finally detaches even-depth
+    chains (the even/odd rule).  Matches the reference including the
+    shared-vertex fallback (neighbor-vertex probes when the segment
+    would be degenerate)."""
+    from .predicates import crossing_sign, ordered_ccw
+
+    n = len(chains)
+    if n == 0:
+        return []
+    if n == 1:
+        return [{"parent": -1, "holes": []}]
+
+    chains = [np.asarray(c, dtype=np.float64) for c in chains]
+    parents: list[set] = [set() for _ in range(n)]
+    children: list[set] = [set() for _ in range(n)]
+
+    datum = chains[datum_chain]
+    v0, v1, v2 = (tuple(datum[0]), tuple(datum[1]),
+                  tuple(datum[2 % len(datum)]))
+    start_point = v1
+
+    # flat edge table over ALL chains (the crossing query's shape scope)
+    e0 = np.concatenate([c for c in chains], axis=0)
+    e1 = np.concatenate([np.roll(c, -1, axis=0) for c in chains], axis=0)
+    edge_chain = np.concatenate([np.full(len(c), k, dtype=np.int64)
+                                 for k, c in enumerate(chains)])
+
+    for chain in range(n):
+        if chain == datum_chain:
+            continue
+        verts = chains[chain]
+        m = len(verts)
+        # closest of 4 equally spaced sample vertices (.cc:44-66)
+        step = max(1, m // 4)
+        idxs = [(i * step) % m for i in range(4)]
+        d2 = [float(np.sum((np.asarray(start_point) - verts[k]) ** 2))
+              for k in idxs]
+        end_idx = idxs[int(np.argmin(d2))]
+        end_point = tuple(verts[end_idx])
+        start_end_same = end_point == start_point
+
+        nxt = tuple(verts[(end_idx + 1) % m])
+        prv = tuple(verts[end_idx - 1])
+        own_bit = False
+
+        # does the segment start into the datum shell's interior?
+        safe_end = prv if start_end_same else end_point
+        if ordered_ccw(v2, safe_end, v0, start_point):
+            parents[chain].add(datum_chain)
+            children[datum_chain].add(chain)
+        # ... and arrive from the target chain's interior?
+        safe_start = v0 if start_end_same else start_point
+        if ordered_ccw(nxt, safe_start, prv, end_point):
+            own_bit = True
+
+        if not start_end_same:
+            sp = np.broadcast_to(np.asarray(start_point), e0.shape)
+            ep = np.broadcast_to(np.asarray(end_point), e0.shape)
+            crossing = crossing_sign(sp, ep, e0, e1) > 0  # INTERIOR only
+            for other in edge_chain[crossing]:
+                other = int(other)
+                if other == chain:
+                    own_bit = not own_bit
+                else:
+                    parents[chain] ^= {other}
+                    children[other] ^= {chain}
+
+        # datum stays a candidate only if the segment was inside BOTH
+        if not (own_bit and datum_chain in parents[chain]):
+            parents[chain].discard(datum_chain)
+            children[datum_chain].discard(chain)
+
+    # transitive reduction: a single-parent chain removes its parent
+    # from all of its children (with backtracking, .cc:224-259)
+    current = 0
+    while current < n:
+        if len(parents[current]) != 1:
+            current += 1
+            continue
+        parent_chain = next(iter(parents[current]))
+        nxt_chain = current
+        for child in sorted(children[current]):
+            if parent_chain in parents[child]:
+                parents[child].discard(parent_chain)
+                if len(parents[child]) == 1 and child < nxt_chain:
+                    nxt_chain = child
+        # backtrack to a child that just became single-parented
+        current = nxt_chain if nxt_chain != current else current + 1
+
+    relations = [{"parent": -1, "holes": []} for _ in range(n)]
+    for chain in range(n):
+        assert len(parents[chain]) <= 1, (chain, parents[chain])
+        if parents[chain]:
+            p = next(iter(parents[chain]))
+            relations[chain]["parent"] = p
+            relations[p]["holes"].append(chain)
+
+    # even/odd rule: detach even-depth chains into shells (.cc:272-285;
+    # sequential — later depth walks see earlier detachments)
+    for chain in range(n):
+        depth, cur = -1, chain
+        while cur >= 0 and depth < n:
+            depth += 1
+            cur = relations[cur]["parent"]
+        if depth and depth % 2 == 0:
+            relations[chain]["parent"] = -1
+    return relations
