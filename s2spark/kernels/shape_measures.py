@@ -26,12 +26,109 @@ __all__ = [
     "polyline_length", "polyline_centroid",
     "loop_signed_area", "loop_perimeter", "loop_centroid",
     "collection_measures", "region_area", "overlap_fractions",
+    "stable_angle", "angle", "turn_angle",
+    "area", "girard_area", "signed_area", "planar_centroid",
 ]
 
 
 def _angle(a: np.ndarray, b: np.ndarray) -> float:
     c = np.cross(a, b)
     return float(np.arctan2(np.linalg.norm(c), np.dot(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# Point-level measures (s2measures.h / s2measures.cc:39-165)
+# ---------------------------------------------------------------------------
+
+def _rcross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a+b) x (b-a) = 2 a x b — the RobustCrossProd identity: much
+    better orthogonality for nearly (anti)parallel unit inputs
+    (s2edge_crossings.cc RobustCrossProd, minus the exact-arithmetic
+    escalation; an exactly-degenerate result falls back to an
+    arbitrary orthogonal like the reference's symbolic tail)."""
+    c = np.cross(a + b, b - a)
+    if float(np.dot(c, c)) > 0.0:
+        return c
+    ref = np.array([0.0, 0.0, 1.0]) if abs(float(a[2])) < 0.9 \
+        else np.array([1.0, 0.0, 0.0])
+    return np.cross(a, ref)
+
+
+def stable_angle(a: np.ndarray, b: np.ndarray) -> float:
+    """Kahan's stable angle between unit vectors:
+    2*atan2(|a-b|, |a+b|) (s2measures.cc:82-86) — keeps full relative
+    precision for nearly (anti)parallel inputs where
+    atan2(|axb|, a.b) loses half its bits."""
+    return 2.0 * math.atan2(float(np.linalg.norm(a - b)),
+                            float(np.linalg.norm(a + b)))
+
+
+def angle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Interior angle at b of the triangle (a, b, c) in [0, pi]
+    (s2measures.cc:39-43): the angle between the great-circle normals
+    of (a,b) and (c,b), robust when two inputs nearly coincide."""
+    return _angle(_rcross(a, b), _rcross(c, b))
+
+
+def turn_angle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Exterior (turn) angle at b in (-pi, pi]: positive for a left
+    turn, negative for a right turn, with the sign decided by the
+    robust Sign predicate so turns near 180 degrees come out right
+    (s2measures.cc:45-57)."""
+    from . import predicates
+    t = _angle(_rcross(a, b), _rcross(b, c))
+    return t if predicates._sign_scalar(tuple(a), tuple(b),
+                                        tuple(c)) > 0 else -t
+
+
+def girard_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Girard's formula via angles between robust cross products
+    (s2measures.cc:149-160) — handles a == b == c without a special
+    case and stays accurate for near-degenerate triangles."""
+    ab = _rcross(a, b)
+    bc = _rcross(b, c)
+    ac = _rcross(a, c)
+    return max(0.0, _angle(ab, ac) - _angle(ab, bc) + _angle(bc, ac))
+
+
+def area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Unsigned spherical triangle area: l'Huilier's theorem with the
+    reference's Girard fallback for long skinny triangles
+    (s2measures.cc:87-147).  The dispatch constants (s >= 3e-4,
+    dmin < 1e-2*s^5, dmin < s*(0.1*(area + 5e-15))) are the
+    reference's — they decide which formula's error bound wins."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    sa = stable_angle(b, c)
+    sb = stable_angle(c, a)
+    sc = stable_angle(a, b)
+    s = 0.5 * (sa + sb + sc)
+    if s >= 3e-4:
+        s2 = s * s
+        dmin = s - max(sa, sb, sc)
+        if dmin < 1e-2 * s * s2 * s2:
+            g = girard_area(a, b, c)
+            if dmin < s * (0.1 * (g + 5e-15)):
+                return g
+    return 4.0 * math.atan(math.sqrt(max(
+        0.0, math.tan(0.5 * s) * math.tan(0.5 * (s - sa))
+        * math.tan(0.5 * (s - sb)) * math.tan(0.5 * (s - sc)))))
+
+
+def signed_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Area with the orientation sign (s2measures.cc:162-164)."""
+    from . import predicates
+    return predicates._sign_scalar(tuple(a), tuple(b),
+                                   tuple(c)) * area(a, b, c)
+
+
+def planar_centroid(a: np.ndarray, b: np.ndarray,
+                    c: np.ndarray) -> np.ndarray:
+    """Centroid of the PLANAR triangle (a, b, c) — not projected to
+    the sphere, norm < 1 (s2centroids.cc PlanarCentroid)."""
+    return (np.asarray(a, dtype=np.float64) + np.asarray(b, np.float64)
+            + np.asarray(c, np.float64)) / 3.0
 
 
 def true_centroid_edge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
