@@ -485,6 +485,22 @@ class R1Interval:
     def interior_contains(self, p: float) -> bool:
         return self.lo < p < self.hi
 
+    def project(self, p: float) -> float:
+        """Closest point of the (non-empty) interval to p
+        (r1interval.h:172-175)."""
+        return min(max(p, self.lo), self.hi)
+
+    def approx_equals(self, o: "R1Interval",
+                      max_error: float = 1e-15) -> bool:
+        """r1interval.h:214-219 — the empty interval matches any
+        interval of length <= 2*max_error."""
+        if self.is_empty():
+            return o.get_length() <= 2 * max_error
+        if o.is_empty():
+            return self.get_length() <= 2 * max_error
+        return (abs(o.lo - self.lo) <= max_error
+                and abs(o.hi - self.hi) <= max_error)
+
     def directed_hausdorff(self, o: "R1Interval") -> float:
         """R1Interval::GetDirectedHausdorffDistance (r1interval.h:
         144-148): max over points of self of the distance to o."""
