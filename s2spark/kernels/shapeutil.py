@@ -252,3 +252,163 @@ def shape_nesting(chains: list[np.ndarray],
         if depth and depth % 2 == 0:
             relations[chain]["parent"] = -1
     return relations
+
+
+# ---------------------------------------------------------------------------
+# S2Shape chain accessors + convenience helpers over VShape
+# (s2shapeutil_edge_wrap.h/.cc, s2shapeutil_count_edges.h,
+#  s2shapeutil_count_vertices.h/.cc, s2shapeutil_conversion.h/.cc,
+#  s2shapeutil_contains_brute_force.h/.cc)
+#
+# The engine's shape collections are validation.VShape values (dim +
+# list of (n,3) chains, lax semantics); these helpers give them the
+# reference's S2Shape chain/edge API so one-off lookups and shape
+# conversions don't each re-derive the chain arithmetic.
+# ---------------------------------------------------------------------------
+
+def shape_chains(shape) -> list[tuple[int, int]]:
+    """(start_edge, num_edges) per chain, in the reference's S2Shape
+    numbering: dim 0 has ONE CHAIN PER POINT (each a degenerate edge),
+    dim 1 chains hold n-1 edges, dim 2 lax chains are closed with n
+    edges (a 1-vertex loop is one degenerate edge)."""
+    out: list[tuple[int, int]] = []
+    start = 0
+    for v in shape.chains:
+        n = len(v)
+        if shape.dim == 0:
+            for _ in range(n):
+                out.append((start, 1))
+                start += 1
+        elif shape.dim == 1:
+            ln = max(0, n - 1)
+            out.append((start, ln))
+            start += ln
+        else:
+            out.append((start, n))
+            start += n
+    return out
+
+
+def shape_num_edges(shape) -> int:
+    return sum(ln for _, ln in shape_chains(shape))
+
+
+def count_edges(shapes, max_edges: int | None = None) -> int:
+    """CountEdges / CountEdgesUpTo (s2shapeutil_count_edges.h:28-59):
+    total edges+points across the collection, stopping early once
+    max_edges is reached (the running total is returned as-is)."""
+    total = 0
+    for s in shapes:
+        total += shape_num_edges(s)
+        if max_edges is not None and total >= max_edges:
+            break
+    return total
+
+
+def count_vertices(shapes) -> int:
+    """CountVertices (s2shapeutil_count_vertices.cc:25-53): dim 0 ->
+    num_chains (= points); dim 1 -> edges + chains (open polylines);
+    dim 2 -> edges (closed chains reuse their first vertex)."""
+    total = 0
+    for s in shapes:
+        ch = shape_chains(s)
+        ne = sum(ln for _, ln in ch)
+        if s.dim == 0:
+            total += len(ch)
+        elif s.dim == 1:
+            total += ne + len(ch)
+        else:
+            total += ne
+    return total
+
+
+def chain_position(shape, edge_id: int) -> tuple[int, int]:
+    """edge id -> (chain_id, offset) (S2Shape::chain_position)."""
+    for ci, (start, ln) in enumerate(shape_chains(shape)):
+        if start <= edge_id < start + ln:
+            return ci, edge_id - start
+    raise IndexError(edge_id)
+
+
+def _chain_closed(shape, chain_id: int) -> bool:
+    # dim-1 chain wraps iff last vertex == first vertex bit-exactly
+    v = shape.chains[chain_id]
+    return len(v) >= 2 and bool(np.all(v[0] == v[-1]))
+
+
+def next_edge_wrap(shape, edge_id: int) -> int:
+    """s2shapeutil_edge_wrap.cc NextEdgeWrap: polygon chains always
+    wrap; polyline chains wrap only when closed (last == first
+    vertex); points always return -1."""
+    chains = shape_chains(shape)
+    ci, off = chain_position(shape, edge_id)
+    start, ln = chains[ci]
+    if shape.dim == 2:
+        return start + (off + 1) % ln
+    if shape.dim == 1:
+        if off == ln - 1:
+            return start if _chain_closed(shape, ci) else -1
+        return start + off + 1
+    return -1
+
+
+def prev_edge_wrap(shape, edge_id: int) -> int:
+    """s2shapeutil_edge_wrap.cc PrevEdgeWrap (mirror of next)."""
+    chains = shape_chains(shape)
+    ci, off = chain_position(shape, edge_id)
+    start, ln = chains[ci]
+    if shape.dim == 2:
+        return start + (off - 1) % ln
+    if shape.dim == 1:
+        if off == 0:
+            return start + ln - 1 if _chain_closed(shape, ci) else -1
+        return start + off - 1
+    return -1
+
+
+def shape_to_points(shape) -> np.ndarray:
+    """ShapeToS2Points (s2shapeutil_conversion.cc): a dim-0 shape's
+    vertices as one (n,3) array (empty shapes allowed)."""
+    if shape.dim != 0:
+        raise ValueError("shape_to_points needs a dim-0 shape")
+    if not shape.chains:
+        return np.zeros((0, 3), dtype=np.float64)
+    return np.concatenate([c for c in shape.chains], axis=0)
+
+
+def shape_to_polyline(shape) -> np.ndarray:
+    """ShapeToS2Polyline: first (and only) chain's vertices; the shape
+    must be dim 1 with at most one chain and must not be empty."""
+    if shape.dim != 1:
+        raise ValueError("shape_to_polyline needs a dim-1 shape")
+    if len(shape.chains) != 1 or len(shape.chains[0]) == 0:
+        raise ValueError("shape must contain exactly one non-empty chain")
+    return np.asarray(shape.chains[0], dtype=np.float64)
+
+
+def shape_to_polygon(shape) -> list[np.ndarray]:
+    """ShapeToS2Polygon: each closed chain as a loop vertex array (the
+    engine's polygon model IS a loop list, so this is the accessor +
+    validation half of the reference conversion)."""
+    if shape.dim != 2:
+        raise ValueError("shape_to_polygon needs a dim-2 shape")
+    return [np.asarray(c, dtype=np.float64) for c in shape.chains]
+
+
+def contains_brute_force(shape, points: np.ndarray) -> np.ndarray:
+    """ContainsBruteForce (s2shapeutil_contains_brute_force.cc:26-41)
+    vectorized over probe points: dim < 2 shapes have no interior; a
+    dim-2 shape contains a point per the lax even/odd crossing parity
+    (builder._parity_contains implements the GetReferencePoint
+    calibration).  Boundaries follow the engine's crossing-parity
+    convention (the reference's semi-open model)."""
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    if shape.dim < 2:
+        return np.zeros(len(points), dtype=bool)
+    if getattr(shape, "is_full", False) and not shape.chains:
+        return np.ones(len(points), dtype=bool)
+    if not shape.chains:
+        return np.zeros(len(points), dtype=bool)
+    from .builder import _parity_contains
+    loops = [Loop(c) for c in shape.chains]
+    return _parity_contains(loops, points)
