@@ -636,17 +636,79 @@ class S1Interval:
                 return self
             if self.get_length() + 2 * margin - 2 * DBL_EPSILON <= 0:
                 return S1Interval.empty()
-        lo = math.remainder(self.lo - margin, 2 * math.pi)
-        hi = math.remainder(self.hi + margin, 2 * math.pi)
-        if lo <= -math.pi:
-            lo = math.pi
-        return S1Interval(lo, hi)
+        # the reference builds the result with the CHECKED constructor
+        # (canonicalizes a -pi endpoint to +pi) and then re-fixes lo
+        r = S1Interval.from_bounds(
+            math.remainder(self.lo - margin, 2 * math.pi),
+            math.remainder(self.hi + margin, 2 * math.pi))
+        if r.lo <= -math.pi:
+            return S1Interval(math.pi, r.hi)
+        return r
 
     @staticmethod
     def from_point(p: float) -> "S1Interval":
         if p == -math.pi:
             p = math.pi
         return S1Interval(p, p)
+
+    def is_valid(self) -> bool:
+        """s1interval.h is_valid: endpoints in [-pi, pi] and -pi only
+        appears as part of the Full() interval."""
+        return (abs(self.lo) <= math.pi and abs(self.hi) <= math.pi
+                and not (self.lo == -math.pi and self.hi != math.pi)
+                and not (self.hi == -math.pi and self.lo != math.pi))
+
+    def fast_contains(self, p: float) -> bool:
+        """s1interval.h FastContains — no -pi canonicalization."""
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def add_point(self, p: float) -> "S1Interval":
+        """S1Interval::AddPoint (s1interval.cc): grow toward the
+        nearer endpoint; adding never makes a non-full interval full."""
+        if p == -math.pi:
+            p = math.pi
+        if self.fast_contains(p):
+            return self
+        if self.is_empty():
+            return S1Interval(p, p)
+        dlo = S1Interval._positive_distance(p, self.lo)
+        dhi = S1Interval._positive_distance(self.hi, p)
+        if dlo < dhi:
+            return S1Interval(p, self.hi)
+        return S1Interval(self.lo, p)
+
+    def project(self, p: float) -> float:
+        """Closest point of the (non-empty) interval to p
+        (s1interval.cc Project)."""
+        if p == -math.pi:
+            p = math.pi
+        if self.fast_contains(p):
+            return p
+        dlo = S1Interval._positive_distance(p, self.lo)
+        dhi = S1Interval._positive_distance(self.hi, p)
+        return self.lo if dlo < dhi else self.hi
+
+    def approx_equals(self, o: "S1Interval",
+                      max_error: float = 1e-15) -> bool:
+        """s1interval.cc ApproxEquals: empty matches any interval of
+        length <= 2e, full matches any of length >= 2(pi - e); the
+        length test rejects endpoint swaps that invert the interval."""
+        if self.is_empty():
+            return o.get_length() <= 2 * max_error
+        if o.is_empty():
+            return self.get_length() <= 2 * max_error
+        if self.is_full():
+            return o.get_length() >= 2 * (math.pi - max_error)
+        if o.is_full():
+            return self.get_length() >= 2 * (math.pi - max_error)
+        return (abs(math.remainder(o.lo - self.lo, 2 * math.pi))
+                <= max_error
+                and abs(math.remainder(o.hi - self.hi, 2 * math.pi))
+                <= max_error
+                and abs(self.get_length() - o.get_length())
+                <= 2 * max_error)
 
     def complement(self) -> "S1Interval":
         if self.lo == self.hi:
