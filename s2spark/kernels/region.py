@@ -65,8 +65,123 @@ def angle_to_chord2(rad: float) -> float:
     """angle radians -> chord^2 (4*sin^2(angle/2)), saturating at 4."""
     if rad < 0:
         return -1.0
+    if rad == math.inf:
+        return math.inf
     s = math.sin(0.5 * min(rad, math.pi))
     return 4.0 * s * s
+
+
+# ---------------------------------------------------------------------------
+# S1ChordAngle algebra over raw chord^2 doubles (s1chord_angle.h/.cc).
+# The engine's convention everywhere is to carry chord angles as their
+# squared chord length: -1 = Negative(), 4 = Straight(), inf = Infinity().
+# ---------------------------------------------------------------------------
+
+CHORD2_NEGATIVE = -1.0
+CHORD2_STRAIGHT = 4.0
+CHORD2_INFINITY = math.inf
+
+
+def chord2_from_length2(length2: float) -> float:
+    """FromLength2: clamp to the 180-degree maximum (s1chord_angle.h:
+    183-187)."""
+    return min(4.0, length2)
+
+
+def chord2_fast_upper_bound(rad: float) -> float:
+    """FastUpperBoundFrom (s1chord_angle.h:178-181, :386): chord <=
+    angle, so angle^2 is a cheap conservative chord^2 upper bound."""
+    return chord2_from_length2(rad * rad)
+
+
+def chord2_is_special(c2: float) -> bool:
+    return c2 < 0 or c2 == math.inf
+
+
+def chord2_successor(c2: float) -> float:
+    """Smallest representable chord^2 larger than c2
+    (s1chord_angle.cc:45-49): Negative -> Zero, Straight -> Infinity."""
+    if c2 >= 4.0:
+        return CHORD2_INFINITY
+    if c2 < 0.0:
+        return 0.0
+    return math.nextafter(c2, 10.0)
+
+
+def chord2_predecessor(c2: float) -> float:
+    """Largest representable chord^2 smaller than c2
+    (s1chord_angle.cc:51-55): Zero -> Negative, Infinity -> Straight."""
+    if c2 <= 0.0:
+        return CHORD2_NEGATIVE
+    if c2 > 4.0:
+        return CHORD2_STRAIGHT
+    return math.nextafter(c2, -10.0)
+
+
+def chord2_add(a2: float, b2: float) -> float:
+    """Angle addition without leaving chord^2 space
+    (s1chord_angle.cc:80-112): c = 2 sin(A+B) via the half-angle
+    product form; clamps at 180 degrees.  REQUIRES non-special args."""
+    if b2 == 0.0:
+        return a2
+    if a2 + b2 >= 4.0:
+        return CHORD2_STRAIGHT
+    x = a2 * (1 - 0.25 * b2)
+    y = b2 * (1 - 0.25 * a2)
+    return min(4.0, x + y + 2 * math.sqrt(x * y))
+
+
+def chord2_sub(a2: float, b2: float) -> float:
+    """Angle subtraction (s1chord_angle.cc:114-128); two square roots
+    to avoid cancellation when a2 ~ b2.  REQUIRES non-special args."""
+    if b2 == 0.0:
+        return a2
+    if a2 <= b2:
+        return 0.0
+    x = a2 * (1 - 0.25 * b2)
+    y = b2 * (1 - 0.25 * a2)
+    c = max(0.0, math.sqrt(x) - math.sqrt(y))
+    return c * c
+
+
+def chord2_sin2(c2: float) -> float:
+    """sin^2 of the full angle (s1chord_angle.cc:137-145)."""
+    return c2 * (1 - 0.25 * c2)
+
+
+def chord2_sin(c2: float) -> float:
+    return math.sqrt(chord2_sin2(c2))
+
+
+def chord2_cos(c2: float) -> float:
+    """cos(2A) = 1 - 2 sin^2(A) (s1chord_angle.cc:151-155)."""
+    return 1 - 0.5 * c2
+
+
+def chord2_tan(c2: float) -> float:
+    s, c = chord2_sin(c2), chord2_cos(c2)
+    if c == 0.0:
+        return math.inf if s > 0 else 0.0
+    return s / c
+
+
+def chord2_plus_error(c2: float, error: float) -> float:
+    """PlusError (s1chord_angle.cc:57-62): specials unchanged,
+    otherwise clamp into [0, 4]."""
+    if chord2_is_special(c2):
+        return c2
+    return max(0.0, min(4.0, c2 + error))
+
+
+def chord2_point_constructor_max_error(c2: float) -> float:
+    """s1chord_angle.cc:64-71: max error of chord^2 computed from two
+    normalized points."""
+    return 4.5 * DBL_EPSILON * c2 + 16 * DBL_EPSILON * DBL_EPSILON
+
+
+def chord2_angle_constructor_max_error(c2: float) -> float:
+    """s1chord_angle.cc:73-78."""
+    return 1.5 * DBL_EPSILON * c2
 
 
 def _face_uv_to_xyz(face: int, u: float, v: float):
