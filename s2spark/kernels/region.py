@@ -246,6 +246,33 @@ def latlng_to_point(lat_rad: float, lng_rad: float):
             math.sin(lat_rad))
 
 
+def latlng_is_valid(lat_rad: float, lng_rad: float) -> bool:
+    """S2LatLng::is_valid (s2latlng.h): |lat| <= pi/2 and |lng| <= pi
+    (inf / nan fail both comparisons)."""
+    return abs(lat_rad) <= math.pi / 2 and abs(lng_rad) <= math.pi
+
+
+def latlng_normalized(lat_rad: float, lng_rad: float
+                      ) -> tuple[float, float]:
+    """S2LatLng::Normalized (s2latlng.cc:56-66): clamp latitude, wrap
+    longitude with IEEE remainder; non-finite inputs stay invalid."""
+    if not (math.isfinite(lat_rad) and math.isfinite(lng_rad)):
+        return (math.pi, math.inf)  # S2LatLng::Invalid()
+    return (max(-math.pi / 2, min(math.pi / 2, lat_rad)),
+            math.remainder(lng_rad, 2 * math.pi))
+
+
+def latlng_distance(lat1: float, lng1: float,
+                    lat2: float, lng2: float) -> float:
+    """S2LatLng::GetDistance (s2latlng.cc): haversine, radians.  Has
+    the haversine error profile (up to ~1.5e-6 rad near antipodes);
+    use point_angle on xyz for the accurate path."""
+    dlat = math.sin(0.5 * (lat2 - lat1))
+    dlng = math.sin(0.5 * (lng2 - lng1))
+    x = dlat * dlat + dlng * dlng * math.cos(lat1) * math.cos(lat2)
+    return 2 * math.asin(math.sqrt(min(1.0, x)))
+
+
 def point_angle(a, b) -> float:
     """S1Angle(S2Point, S2Point): atan2(|a×b|, a·b) — scale-invariant
     (callers pass the unnormalized bisector-intersection point)."""
