@@ -1469,3 +1469,38 @@ class Cap:
                                     np.array([self.center[2]]))
         return [int(v) for v in
                 cellid.append_vertex_neighbors(center_id, lev)[0]]
+
+
+class PointRegion:
+    """S2PointRegion (s2point_region.h:37-70): a region containing a
+    single unit point — useful for completeness wherever the region
+    protocol (coverer, region algebra) expects an object.  Contains
+    no cell, may-intersects exactly the cells whose closed boundary
+    holds the point."""
+
+    __slots__ = ("point",)
+
+    def __init__(self, point):
+        self.point = (float(point[0]), float(point[1]), float(point[2]))
+
+    def get_cap_bound(self) -> "Cap":
+        return Cap.from_point(self.point)
+
+    def get_rect_bound(self) -> "LatLngRect":
+        return LatLngRect.from_point(_latitude(self.point),
+                                     _longitude(self.point))
+
+    def get_cell_union_bound(self) -> list:
+        x, y, z = self.point
+        leaf = cellid.from_xyz(np.array([x]), np.array([y]), np.array([z]))
+        return [int(leaf[0])]
+
+    def contains_cell(self, cell: "Cell") -> bool:
+        return False
+
+    def may_intersect_cell(self, cell: "Cell") -> bool:
+        return cell.contains_point(self.point)
+
+    def contains_point(self, p) -> bool:
+        return (self.point[0] == p[0] and self.point[1] == p[1]
+                and self.point[2] == p[2])

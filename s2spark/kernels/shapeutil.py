@@ -412,3 +412,55 @@ def contains_brute_force(shape, points: np.ndarray) -> np.ndarray:
     from .builder import _parity_contains
     loops = [Loop(c) for c in shape.chains]
     return _parity_contains(loops, points)
+
+
+# ---------------------------------------------------------------------------
+# Shape constructors (s2lax_loop_shape.h, s2edge_vector_shape.h,
+# s2point_vector_shape.h): build VShape values with the reference
+# shapes' chain semantics so the accessors above apply uniformly.
+# ---------------------------------------------------------------------------
+
+def point_vector_shape(points) -> "VShape":
+    """S2PointVectorShape: dim 0, one degenerate edge per point (each
+    point is its own chain in shape_chains)."""
+    from .validation import VShape
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    return VShape(0, [pts] if len(pts) else [])
+
+
+def edge_vector_shape(edges) -> "VShape":
+    """S2EdgeVectorShape: an arbitrary set of edges, each its own
+    one-edge chain (s2edge_vector_shape.h:30-43)."""
+    from .validation import VShape
+    chains = [np.asarray([a, b], dtype=np.float64) for a, b in edges]
+    return VShape(1, chains)
+
+
+def lax_loop_shape(vertices) -> "VShape":
+    """S2LaxLoopShape: one closed chain surrounding an interior;
+    duplicate vertices allowed, 0/1/2-vertex loops valid
+    (s2lax_loop_shape.h:46-54)."""
+    from .validation import VShape
+    v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    return VShape(2, [v] if len(v) else [])
+
+
+def lax_closed_polyline_shape(vertices) -> "VShape":
+    """S2LaxClosedPolylineShape: like the lax loop but dimension 1 —
+    no interior (s2lax_loop_shape.h:101-112).  The closing edge is
+    materialized by repeating the first vertex, which is exactly the
+    condition next/prev_edge_wrap detect as a closed chain."""
+    from .validation import VShape
+    v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    if len(v) >= 2:
+        v = np.concatenate([v, v[:1]], axis=0)
+    return VShape(1, [v] if len(v) else [])
+
+
+def vertex_id_lax_loop_shape(vertex_ids, vertex_array) -> "VShape":
+    """S2VertexIdLaxLoopShape: loop vertices as indices into an
+    existing vertex array (s2lax_loop_shape.h:127-150)."""
+    from .validation import VShape
+    arr = np.asarray(vertex_array, dtype=np.float64).reshape(-1, 3)
+    ids = np.asarray(vertex_ids, dtype=np.int64)
+    return VShape(2, [arr[ids]] if len(ids) else [])
