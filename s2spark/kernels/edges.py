@@ -410,3 +410,105 @@ def polyline_uninterpolate(verts: np.ndarray, p: np.ndarray,
     for i in range(next_vertex, n):
         length_sum += _angle_between(v[i - 1], v[i])
     return min(1.0, length_to_point / length_sum)
+
+
+# ---------------------------------------------------------------------------
+# Edge-pair distances (s2edge_distances.cc:327-430): min/max distance
+# between two geodesic edges and the closest point pair.  Vectorized
+# over (n,3) edge arrays — the kernel behind geometry-to-geometry
+# distance (the reference's ShapeIndexTarget regime).
+# ---------------------------------------------------------------------------
+
+def edge_pair_min_chord2(a0, a1, b0, b1) -> np.ndarray:
+    """Min chord² between edges (a0,a1) and (b0,b1)
+    (UpdateEdgePairMinDistance, s2edge_distances.cc:327-351): zero when
+    the edges cross or touch (CrossingSign >= 0), else the min over the
+    four endpoint-to-other-edge distances."""
+    from . import predicates
+    a0 = np.asarray(a0, dtype=np.float64).reshape(-1, 3)
+    a1 = np.asarray(a1, dtype=np.float64).reshape(-1, 3)
+    b0 = np.asarray(b0, dtype=np.float64).reshape(-1, 3)
+    b1 = np.asarray(b1, dtype=np.float64).reshape(-1, 3)
+    d2 = np.minimum.reduce([
+        point_segment_chord2(a0, b0, b1),
+        point_segment_chord2(a1, b0, b1),
+        point_segment_chord2(b0, a0, a1),
+        point_segment_chord2(b1, a0, a1),
+    ])
+    crossing = predicates.crossing_sign(a0, a1, b0, b1) >= 0
+    return np.where(crossing, 0.0, d2)
+
+
+def point_edge_max_chord2(x, a, b) -> np.ndarray:
+    """Max chord² from point x to edge (a,b) (UpdateMaxDistance,
+    s2edge_distances.cc): the farther endpoint, unless the result
+    exceeds 90° — then the true max is 180° minus the min distance of
+    the ANTIPODE of x to the edge (the far side of the great circle)."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1, 3)
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 3)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 3)
+    cand = np.maximum(_norm2(x - a), _norm2(x - b))
+    needs = cand > 2.0  # Right() in chord² space
+    if np.any(needs):
+        dmin = point_segment_chord2(-x[needs], a[needs], b[needs])
+        # S1ChordAngle Straight() - dist: with a.length2()==4 the
+        # reference's x + y - 2*sqrt(x*y) collapses to exactly
+        # x = 4*(1 - 0.25*dmin) (y term vanishes).
+        alt = 4.0 * (1.0 - 0.25 * dmin)
+        cand = cand.copy()
+        cand[needs] = np.maximum(cand[needs], alt)
+    return cand
+
+
+def edge_pair_max_chord2(a0, a1, b0, b1) -> np.ndarray:
+    """Max chord² between two edges (UpdateEdgePairMaxDistance,
+    s2edge_distances.cc:353-377): 180° when edge a crosses the
+    REFLECTION of edge b (the edges span antipodal directions), else
+    the max over the four endpoint-to-other-edge maxima."""
+    from . import predicates
+    a0 = np.asarray(a0, dtype=np.float64).reshape(-1, 3)
+    a1 = np.asarray(a1, dtype=np.float64).reshape(-1, 3)
+    b0 = np.asarray(b0, dtype=np.float64).reshape(-1, 3)
+    b1 = np.asarray(b1, dtype=np.float64).reshape(-1, 3)
+    d2 = np.maximum.reduce([
+        point_edge_max_chord2(a0, b0, b1),
+        point_edge_max_chord2(a1, b0, b1),
+        point_edge_max_chord2(b0, a0, a1),
+        point_edge_max_chord2(b1, a0, a1),
+    ])
+    antipodal = predicates.crossing_sign(a0, a1, -b0, -b1) >= 0
+    return np.where(antipodal, 4.0, d2)
+
+
+def edge_pair_closest_points(a0, a1, b0, b1):
+    """Closest point pair between two edges (GetEdgePairClosestPoints,
+    s2edge_distances.cc:396-430).  Scalar (driver-side) helper: the
+    crossing case returns the exact intersection twice; otherwise the
+    projection of the minimizing endpoint onto the other edge."""
+    from . import predicates
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    if int(predicates.crossing_sign(a0[None], a1[None], b0[None],
+                                    b1[None])[0]) > 0:
+        x = edge_intersection(a0, a1, b0, b1)
+        return x, x
+    cands = [
+        (float(point_segment_chord2(a0[None], b0[None], b1[None])[0]),
+         0),
+        (float(point_segment_chord2(a1[None], b0[None], b1[None])[0]),
+         1),
+        (float(point_segment_chord2(b0[None], a0[None], a1[None])[0]),
+         2),
+        (float(point_segment_chord2(b1[None], a0[None], a1[None])[0]),
+         3),
+    ]
+    _, best = min(cands)
+    if best == 0:
+        return a0, project_to_edge(a0, b0, b1)
+    if best == 1:
+        return a1, project_to_edge(a1, b0, b1)
+    if best == 2:
+        return project_to_edge(b0, a0, a1), b0
+    return project_to_edge(b1, a0, a1), b1

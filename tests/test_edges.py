@@ -377,3 +377,129 @@ def test_batched_edge_covering_throughput():
     edge_cover.edge_coverings_batch(a, b, level=12)
     per_edge = (time.time() - t0) / n
     assert per_edge < 1e-3, f"{per_edge*1e3:.2f} ms/edge"
+
+
+# ---------------------------------------------------------------------------
+# Edge-pair min/max distance + closest points: the reference's
+# EdgePairMinDistance / EdgePairMaxDistance batteries
+# (s2edge_distances_test.cc:425-577).
+# ---------------------------------------------------------------------------
+
+def _unit(p):
+    p = np.asarray(p, dtype=np.float64)
+    return p / np.linalg.norm(p)
+
+
+def _chord2_to_rad(d2):
+    return 2.0 * np.arcsin(0.5 * np.sqrt(np.clip(d2, 0.0, 4.0)))
+
+
+def _check_pair_min(a0, a1, b0, b1, dist_rad, exp_a, exp_b):
+    a0, a1, b0, b1 = map(_unit, (a0, a1, b0, b1))
+    d2 = ek.edge_pair_min_chord2(a0[None], a1[None], b0[None], b1[None])
+    assert abs(float(_chord2_to_rad(d2)[0]) - dist_rad) < 1e-15, (
+        a0, a1, b0, b1)
+    ca, cb = ek.edge_pair_closest_points(a0, a1, b0, b1)
+    if exp_a is None:  # either endpoint of a is acceptable
+        assert np.allclose(ca, a0, atol=1e-14) or \
+            np.allclose(ca, a1, atol=1e-14)
+    else:
+        assert np.allclose(ca, _unit(exp_a), atol=1e-12), (ca, exp_a)
+    if exp_b is None:
+        assert np.allclose(cb, b0, atol=1e-14) or \
+            np.allclose(cb, b1, atol=1e-14)
+    else:
+        assert np.allclose(cb, _unit(exp_b), atol=1e-12), (cb, exp_b)
+
+
+def test_edge_pair_min_distance_reference():
+    """s2edge_distances_test.cc:456-515 (EdgePairMinDistance)."""
+    pi = math.pi
+    # one edge degenerate
+    _check_pair_min((1, 0, 1), (1, 0, 1), (1, -1, 0), (1, 1, 0),
+                    pi / 4, (1, 0, 1), (1, 0, 0))
+    _check_pair_min((1, -1, 0), (1, 1, 0), (1, 0, 1), (1, 0, 1),
+                    pi / 4, (1, 0, 0), (1, 0, 1))
+    # both degenerate
+    _check_pair_min((1, 0, 0), (1, 0, 0), (0, 1, 0), (0, 1, 0),
+                    pi / 2, (1, 0, 0), (0, 1, 0))
+    # both degenerate and antipodal
+    _check_pair_min((1, 0, 0), (1, 0, 0), (-1, 0, 0), (-1, 0, 0),
+                    pi, (1, 0, 0), (-1, 0, 0))
+    # two identical edges
+    _check_pair_min((1, 0, 0), (0, 1, 0), (1, 0, 0), (0, 1, 0),
+                    0.0, None, None)
+    # both degenerate and identical
+    _check_pair_min((1, 0, 0), (1, 0, 0), (1, 0, 0), (1, 0, 0),
+                    0.0, (1, 0, 0), (1, 0, 0))
+    # edges sharing exactly one vertex (all 4 arrangements)
+    _check_pair_min((1, 0, 0), (0, 1, 0), (0, 1, 0), (0, 1, 1),
+                    0.0, (0, 1, 0), (0, 1, 0))
+    _check_pair_min((0, 1, 0), (1, 0, 0), (0, 1, 0), (0, 1, 1),
+                    0.0, (0, 1, 0), (0, 1, 0))
+    _check_pair_min((1, 0, 0), (0, 1, 0), (0, 1, 1), (0, 1, 0),
+                    0.0, (0, 1, 0), (0, 1, 0))
+    _check_pair_min((0, 1, 0), (1, 0, 0), (0, 1, 1), (0, 1, 0),
+                    0.0, (0, 1, 0), (0, 1, 0))
+    # interiors cross
+    _check_pair_min((1, -1, 0), (1, 1, 0), (1, 0, -1), (1, 0, 1),
+                    0.0, (1, 0, 0), (1, 0, 0))
+    # closest at endpoints, more than one pair equally distant
+    _check_pair_min((1, -1, 0), (1, 1, 0), (-1, 0, 0), (-1, 0, 1),
+                    math.acos(-0.5), None, (-1, 0, 1))
+    _check_pair_min((-1, 0, 0), (-1, 0, 1), (1, -1, 0), (1, 1, 0),
+                    math.acos(-0.5), (-1, 0, 1), None)
+    _check_pair_min((1, -1, 0), (1, 1, 0), (-1, 0, -1), (-1, 0, 1),
+                    math.acos(-0.5), None, None)
+
+
+def _check_pair_max(a0, a1, b0, b1, dist_rad):
+    a0, a1, b0, b1 = map(_unit, (a0, a1, b0, b1))
+    d2 = ek.edge_pair_max_chord2(a0[None], a1[None], b0[None], b1[None])
+    assert abs(float(_chord2_to_rad(d2)[0]) - dist_rad) < 1e-15, (
+        a0, a1, b0, b1)
+
+
+def test_edge_pair_max_distance_reference():
+    """s2edge_distances_test.cc:534-577 (EdgePairMaxDistance)."""
+    pi = math.pi
+    # standard: same hemisphere, not degenerate
+    _check_pair_max((1, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1),
+                    math.acos(1 / math.sqrt(3)))
+    # one edge degenerate
+    _check_pair_max((1, 0, 1), (1, 0, 1), (1, -1, 0), (1, 1, 0),
+                    math.acos(0.5))
+    _check_pair_max((1, -1, 0), (1, 1, 0), (1, 0, 1), (1, 0, 1),
+                    math.acos(0.5))
+    # both degenerate
+    _check_pair_max((1, 0, 0), (1, 0, 0), (0, 1, 0), (0, 1, 0), pi / 2)
+    # both degenerate and antipodal
+    _check_pair_max((1, 0, 0), (1, 0, 0), (-1, 0, 0), (-1, 0, 0), pi)
+    # two identical edges
+    _check_pair_max((1, 0, 0), (0, 1, 0), (1, 0, 0), (0, 1, 0), pi / 2)
+    # both degenerate and identical
+    _check_pair_max((1, 0, 0), (1, 0, 0), (1, 0, 0), (1, 0, 0), 0.0)
+    # antipodal reflection of one edge crosses the other
+    _check_pair_max((1, 0, 1), (1, 0, -1), (-1, -1, 0), (-1, 1, 0), pi)
+    # vertex of one edge touches interior of the other's reflection
+    _check_pair_max((1, 0, 1), (1, 0, 0), (-1, -1, 0), (-1, 1, 0), pi)
+
+
+def test_edge_pair_min_chord2_vectorized_vs_scalar():
+    """Batch rows must equal one-row calls (the kernel is the inner
+    loop of geometry-to-geometry distance joins)."""
+    rng = np.random.default_rng(11)
+    n = 300
+    pts = rng.normal(size=(4, n, 3))
+    pts /= np.linalg.norm(pts, axis=2, keepdims=True)
+    a0, a1, b0, b1 = pts
+    # make some rows degenerate / shared-vertex / crossing
+    a1[:30] = a0[:30]
+    b0[30:60] = a0[30:60]
+    got_min = ek.edge_pair_min_chord2(a0, a1, b0, b1)
+    got_max = ek.edge_pair_max_chord2(a0, a1, b0, b1)
+    for i in range(0, n, 7):
+        one_min = ek.edge_pair_min_chord2(a0[i], a1[i], b0[i], b1[i])
+        one_max = ek.edge_pair_max_chord2(a0[i], a1[i], b0[i], b1[i])
+        assert float(one_min[0]) == float(got_min[i])
+        assert float(one_max[0]) == float(got_max[i])
