@@ -285,6 +285,37 @@ def q_track_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+EDGE_WITHIN_RADIUS = 0.05  # radians — the edge-target max_distance
+
+
+def q_edge_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ClosestEdgeQuery with an EDGE target (ShapeIndexTarget +
+    max_distance, s2closest_edge_query.h:75-135, s2distance_target.h):
+    geometry-to-geometry distance as a distributed join — every
+    (track edge, loop edge) pair within 0.05 rad with the exact
+    edge-pair chord² (kernels.edges.edge_pair_min_chord2 =
+    UpdateEdgePairMinDistance, s2edge_distances.cc:327-351) and a
+    per-track-edge nearness rank.  Candidates come from fixed-level
+    coverings of BOTH sides with the disc_join neighbor-ring
+    guarantee (ops/edges.edge_within_join); the brute SQL oracle
+    recomputes min-of-four segment chord² with the crossing override
+    bit-exactly over all pairs."""
+    from s2spark.ops import edges as edge_ops
+    from s2spark.ops import pip as _p
+    ev = dataset.geotagged_events(spark, sf_dir) \
+        .where(F.col("user_id") % 10 == 0) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    seg = edge_ops.track_edge_frame(ev, "user_id", ["ts", "event_id"])
+    out = edge_ops.edge_within_join(seg, spark, _p.synth_loops(15),
+                                    EDGE_WITHIN_RADIUS)
+    return out.select(F.col("poly_id").cast("long").alias("user_id"),
+                      F.col("edge_id").cast("long").alias("seq"),
+                      F.col("t_poly").cast("long").alias("poly_id"),
+                      F.col("t_edge").cast("long").alias("edge_id"),
+                      "dist2",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_cell_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-preserving hex token codec (s2cell_id.cc:221-258)."""
     ev = dataset.geotagged_events(spark, sf_dir).select("event_id",
@@ -1242,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "track_segments": q_track_segments,
         "track_project": q_track_project,
+        "edge_within": q_edge_within,
         "pip_join": q_pip_join,
         "image_meta": q_image_meta,
         "image_pipeline": q_image_pipeline,
@@ -1711,6 +1743,53 @@ def _geometry_oracles() -> dict[str, str]:
         f"dist2, poly_id, edge_id) AS INTEGER) AS rank FROM dist) "
         f"SELECT * FROM r WHERE rank <= 1")
 
+    # --- edge_within: brute edge-pair min chord² over all pairs ---
+    # UpdateEdgePairMinDistance re-expressed in SQL: per pair, the MIN
+    # of the four endpoint-to-other-segment chord² (each via the
+    # tri-dialect _seg_chord2_cte, identical double op order), with
+    # crossing pairs overridden to exactly 0.0 — then the same
+    # max_distance filter + (dist2, poly_id, edge_id) rank as Spark.
+    e15w = _edges_values(loops15, cols=("cx", "cy", "cz",
+                                        "dx", "dy", "dz"))
+    import math as _mm
+    ew_r2 = _f17((2.0 * _mm.sin(0.5 * EDGE_WITHIN_RADIUS)) ** 2)
+    ew_keep = "user_id, seq, t_poly, t_edge"
+    ew_base = (
+        f"SELECT s.poly_id AS user_id, s.edge_id AS seq, "
+        f"_e.poly_id AS t_poly, _e.edge_id AS t_edge, "
+        f"s.ax, s.ay, s.az, s.bx, s.by, s.bz, "
+        f"_e.cx, _e.cy, _e.cz, _e.dx, _e.dy, _e.dz "
+        f"FROM {eseg} s, {e15w}")
+    ew_roles = " UNION ALL ".join(
+        f"SELECT {ew_keep}, {px} AS x, {py} AS y, {pz} AS z, "
+        f"{sa} AS ax, {sb} AS ay, {sc} AS az, "
+        f"{sd} AS bx, {se} AS by, {sf_} AS bz FROM ewb"
+        for (px, py, pz, sa, sb, sc, sd, se, sf_) in (
+            ("ax", "ay", "az", "cx", "cy", "cz", "dx", "dy", "dz"),
+            ("bx", "by", "bz", "cx", "cy", "cz", "dx", "dy", "dz"),
+            ("cx", "cy", "cz", "ax", "ay", "az", "bx", "by", "bz"),
+            ("dx", "dy", "dz", "ax", "ay", "az", "bx", "by", "bz")))
+    ew_crx = _crossing_flag_sql(("ax", "ay", "az"), ("bx", "by", "bz"),
+                                ("cx", "cy", "cz"), ("dx", "dy", "dz"))
+    edge_within = (
+        f"WITH ewb AS ({ew_base}), roles AS ({ew_roles}), "
+        f"{_seg_chord2_cte('roles', ew_keep)}, "
+        f"m AS (SELECT {ew_keep}, MIN(dist2) AS mind FROM dist "
+        f"GROUP BY 1, 2, 3, 4), "
+        f"cr AS (SELECT {ew_keep} FROM ewb WHERE {ew_crx}), "
+        f"fin AS (SELECT m.user_id, m.seq, m.t_poly, m.t_edge, "
+        f"CASE WHEN cr.user_id IS NOT NULL THEN CAST(0 AS DOUBLE) "
+        f"ELSE m.mind END AS dist2 FROM m LEFT JOIN cr "
+        f"USING (user_id, seq, t_poly, t_edge)), "
+        f"flt AS (SELECT * FROM fin WHERE dist2 <= {ew_r2}) "
+        f"SELECT CAST(user_id AS BIGINT) AS user_id, "
+        f"CAST(seq AS BIGINT) AS seq, "
+        f"CAST(t_poly AS BIGINT) AS poly_id, "
+        f"CAST(t_edge AS BIGINT) AS edge_id, dist2, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY user_id, seq "
+        f"ORDER BY dist2, t_poly, t_edge) AS INTEGER) AS rank "
+        f"FROM flt")
+
     # --- crossing_edges: brute-force CrossingSign over all pairs ---
     e15x = _edges_values(loops15, cols=("cx", "cy", "cz",
                                         "dx", "dy", "dz"))
@@ -1992,6 +2071,7 @@ def _geometry_oracles() -> dict[str, str]:
         "closest_edge": closest,
         "polygon_distance": polygon_distance,
         "track_project": track_project,
+        "edge_within": edge_within,
         "crossing_edges": crossing,
         "pip_join": pip_sql,
         "polygon_pip": poly_sql,

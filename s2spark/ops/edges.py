@@ -546,3 +546,101 @@ def track_project_join(points: DataFrame, spark: SparkSession,
     return closest_edge_join(points, spark, point_id=point_id,
                              k=1, level=level, edge_index=idx,
                              n_edges=n_edges)
+
+
+@pandas_udf(DoubleType())
+def _edge_pair_min_chord2_udf(ax, ay, az, bx, by, bz,
+                              cx, cy, cz, dx, dy, dz):
+    from ..kernels import edges as ek
+    a0 = np.column_stack([ax, ay, az]).astype(np.float64)
+    a1 = np.column_stack([bx, by, bz]).astype(np.float64)
+    b0 = np.column_stack([cx, cy, cz]).astype(np.float64)
+    b1 = np.column_stack([dx, dy, dz]).astype(np.float64)
+    return pd.Series(ek.edge_pair_min_chord2(a0, a1, b0, b1))
+
+
+def edge_within_join(query_edges: DataFrame, spark: SparkSession,
+                     loops: dict[int, Loop], radius_rad: float,
+                     level: int | None = None,
+                     query_cols: tuple[str, str] = ("poly_id",
+                                                    "edge_id")
+                     ) -> DataFrame:
+    """All (query edge, indexed edge) pairs within `radius_rad` — the
+    S2ClosestEdgeQuery edge-target regime (ShapeIndexTarget +
+    max_distance, s2closest_edge_query.h:75-135, s2distance_target
+    UpdateMinDistance over edges): geometry-to-geometry distance as a
+    distributed join.
+
+    query_edges: (query_cols..., ax..az, bx..bz) — e.g. the
+    track_edge_frame contract.  `loops` is the indexed (broadcast)
+    side; for a large indexed side feed track_edge_index's
+    (icell, ...) frame to crossing/closest joins instead.
+
+    Plan (no cross join): the indexed edges are covered driver-side
+    at level L = disc_level(radius) and broadcast; each query edge's
+    fixed-level covering cell is expanded by
+    ceil(radius / kMinWidth(L)) neighbor rings (any point within
+    `radius` of a covering cell lies within that many rings — the
+    disc_join guarantee re-derived for edges: if dist(A,B) <= r then
+    the level-L cells of the closest points p in A, q in B are
+    covering members of each side and d(cell_p, cell_q) <= r).  The
+    exact vectorized edge-pair chord² kernel
+    (kernels.edges.edge_pair_min_chord2) filters candidates and a
+    window ranks survivors per query edge."""
+    import math
+
+    from ..kernels import cellid as ck
+    from ..kernels import edge_cover
+    from .joins import disc_level
+
+    r2 = _angle_chord2(radius_rad)
+    lv = disc_level(radius_rad) if level is None else level
+    rings = max(1, int(math.ceil(
+        radius_rad / metrics.MIN_WIDTH.get_value(lv))))
+
+    # indexed side: driver-side fixed-level covering, broadcast
+    pa, pb, pid_l, eid_l = [], [], [], []
+    for pid in sorted(loops):
+        v = loops[pid].vertices
+        for e in range(loops[pid].n):
+            pa.append(v[e])
+            pb.append(v[(e + 1) % loops[pid].n])
+            pid_l.append(pid)
+            eid_l.append(e)
+    ta = np.asarray(pa, dtype=np.float64)
+    tb = np.asarray(pb, dtype=np.float64)
+    eidx, cells = edge_cover.edge_coverings_batch(ta, tb, level=lv)
+    idx_pdf = pd.DataFrame({
+        "icell": ck.as_i64(cells),
+        "t_poly": np.asarray(pid_l, dtype=np.int64)[eidx],
+        "t_edge": np.asarray(eid_l, dtype=np.int64)[eidx],
+        "cx": ta[eidx, 0], "cy": ta[eidx, 1], "cz": ta[eidx, 2],
+        "dx": tb[eidx, 0], "dy": tb[eidx, 1], "dz": tb[eidx, 2],
+    })
+    index_df = F.broadcast(spark.createDataFrame(idx_pdf))
+
+    qp, qe = query_cols
+    cov = s2f.make_edge_covering_udf(min_level=lv)
+    cand_cells = (
+        query_edges
+        .withColumn("_cov", cov(F.col("ax"), F.col("ay"), F.col("az"),
+                                F.col("bx"), F.col("by"), F.col("bz")))
+        .withColumn("_c0", F.explode("_cov"))
+        .withColumn("_ring", s2f.s2_disk_cells(
+            F.col("_c0"), F.lit(lv), F.lit(rings)))
+        .withColumn("icell", F.explode("_ring"))
+        .drop("_cov", "_c0", "_ring")
+        .dropDuplicates([qp, qe, "icell"]))
+    pairs = (cand_cells.join(index_df, "icell")
+             .dropDuplicates([qp, qe, "t_poly", "t_edge"]))
+    hits = (pairs
+            .withColumn("dist2", _edge_pair_min_chord2_udf(
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+                F.col("cx"), F.col("cy"), F.col("cz"),
+                F.col("dx"), F.col("dy"), F.col("dz")))
+            .where(F.col("dist2") <= F.lit(r2)))
+    w = Window.partitionBy(qp, qe).orderBy("dist2", "t_poly",
+                                           "t_edge")
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .select(qp, qe, "t_poly", "t_edge", "dist2", "rank"))

@@ -503,3 +503,58 @@ def test_edge_pair_min_chord2_vectorized_vs_scalar():
         one_max = ek.edge_pair_max_chord2(a0[i], a1[i], b0[i], b1[i])
         assert float(one_min[0]) == float(got_min[i])
         assert float(one_max[0]) == float(got_max[i])
+
+
+def test_edge_within_join_vs_brute(spark):
+    """edge_within_join (covering + ring candidates + exact kernel)
+    must equal the all-pairs kernel sweep — including at radii coarse
+    enough to push the covering to level <= 1, where neighbor-ring
+    coverage is the round-1 postmortem hazard (one ring of face cells
+    covers only 5/6 faces)."""
+    from s2spark import dataset
+    from s2spark.ops import pip as pipops
+
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .where(F.col("user_id") % 10 == 0) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    seg = eops.track_edge_frame(ev, "user_id", ["ts", "event_id"])
+    segp = seg.toPandas()
+    loops = pipops.synth_loops(15)
+    pa, pb, pid_l, eid_l = [], [], [], []
+    for pid in sorted(loops):
+        v = loops[pid].vertices
+        for e in range(loops[pid].n):
+            pa.append(v[e])
+            pb.append(v[(e + 1) % loops[pid].n])
+            pid_l.append(pid)
+            eid_l.append(e)
+    ta, tb = np.asarray(pa), np.asarray(pb)
+    nq, nt = len(segp), len(ta)
+    qa = segp[["ax", "ay", "az"]].to_numpy()
+    qb = segp[["bx", "by", "bz"]].to_numpy()
+    d2 = ek.edge_pair_min_chord2(
+        np.repeat(qa, nt, axis=0), np.repeat(qb, nt, axis=0),
+        np.tile(ta, (nq, 1)), np.tile(tb, (nq, 1)))
+    for radius in (0.03, 1.2):
+        out = eops.edge_within_join(seg, spark, loops, radius) \
+            .toPandas()
+        r2 = (2.0 * math.sin(0.5 * radius)) ** 2
+        hit = np.nonzero(d2 <= r2)[0]
+        qi, ti = np.divmod(hit, nt)
+        want = set(zip(segp.poly_id.to_numpy()[qi],
+                       segp.edge_id.to_numpy()[qi],
+                       np.asarray(pid_l)[ti], np.asarray(eid_l)[ti]))
+        got = set(zip(out.poly_id, out.edge_id,
+                      out.t_poly, out.t_edge))
+        assert got == want, (radius, len(got), len(want))
+        # distances bit-exact vs the kernel sweep
+        kd = {(segp.poly_id.iloc[q], segp.edge_id.iloc[q],
+               pid_l[t], eid_l[t]): d2[q * nt + t]
+              for q, t in zip(qi, ti)}
+        for row in out.itertuples():
+            assert kd[(row.poly_id, row.edge_id, row.t_poly,
+                       row.t_edge)] == row.dist2
+        # rank 1 per query edge is the argmin
+        r1 = out[out["rank"] == 1].groupby(["poly_id", "edge_id"])
+        assert len(out[out["rank"] == 1]) == \
+            out.groupby(["poly_id", "edge_id"]).ngroups
