@@ -404,3 +404,42 @@ def make_edge_covering_udf(max_cells: int = 8, min_level: int = 0,
         return pd.Series(out)
 
     return s2_edge_covering
+
+
+def make_edge_ring_covering_udf(level: int, rings: int):
+    """Fixed-level edge covering expanded by `rings` neighbor rings,
+    deduped per edge — the candidate frontier of the edge-target
+    distance join (ops/edges.edge_within_join) in ONE Arrow stage
+    (covering kernel + disk_cells_batch fused; a separate
+    s2_disk_cells stage paid a second Python worker pass plus a
+    dropDuplicates shuffle of the exploded intermediate)."""
+    from .kernels import cellid as _ck
+    from .kernels import edge_cover
+
+    @pandas_udf(ArrayType(LongType()))
+    def s2_edge_ring_covering(ax: pd.Series, ay: pd.Series,
+                              az: pd.Series, bx: pd.Series,
+                              by: pd.Series, bz: pd.Series
+                              ) -> pd.Series:
+        a = np.column_stack([ax.to_numpy(np.float64),
+                             ay.to_numpy(np.float64),
+                             az.to_numpy(np.float64)])
+        b = np.column_stack([bx.to_numpy(np.float64),
+                             by.to_numpy(np.float64),
+                             bz.to_numpy(np.float64)])
+        eidx, cells = edge_cover.edge_coverings_batch(a, b,
+                                                      level=level)
+        rows, disk = _ck.disk_cells_batch(cells, level, rings)
+        e2 = eidx[rows]
+        disk = _ck.as_i64(disk)
+        order = np.lexsort((disk, e2))
+        e2, disk = e2[order], disk[order]
+        keep = np.ones(e2.size, dtype=bool)
+        keep[1:] = (e2[1:] != e2[:-1]) | (disk[1:] != disk[:-1])
+        e2, disk = e2[keep], disk[keep]
+        out = [[] for _ in range(len(a))]
+        for i, c in zip(e2.tolist(), disk.tolist()):
+            out[i].append(c)
+        return pd.Series(out)
+
+    return s2_edge_ring_covering

@@ -620,17 +620,13 @@ def edge_within_join(query_edges: DataFrame, spark: SparkSession,
     index_df = F.broadcast(spark.createDataFrame(idx_pdf))
 
     qp, qe = query_cols
-    cov = s2f.make_edge_covering_udf(min_level=lv)
+    cov = s2f.make_edge_ring_covering_udf(lv, rings)
     cand_cells = (
         query_edges
         .withColumn("_cov", cov(F.col("ax"), F.col("ay"), F.col("az"),
                                 F.col("bx"), F.col("by"), F.col("bz")))
-        .withColumn("_c0", F.explode("_cov"))
-        .withColumn("_ring", s2f.s2_disk_cells(
-            F.col("_c0"), F.lit(lv), F.lit(rings)))
-        .withColumn("icell", F.explode("_ring"))
-        .drop("_cov", "_c0", "_ring")
-        .dropDuplicates([qp, qe, "icell"]))
+        .withColumn("icell", F.explode("_cov"))
+        .drop("_cov"))
     pairs = (cand_cells.join(index_df, "icell")
              .dropDuplicates([qp, qe, "t_poly", "t_edge"]))
     hits = (pairs
