@@ -558,3 +558,53 @@ def test_edge_within_join_vs_brute(spark):
         r1 = out[out["rank"] == 1].groupby(["poly_id", "edge_id"])
         assert len(out[out["rank"] == 1]) == \
             out.groupby(["poly_id", "edge_id"]).ngroups
+
+
+def test_is_edge_pair_distance_less_coverage():
+    """IsEdgePairDistanceLess == (edge_pair_min_chord2 < limit²):
+    the reference's Coverage battery
+    (s2edge_distances_test.cc:591-631) — interior crossings, shared
+    endpoints, degenerate edges, and non-zero minima achieved at each
+    of the four endpoints."""
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([0.0, 1.0, 0.0])
+    z = np.array([0.0, 0.0, 1.0])
+    a = np.array([1.0, 1e-100, 1e-99])
+    a /= np.linalg.norm(a)
+    b = np.array([1.0, 1e-100, -1e-99])
+    b /= np.linalg.norm(b)
+
+    def chord2(rad):
+        return (2.0 * math.sin(0.5 * rad)) ** 2
+
+    zero, one, over90 = 0.0, chord2(1.0), chord2(math.pi / 2 + .001)
+
+    def less(a0, a1, b0, b1, lim2):
+        d2 = ek.edge_pair_min_chord2(a0[None], a1[None],
+                                     b0[None], b1[None])
+        return bool(d2[0] < lim2)
+
+    # interior crossing: nothing is closer than zero
+    assert less(x, y, a, b, zero) is False
+    assert less(x, y, a, b, one) is True
+    # shared endpoint
+    assert less(x, y, x, z, one) is True
+    assert less(x, y, z, x, one) is True
+    assert less(y, x, x, z, one) is True
+    assert less(y, x, z, x, one) is True
+    # one edge degenerate
+    assert less(x, x, x, y, one) is True
+    assert less(x, y, x, x, one) is True
+    assert less(x, x, y, z, one) is False
+    assert less(x, x, y, z, over90) is True
+    assert less(y, z, x, x, one) is False
+    assert less(y, z, x, x, over90) is True
+    # both degenerate
+    assert less(x, x, x, x, one) is True
+    assert less(x, x, y, y, one) is False
+    assert less(x, x, y, y, over90) is True
+    # non-zero minimum achieved at each of the four endpoints
+    assert less(a, y, x, z, one) is True
+    assert less(y, a, x, z, one) is True
+    assert less(x, z, a, y, one) is True
+    assert less(x, z, y, a, one) is True
