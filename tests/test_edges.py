@@ -608,3 +608,38 @@ def test_is_edge_pair_distance_less_coverage():
     assert less(y, a, x, z, one) is True
     assert less(x, z, a, y, one) is True
     assert less(x, z, y, a, one) is True
+
+
+def test_is_edge_b_near_edge_a_reference():
+    """The reference's full EdgeBNearEdgeA battery
+    (s2edge_distances_test.cc:633-707): bowing meridians, antipodal
+    near-180° arcs, perpendicular-bisector maxima, same-great-circle
+    overlaps, and the reversed-orientation null-projection special
+    case."""
+    from s2spark.kernels.edges import is_edge_b_near_edge_a
+    from s2spark.kernels.loops import parse_vertices as pv
+
+    def near(a_text, b_text, tol_deg):
+        a = pv(a_text)
+        b = pv(b_text)
+        return is_edge_b_near_edge_a(a[0], a[1], b[0], b[1],
+                                     math.radians(tol_deg))
+
+    assert near("5:5, 10:-5", "5:5, 10:-5", 1e-6)
+    assert near("5:5, 10:-5", "10:-5, 5:5", 1e-6)
+    assert near("10:0, -10:0", "2:1, -2:1", 1.0)
+    assert not near("2:1, -2:1", "10:0, -10:0", 1.0)
+    assert not near("10:0, -10:0", "0:1.5, 0:-1.5", 1.0)
+    assert near("10:0, -10:0", "0:1.5, 0:-1.5", 2.0)
+    assert not near("89:1, -89:1", "89:2, -89:2", 0.5)
+    assert near("89:1, -89:1", "89:2, -89:2", 1.5)
+    assert near("89:1, -89:1", "-89:2, 89:2", 1.5)
+    assert not near("0:-100, 0:100", "5:-80, -5:80", 70.0)
+    assert not near("0:-100, 0:100", "1:-35, 10:35", 70.0)
+    assert not near("0:-100, 0:100", "5:80, -5:-80", 70.0)
+    assert not near("0:-179.75, 0:-0.25", "0:179.75, 0:0.25", 1.0)
+    assert near("40:0, -5:0", "39:0.975, -1:0.975", 1.0)
+    assert near("10:0, -10:0", "-.4:0.975, 0.4:0.975", 1.0)
+    assert near("0:0, 1:0", "0.9:0, 1.1:0", 0.25)
+    assert near("0:0, 1:0", "1.1:0, 1.2:0", 0.25)
+    assert near("0:0, 1:0", "1.2:0, 1.1:0", 0.25)
