@@ -227,6 +227,56 @@ def _angle(u: np.ndarray, v: np.ndarray) -> float:
     return math.atan2(cross, float(np.dot(u, v)))
 
 
+def get_point_on_ray(origin: np.ndarray, direction: np.ndarray,
+                     r_rad: float) -> np.ndarray:
+    """Point at angle `r_rad` from `origin` along unit tangent
+    `direction` (GetPointOnRay, s2edge_distances.h:283-293)."""
+    import math
+    p = math.cos(r_rad) * np.asarray(origin, dtype=np.float64) \
+        + math.sin(r_rad) * np.asarray(direction, dtype=np.float64)
+    return p / np.linalg.norm(p)
+
+
+def get_point_on_line(a: np.ndarray, b: np.ndarray,
+                      r_rad: float) -> np.ndarray:
+    """Point at angle `r_rad` from `a` along the great circle towards
+    `b` (GetPointOnLine, s2edge_distances.cc:47-59): tangent =
+    RobustCrossProd(a,b) x a, robust even for nearly-antipodal
+    endpoints."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d = np.cross(_robust_cross(a, b), a)
+    return get_point_on_ray(a, d / np.linalg.norm(d), r_rad)
+
+
+def get_point_to_left(a: np.ndarray, b: np.ndarray,
+                      r_rad: float) -> np.ndarray:
+    """Point at angle `r_rad` from `a`, perpendicular-left of edge ab
+    (GetPointToLeft, s2edge_distances.cc:61-67)."""
+    return get_point_on_ray(np.asarray(a, dtype=np.float64),
+                            _robust_cross(a, b), r_rad)
+
+
+def get_point_to_right(a: np.ndarray, b: np.ndarray,
+                       r_rad: float) -> np.ndarray:
+    """Mirror of get_point_to_left (s2edge_distances.cc:69-75)."""
+    return get_point_on_ray(np.asarray(a, dtype=np.float64),
+                            _robust_cross(b, a), r_rad)
+
+
+def interpolate(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
+    """Point at fraction `t` of the spherical distance from `a` to
+    `b`; t outside [0,1] extrapolates along the great circle
+    (S2::Interpolate, s2edge_distances.cc:77-86)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if t == 0.0:
+        return a
+    if t == 1.0:
+        return b
+    return get_point_on_line(a, b, t * _angle(a, b))
+
+
 def is_edge_b_near_edge_a(a0, a1, b0, b1, tolerance: float) -> bool:
     """True iff every point of edge B is within `tolerance` of edge A
     (s2edge_distances.cc:421-505: endpoint projections + the planar-

@@ -643,3 +643,95 @@ def test_is_edge_b_near_edge_a_reference():
     assert near("0:0, 1:0", "0.9:0, 1.1:0", 0.25)
     assert near("0:0, 1:0", "1.1:0, 1.2:0", 0.25)
     assert near("0:0, 1:0", "1.2:0, 1.1:0", 0.25)
+
+
+def _check_interp(a, b, t, expected):
+    a, b, expected = map(_unit, (a, b, expected))
+    actual = ek.interpolate(a, b, t)
+    assert ek._angle(actual, expected) <= 3e-15, (a, b, t)
+
+
+def test_interpolate_reference():
+    """S2::Interpolate battery (s2edge_distances_test.cc:320-368):
+    degenerate edges, sphere-distance (not linear) fractions, long
+    edges, antipodal endpoints."""
+    p1 = _unit((0.1, 1e-30, 0.3))
+    p2 = _unit((-0.7, -0.55, -1e30))
+    _check_interp(p1, p1, 0.0, p1)
+    _check_interp(p1, p1, 1.0, p1)
+    _check_interp((1, 0, 0), (1, 0, 0), 0.5, (1, 0, 0))
+    _check_interp((1, 0, 0), (1, 0, 0), 2.2250738585072014e-308,
+                  (1, 0, 0))
+    _check_interp(p1, p1, 0.5, p1)
+    _check_interp(p1, p2, 0.0, p1)
+    _check_interp(p1, p2, 1.0, p2)
+    _check_interp(p1, p2, 0.5, 0.5 * (p1 + p2))
+    _check_interp((1, 0, 0), (0, 1, 0), 1.0 / 3,
+                  (math.sqrt(3), 1, 0))
+    _check_interp((1, 0, 0), (0, 1, 0), 2.0 / 3,
+                  (1, math.sqrt(3), 0))
+    # long edge, tiny and near-1 fractions
+    klng = math.pi - 1e-2
+    a = np.array([1.0, 0.0, 0.0])
+    f = 0.4
+    while f > 1e-15:
+        for frac in (f, 1 - f):
+            want = (math.cos(frac * klng), math.sin(frac * klng), 0.0)
+            _check_interp(a, (math.cos(klng), math.sin(klng), 0.0),
+                          frac, want)
+        f *= 0.1
+    # antipodal endpoints: correct distance from each end
+    for i in range(9):
+        t = 0.125 * i
+        actual = ek.interpolate(p1, -p1, t)
+        assert abs(ek._angle(actual, p1) - t * math.pi) <= 3e-15
+
+
+def test_interpolate_can_extrapolate():
+    """s2edge_distances_test.cc:370-400."""
+    i = np.array([1.0, 0.0, 0.0])
+    j = np.array([0.0, 1.0, 0.0])
+    _check_interp(i, j, 0, (1, 0, 0))
+    _check_interp(i, j, 1, (0, 1, 0))
+    _check_interp(i, j, 1.5, (-1, 1, 0))
+    _check_interp(i, j, 2, (-1, 0, 0))
+    _check_interp(i, j, 3, (0, -1, 0))
+    _check_interp(i, j, 4, (1, 0, 0))
+    _check_interp(i, j, -1, (0, -1, 0))
+    _check_interp(i, j, -2, (-1, 0, 0))
+    _check_interp(i, j, -3, (0, 1, 0))
+    _check_interp(i, j, -4, (1, 0, 0))
+    _check_interp(i, (1, 1, 0), 2, (0, 1, 0))
+    _check_interp(i, (1, 1, 0), 3, (-1, 1, 0))
+    _check_interp(i, (1, 1, 0), 4, (-1, 0, 0))
+    _check_interp(i, (-1, 1, 0), 2, (0, -1, 0))
+    p = ek.interpolate(i, j, 0.001)
+    _check_interp(i, p, 1000, j)
+
+
+def test_repeated_interpolation():
+    """Result of one interpolation feeds the next 1000 times and must
+    stay unit length (s2edge_distances_test.cc:402-414)."""
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        a = _unit(rng.normal(size=3))
+        b = _unit(rng.normal(size=3))
+        for _ in range(1000):
+            a = ek.interpolate(a, b, 0.01)
+        assert abs(float(a @ a) - 1.0) < 1e-14
+
+
+def test_get_point_to_left_right_reference():
+    """s2edge_distances_test.cc:709-753: C at the requested distance
+    from A with CAB a +-90° turn."""
+    from s2spark.kernels.shape_measures import turn_angle
+    from s2spark.kernels.coords import latlng_to_xyz
+    a = np.array(latlng_to_xyz(np.array([0.0]), np.array([0.0]))).ravel()
+    b = np.array(latlng_to_xyz(np.array([0.0]), np.array([5.0]))).ravel()
+    dist = 10 / 6371010.0  # ~MetersToAngle(10)
+    c = ek.get_point_to_left(a, b, dist)
+    assert abs(ek._angle(a, c) - dist) <= 1e-15
+    assert abs(turn_angle(c, a, b) - math.pi / 2) <= 1e-15
+    c = ek.get_point_to_right(a, b, dist)
+    assert abs(ek._angle(a, c) - dist) <= 1e-15
+    assert abs(turn_angle(c, a, b) + math.pi / 2) <= 1e-15
