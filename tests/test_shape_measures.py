@@ -132,3 +132,29 @@ def test_degenerate_chain_measures():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_polyline_length_centroid_great_circles():
+    """s2polyline_measures_test.cc:36-62: random great circles split
+    into random segments must have length 2π and vector centroid 0 —
+    independent of the segmentation."""
+    import math
+
+    from s2spark.kernels.pointutil import get_frame
+    from s2spark.kernels.shape_measures import (polyline_centroid,
+                                                polyline_length)
+    rng = np.random.default_rng(17)
+    for _ in range(100):
+        z = rng.normal(size=3)
+        z /= np.linalg.norm(z)
+        m = get_frame(z[None])[0]
+        x, y = m[:, 0], m[:, 1]
+        thetas = []
+        theta = 0.0
+        while theta < 2 * math.pi:
+            thetas.append(theta)
+            theta += rng.uniform(0.0, 1.0) ** 10
+        line = np.array([math.cos(t) * x + math.sin(t) * y
+                         for t in thetas] + [x])
+        assert abs(polyline_length(line) - 2 * math.pi) <= 2e-14
+        assert np.linalg.norm(polyline_centroid(line)) <= 2e-14
