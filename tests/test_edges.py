@@ -735,3 +735,73 @@ def test_get_point_to_left_right_reference():
     c = ek.get_point_to_right(a, b, dist)
     assert abs(ek._angle(a, c) - dist) <= 1e-15
     assert abs(turn_angle(c, a, b) + math.pi / 2) <= 1e-15
+
+
+def _check_distance(x, a, b, dist_rad, expected_closest):
+    x, a, b = map(_unit, (x, a, b))
+    d2 = ek.point_segment_chord2(x[None], a[None], b[None])
+    assert abs(float(_chord2_to_rad(d2)[0]) - dist_rad) < 1e-15, \
+        (x, a, b)
+    closest = ek.project_to_edge(x, a, b)
+    if dist_rad != math.pi / 2:  # perpendicular: nothing more to say
+        if expected_closest is None:  # either endpoint acceptable
+            assert np.array_equal(closest, a) or \
+                np.array_equal(closest, b)
+        else:
+            assert ek._angle(closest, _unit(expected_closest)) < 1e-12
+
+
+def test_point_edge_distance_reference():
+    """The reference's explicit Distance fixture battery
+    (s2edge_distances_test.cc:143-178): endpoints, interior points,
+    perpendicular/antipodal probes, degenerate edges."""
+    pi = math.pi
+    _check_distance((1, 0, 0), (1, 0, 0), (0, 1, 0), 0, (1, 0, 0))
+    _check_distance((0, 1, 0), (1, 0, 0), (0, 1, 0), 0, (0, 1, 0))
+    _check_distance((1, 3, 0), (1, 0, 0), (0, 1, 0), 0, (1, 3, 0))
+    _check_distance((0, 0, 1), (1, 0, 0), (0, 1, 0), pi / 2, (1, 0, 0))
+    _check_distance((0, 0, -1), (1, 0, 0), (0, 1, 0), pi / 2,
+                    (1, 0, 0))
+    _check_distance((-1, -1, 0), (1, 0, 0), (0, 1, 0), 0.75 * pi, None)
+    _check_distance((0, 1, 0), (1, 0, 0), (1, 1, 0), pi / 4, (1, 1, 0))
+    _check_distance((0, -1, 0), (1, 0, 0), (1, 1, 0), pi / 2,
+                    (1, 0, 0))
+    _check_distance((0, -1, 0), (1, 0, 0), (-1, 1, 0), pi / 2,
+                    (1, 0, 0))
+    _check_distance((-1, -1, 0), (1, 0, 0), (-1, 1, 0), pi / 2,
+                    (-1, 1, 0))
+    _check_distance((1, 1, 1), (1, 0, 0), (0, 1, 0),
+                    math.asin(math.sqrt(1. / 3)), (1, 1, 0))
+    _check_distance((1, 1, -1), (1, 0, 0), (0, 1, 0),
+                    math.asin(math.sqrt(1. / 3)), (1, 1, 0))
+    _check_distance((-1, 0, 0), (1, 1, 0), (1, 1, 0), 0.75 * pi,
+                    (1, 1, 0))
+    _check_distance((0, 0, -1), (1, 1, 0), (1, 1, 0), pi / 2,
+                    (1, 1, 0))
+    _check_distance((-1, 0, 0), (1, 0, 0), (1, 0, 0), pi, (1, 0, 0))
+
+
+def test_point_edge_max_distance_reference():
+    """UpdateMaxDistance battery (s2edge_distances_test.cc:236-265):
+    includes the >90° regime where the max is pi minus the antipode's
+    min distance."""
+    def check(x, a, b, dist_rad):
+        x, a, b = map(_unit, (x, a, b))
+        d2 = ek.point_edge_max_chord2(x[None], a[None], b[None])
+        assert abs(float(_chord2_to_rad(d2)[0]) - dist_rad) < 1e-15, \
+            (x, a, b)
+
+    pi = math.pi
+    check((1, 0, 1), (1, 0, 0), (0, 1, 0), pi / 2)
+    check((1, 0, -1), (1, 0, 0), (0, 1, 0), pi / 2)
+    check((0, 1, 1), (1, 0, 0), (0, 1, 0), pi / 2)
+    check((0, 1, -1), (1, 0, 0), (0, 1, 0), pi / 2)
+    check((1, 1, 1), (1, 0, 0), (0, 1, 0), math.asin(math.sqrt(2. / 3)))
+    check((1, 1, -1), (1, 0, 0), (0, 1, 0),
+          math.asin(math.sqrt(2. / 3)))
+    check((1, 0, 0), (1, 1, 0), (1, -1, 0), pi / 4)
+    check((0, 1, 0), (1, 1, 0), (-1, 1, 0), pi / 4)
+    check((0, 0, 1), (0, 1, 1), (0, -1, 1), pi / 4)
+    check((0, 0, 1), (1, 0, 0), (1, 0, -1), 3 * pi / 4)
+    check((0, 0, 1), (1, 0, 0), (1, 1, -math.sqrt(2)), 3 * pi / 4)
+    check((0, 0, 1), (0, 0, -1), (0, 0, -1), pi)
