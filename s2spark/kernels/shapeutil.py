@@ -464,3 +464,82 @@ def vertex_id_lax_loop_shape(vertex_ids, vertex_array) -> "VShape":
     arr = np.asarray(vertex_array, dtype=np.float64).reshape(-1, 3)
     ids = np.asarray(vertex_ids, dtype=np.int64)
     return VShape(2, [arr[ids]] if len(ids) else [])
+
+
+def contains_point_query(shape, p, vertex_model: str = "semi_open"
+                         ) -> bool:
+    """S2ContainsPointQuery::ShapeContains with the S2VertexModel
+    options (s2contains_point_query.h:250-330, s2shape_index.h):
+
+    - OPEN      — polygons contain no boundary vertex; dim<2 shapes
+                  contain nothing;
+    - SEMI_OPEN — the crossing-parity default (each vertex contained
+                  by exactly one of the regions it borders, via
+                  VertexCrossing);
+    - CLOSED    — polygons contain every boundary vertex, and dim<2
+                  shapes contain each of their vertices.
+
+    The reference anchors its crossing walk at the index-cell center;
+    this standalone kernel anchors at a verified off-boundary
+    reference point calibrated by ContainsBruteForce — identical
+    verdicts, no index required."""
+    from . import predicates
+    p = np.asarray(p, dtype=np.float64)
+    edges = shape.edges()
+    if shape.dim < 2:
+        if vertex_model != "closed":
+            return False
+        return any(np.array_equal(p, v0) or np.array_equal(p, v1)
+                   for (_, _, v0, v1) in edges)
+    if getattr(shape, "is_full", False) and not shape.chains:
+        return True
+    if not edges:
+        return False
+    # deterministic off-boundary anchor: nudge away from the first
+    # vertex until every crossing sign is decided (no shared vertex
+    # with any edge and not equal to p)
+    from .edges import point_segment_chord2
+    ref = None
+    base = np.asarray(edges[0][2], dtype=np.float64)
+    for k in range(1, 32):
+        cand = base + k * 0.0371 * np.array([1.0, -0.71, 0.43])
+        cand /= np.linalg.norm(cand)
+        a_ = np.array([list(v0) for (_, _, v0, _) in edges])
+        b_ = np.array([list(v1) for (_, _, _, v1) in edges])
+        d2 = point_segment_chord2(np.broadcast_to(cand, a_.shape),
+                                  a_, b_)
+        if d2.min() > 1e-12 and not np.array_equal(cand, p):
+            ref = cand
+            break
+    if ref is None:
+        raise ValueError("no clear anchor point found")
+    inside = bool(contains_brute_force(shape, ref[None])[0])
+    for (_, _, v0, v1) in edges:
+        v0 = np.asarray(v0, dtype=np.float64)
+        v1 = np.asarray(v1, dtype=np.float64)
+        sign = int(predicates.crossing_sign(ref[None], p[None],
+                                            v0[None], v1[None])[0])
+        if sign < 0:
+            continue
+        if sign == 0:
+            if vertex_model != "semi_open" and \
+                    (np.array_equal(v0, p) or np.array_equal(v1, p)):
+                return vertex_model == "closed"
+            sign = int(predicates.vertex_crossing(
+                tuple(ref), tuple(p), tuple(v0), tuple(v1)))
+        inside ^= bool(sign)
+    return inside
+
+
+def incident_edges(shapes, p) -> list[tuple[int, int]]:
+    """VisitIncidentEdges (s2contains_point_query.h:286-310): the
+    (shape_id, edge_id) of every edge with an endpoint exactly at
+    `p`, in shape/edge order.  Edge ids use the reference numbering
+    (enumeration order of VShape.edges())."""
+    p = np.asarray(p, dtype=np.float64)
+    out = []
+    for sid, shape in enumerate(shapes):
+        for eid, (_, _, v0, v1) in enumerate(shape.edges()):
+            if np.array_equal(p, v0) or np.array_equal(p, v1):
+                out.append((sid, eid))
+    return out

@@ -211,3 +211,74 @@ def test_chain_position_roundtrip():
     for e in range(su.shape_num_edges(shape)):
         ci, off = su.chain_position(shape, e)
         assert chains[ci][0] + off == e
+
+
+def test_contains_point_query_vertex_models():
+    """S2ContainsPointQuery vertex-model battery
+    (s2contains_point_query_test.cc:55-124): index = point 0:0,
+    polyline -1:1→1:1, triangle (0:5, 0:7, 2:6)."""
+    from s2spark.kernels.loops import parse_vertices as pv
+    from s2spark.kernels.shapeutil import (contains_point_query,
+                                           lax_loop_shape,
+                                           point_vector_shape)
+    from s2spark.kernels.validation import VShape
+
+    shapes = [point_vector_shape(pv("0:0")),
+              VShape(1, [pv("-1:1, 1:1")]),
+              lax_loop_shape(pv("0:5, 0:7, 2:6"))]
+
+    def contains(txt, model):
+        p = pv(txt)[0]
+        return any(contains_point_query(s, p, model) for s in shapes)
+
+    # OPEN
+    for txt in ("0:0", "-1:1", "1:1", "0:2", "0:3", "0:5", "0:7",
+                "2:6", "10:10"):
+        assert not contains(txt, "open"), txt
+    assert contains("1:6", "open")
+    assert not contains_point_query(shapes[1], pv("1:6")[0], "open")
+    assert contains_point_query(shapes[2], pv("1:6")[0], "open")
+    assert not contains_point_query(shapes[2], pv("0:5")[0], "open")
+    assert not contains_point_query(shapes[2], pv("0:7")[0], "open")
+
+    # SEMI_OPEN: exactly one triangle vertex (0:7) is contained
+    for txt in ("0:0", "-1:1", "1:1", "0:2", "0:5", "2:6", "10:10"):
+        assert not contains(txt, "semi_open"), txt
+    assert contains("0:7", "semi_open")
+    assert contains("1:6", "semi_open")
+    assert not contains_point_query(shapes[1], pv("1:6")[0],
+                                    "semi_open")
+    assert contains_point_query(shapes[2], pv("1:6")[0], "semi_open")
+    assert not contains_point_query(shapes[2], pv("0:5")[0],
+                                    "semi_open")
+    assert contains_point_query(shapes[2], pv("0:7")[0], "semi_open")
+
+    # CLOSED: every vertex of every shape
+    for txt in ("0:0", "-1:1", "1:1", "0:5", "0:7", "2:6", "1:6"):
+        assert contains(txt, "closed"), txt
+    for txt in ("0:2", "10:10"):
+        assert not contains(txt, "closed"), txt
+    assert not contains_point_query(shapes[1], pv("1:6")[0], "closed")
+    assert contains_point_query(shapes[2], pv("1:6")[0], "closed")
+    assert contains_point_query(shapes[2], pv("0:5")[0], "closed")
+    assert contains_point_query(shapes[2], pv("0:7")[0], "closed")
+
+
+def test_incident_edges_reference():
+    """s2contains_point_query_test.cc:196-220 (VisitIncidentEdges):
+    index = points {0:0, 1:1}, polyline 1:1→1:2, triangle
+    (1:2, 1:3, 2:2)."""
+    from s2spark.kernels.loops import parse_vertices as pv
+    from s2spark.kernels.shapeutil import (incident_edges,
+                                           lax_loop_shape,
+                                           point_vector_shape)
+    from s2spark.kernels.validation import VShape
+    shapes = [point_vector_shape(pv("0:0, 1:1")),
+              VShape(1, [pv("1:1, 1:2")]),
+              lax_loop_shape(pv("1:2, 1:3, 2:2"))]
+    assert incident_edges(shapes, pv("0:0")[0]) == [(0, 0)]
+    assert incident_edges(shapes, pv("1:1")[0]) == [(0, 1), (1, 0)]
+    assert incident_edges(shapes, pv("1:2")[0]) == \
+        [(1, 0), (2, 0), (2, 2)]
+    assert incident_edges(shapes, pv("1:3")[0]) == [(2, 0), (2, 1)]
+    assert incident_edges(shapes, pv("2:2")[0]) == [(2, 1), (2, 2)]
