@@ -158,3 +158,56 @@ def test_polyline_length_centroid_great_circles():
                          for t in thetas] + [x])
         assert abs(polyline_length(line) - 2 * math.pi) <= 2e-14
         assert np.linalg.norm(polyline_centroid(line)) <= 2e-14
+
+
+def test_collection_measures_reference_fixtures():
+    """s2shape_index_measures_test.cc:42-175: dimension / num_points /
+    length / perimeter / area / centroid over mixed collections (the
+    "# # full | full" double-full case is out of model — one
+    GeometryCollection holds ONE even/odd region — so the single-full
+    4π case pins that branch instead)."""
+    import math
+
+    from s2spark.kernels.builder import FULL
+    from s2spark.kernels.layers import GeometryCollection as GC
+    from s2spark.kernels.loops import parse_vertices as pv
+    from s2spark.kernels.shape_measures import collection_measures
+
+    def m(points=None, lines=None, region=None):
+        return collection_measures(GC(points, lines, region))
+
+    # dimension
+    assert m()["dim"] == -1
+    assert m(points=pv("0:0"))["dim"] == 0
+    assert m(points=pv("0:0"), lines=[pv("1:1, 1:2")])["dim"] == 1
+    assert m(points=pv("0:0"), lines=[pv("1:1, 2:2")],
+             region=[pv("3:3, 3:4, 4:3")])["dim"] == 2
+    # num_points
+    assert m()["num_points"] == 0
+    assert m(points=pv("0:0, 1:0"))["num_points"] == 2
+    assert m(lines=[pv("1:1, 1:2")],
+             region=[pv("0:3, 0:5, 2:5")])["num_points"] == 0
+    # length (sums polylines only)
+    assert m()["length"] == 0.0
+    got = m(points=pv("4:4"), lines=[pv("0:0, 1:0"), pv("1:0, 2:0")],
+            region=[pv("5:5, 5:6, 6:5")])
+    assert abs(math.degrees(got["length"]) - 2.0) < 1e-12
+    # perimeter (polygon chains)
+    assert m()["perimeter"] == 0.0
+    got = m(points=pv("4:4"), lines=[pv("0:0, 1:0"), pv("2:0, 3:0")],
+            region=[pv("0:1, 0:2, 0:3")])
+    assert abs(math.degrees(got["perimeter"]) - 4.0) < 1e-9
+    # area
+    assert m()["area"] == 0.0
+    assert m(region=FULL)["area"] == 4 * math.pi
+    # centroid
+    assert np.allclose(m()["centroid"], (0, 0, 0))
+    assert np.allclose(m(points=pv("0:0, 0:90"))["centroid"],
+                       (1, 1, 0), atol=1e-15)
+    got = m(points=pv("5:5, 6:6"), lines=[pv("0:0, 0:90")])
+    assert np.allclose(got["centroid"], (1, 1, 0), atol=1e-14)
+    got = m(points=pv("5:5"), lines=[pv("6:6, 7:7")],
+            region=[pv("0:0, 0:90, 90:0")])
+    assert np.allclose(got["centroid"],
+                       (math.pi / 4, math.pi / 4, math.pi / 4),
+                       atol=1e-14)
