@@ -296,3 +296,21 @@ def test_spread_widens_single_partition_probe_only(spark):
     # the exchange must sit on the probe side only: exactly one
     # round-robin repartition, no shuffle of the broadcast side
     assert plan.count("RoundRobinPartitioning") == 1
+
+
+def test_edge_within_join_plan_is_broadcast_hash(spark):
+    """edge_within_join candidates come from a broadcast hash
+    equi-join on covering cells — never a nested-loop/cartesian —
+    and the probe-side scan prunes to the track columns."""
+    from s2spark.ops import edges as eops
+    from s2spark.ops import pip
+
+    ev = dataset.geotagged_events(spark, SF_DIR) \
+        .where(F.col("user_id") % 10 == 0) \
+        .select("event_id", "user_id", "ts", "x", "y", "z")
+    seg = eops.track_edge_frame(ev, "user_id", ["ts", "event_id"])
+    df = eops.edge_within_join(seg, spark, pip.synth_loops(15), 0.05)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
