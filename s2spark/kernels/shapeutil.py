@@ -543,3 +543,86 @@ def incident_edges(shapes, p) -> list[tuple[int, int]]:
             if np.array_equal(p, v0) or np.array_equal(p, v1):
                 out.append((sid, eid))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Shape adaptors and flat edge iteration (reference s2wrapped_shape.h:
+#  30-65, s2point_span.h:39-61 S2PointLoopSpan, s2shapeutil_edge_iterator
+#  .h:36-85, s2shapeutil_shape_edge_id.h / s2shapeutil_shape_edge.h)
+#
+# In the engine these are thin: a distributed "edge iterator" is just
+# the exploded edge DataFrame (ops/pip.index_edges), and spans are
+# NumPy views.  The kernel-side forms exist so driver-side algorithms
+# (builder layers, validation walks) share the reference's numbering.
+# ---------------------------------------------------------------------------
+
+def chain_edge(shape, chain_id: int, offset: int) -> tuple:
+    """S2Shape::chain_edge — (v0, v1) of edge `offset` within the
+    chain, in the chain numbering of shape_chains (dim-0 chains are
+    single degenerate edges; dim-2 lax chains wrap)."""
+    if shape.dim == 0:
+        # dim-0 chains are one-per-point across ALL vertex arrays
+        pts = np.concatenate(
+            [c for c in shape.chains] or [np.empty((0, 3))])
+        p = pts[chain_id]
+        return p.copy(), p.copy()
+    v = shape.chains[chain_id]
+    if shape.dim == 1:
+        return v[offset].copy(), v[offset + 1].copy()
+    return v[offset].copy(), v[(offset + 1) % len(v)].copy()
+
+
+def shape_edge(shape, edge_id: int) -> tuple:
+    """S2Shape::edge — flat edge id -> (v0, v1)."""
+    ci, off = chain_position(shape, edge_id)
+    return chain_edge(shape, ci, off)
+
+
+def edge_iterator(shapes):
+    """s2shapeutil::EdgeIterator (s2shapeutil_edge_iterator.h:36-85):
+    yields (shape_id, edge_id, v0, v1) over every edge of every shape
+    of the collection, shapes in id order, edges in flat edge-id
+    order.  The ShapeEdgeId of a row is exactly (shape_id, edge_id)."""
+    for sid, shape in enumerate(shapes):
+        if shape is None:
+            continue
+        for eid in range(shape_num_edges(shape)):
+            v0, v1 = shape_edge(shape, eid)
+            yield sid, eid, v0, v1
+
+
+class WrappedShape:
+    """S2WrappedShape (s2wrapped_shape.h:30-65): delegates every
+    S2Shape accessor to the wrapped shape without copying its data —
+    duck-compatible with VShape everywhere the kernels accept one."""
+
+    __slots__ = ("_inner",)
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    @property
+    def dim(self):
+        return self._inner.dim
+
+    @property
+    def chains(self):
+        return self._inner.chains
+
+    @property
+    def is_full(self):
+        return self._inner.is_full
+
+    def edges(self):
+        return self._inner.edges()
+
+
+def loop_span_vertex(vertices: np.ndarray, i: int) -> np.ndarray:
+    """S2PointLoopSpan::operator[] (s2point_span.h:39-61): indices in
+    [n, 2n-1] wrap to [0, n-1] by subtracting n — "two full copies of
+    the vertex array", the convention loop algorithms use to read
+    vertex(i) and vertex(i+1) without a modulo per access."""
+    n = len(vertices)
+    if not 0 <= i < 2 * n:
+        raise IndexError(i)
+    return vertices[i - n if i >= n else i]
