@@ -245,3 +245,29 @@ def is_normalized(ids) -> bool:
         if are_siblings(int(a[k - 3]), int(a[k - 2]), int(a[k - 1]), int(a[k])):
             return False
     return True
+
+
+def from_begin_end(begin: int, end: int) -> np.ndarray:
+    """S2CellUnion::InitFromBeginEnd (s2cell_union.cc:92-108): the
+    normalized union covering the half-open LEAF-id range
+    [begin, end) — repeatedly take the largest cell starting at the
+    cursor that does not extend past `end`.  Both endpoints must be
+    leaf ids (leaf ids step by 2; `end` may be the one-past-the-last
+    sentinel range_max+2)."""
+    begin, end = int(begin), int(end)
+    out = []
+    cur = cellid.maximum_tile(begin, end)
+    while cur != end:
+        out.append(cur)
+        # next() = id + 2*lsb (S2CellId::next)
+        nxt = (int(cur) + ((int(cur) & -int(cur)) << 1)) \
+            & 0xFFFF_FFFF_FFFF_FFFF
+        cur = cellid.maximum_tile(nxt, end)
+    return np.asarray(out, dtype=np.uint64)
+
+
+def from_min_max(min_id: int, max_id: int) -> np.ndarray:
+    """S2CellUnion::InitFromMinMax (s2cell_union.cc:87-90): inclusive
+    leaf range [min_id, max_id]."""
+    return from_begin_end(min_id, (int(max_id) + 2)
+                          & 0xFFFF_FFFF_FFFF_FFFF)

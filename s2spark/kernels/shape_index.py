@@ -1,0 +1,416 @@
+"""MutableS2ShapeIndex analogue — the reference's adaptive cell
+decomposition of a mixed-dimension shape collection
+(mutable_s2shape_index.h:107-210, mutable_s2shape_index.cc:1240-1850).
+
+Each index cell holds, per intersecting shape, a "clipped shape": the
+edge ids whose padded UV clip intersects the cell, plus a
+contains_center bit (polygon interior contains the cell center).  The
+build follows the reference's rules exactly:
+
+  * edges are clipped ONCE per face with ``CELL_PADDING`` =
+    2*(kFaceClipErrorUVCoord + kEdgeClipErrorUVCoord)
+    (mutable_s2shape_index.cc:184-185), and cell membership is the
+    straight-UV segment × padded-cell-rect test (IntersectsRect,
+    s2edge_clipping.cc) — so query-time clipping needs no padding;
+  * per face the recursion starts at PaddedCell.shrink_to_fit of the
+    union bound of all face edges, with the skipped leaf ranges
+    emitted as interior candidates (mutable_s2shape_index.cc:
+    1265-1281 ShrinkToFit + SkipCellRange);
+  * a cell subdivides only while it holds more than
+    ``max_edges_per_cell`` edges that are "short" at its level —
+    edge max level = AVG_EDGE.get_level_for_max_value(|a-b| *
+    cell_size_to_long_edge_ratio) (GetEdgeMaxLevel, .cc:1167-1180) —
+    and the short count exceeds max(max_edges_per_cell,
+    min_short_edge_fraction * (edges + containing shapes)), the
+    linear-size guarantee of MakeIndexCell (.cc:1785-1801);
+  * cells with no edges appear iff some polygon interior contains
+    their center (the ShrinkToFitOptimization invariant).
+
+Instead of the reference's incremental along-curve InteriorTracker,
+contains_center bits are computed in one vectorized post-pass per
+dim-2 shape over all result-cell centers (shapeutil.
+contains_brute_force) — bit-identical by the tracker's own invariant
+(the tests' ValidateInterior definition).
+
+Mutations (add / release) invalidate the cells and rebuild lazily on
+the next query — same semantics as the reference's lazy ApplyUpdates,
+minus the batched incremental merge (a memory optimization for
+single-node million-edge updates; the engine's million-shape regime
+is the distributed build in ops/pip.py, which produces these same
+rows as DataFrames).
+
+The distributed twin of this kernel is ops/pip.build_edge_index
+(_distributed): identical cell/edge rows at scale, partitioned by
+cell prefix.  This class is the single-node/driver face used by
+builder layers, codecs, and queries over collection literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid
+from .metrics import AVG_EDGE
+from .padded_cell import PaddedCell
+from .r2rect import R2Rect
+from .range_iterator import DISJOINT, INDEXED, CellRangeIterator
+
+__all__ = ["MutableShapeIndex", "CELL_PADDING", "intersects_rect_batch",
+           "FACE_CLIP_ERROR_UV_COORD", "EDGE_CLIP_ERROR_UV_COORD",
+           "INTERSECTS_RECT_ERROR_UV_DIST"]
+
+DBL_EPSILON = 2.220446049250313e-16
+# s2edge_clipping.h:101,113,152
+FACE_CLIP_ERROR_UV_COORD = 9 * (2.0 ** -0.5) * DBL_EPSILON
+EDGE_CLIP_ERROR_UV_COORD = 2.25 * DBL_EPSILON
+INTERSECTS_RECT_ERROR_UV_DIST = 3 * (2.0 ** 0.5) * DBL_EPSILON
+# mutable_s2shape_index.cc:184-185
+CELL_PADDING = 2 * (FACE_CLIP_ERROR_UV_COORD + EDGE_CLIP_ERROR_UV_COORD)
+
+MAX_EDGES_PER_CELL = 10           # FLAGS_..._default_max_edges_per_cell
+CELL_SIZE_TO_LONG_EDGE_RATIO = 1.0
+MIN_SHORT_EDGE_FRACTION = 0.2
+
+
+def intersects_rect_batch(a: np.ndarray, b: np.ndarray,
+                          xlo: float, xhi: float,
+                          ylo: float, yhi: float) -> np.ndarray:
+    """Vectorized IntersectsRect (s2edge_clipping.cc): for each UV
+    segment (a[i], b[i]), true iff it intersects the CLOSED rect
+    [xlo,xhi]×[ylo,yhi].  Bound test + all-four-vertices-on-one-side
+    test via the extreme-vertex projections onto the edge normal.
+    Degenerate segments reduce to the bound test (normal = 0 makes
+    both projections 0)."""
+    ax, ay = a[:, 0], a[:, 1]
+    bx, by = b[:, 0], b[:, 1]
+    ok = ((np.minimum(ax, bx) <= xhi) & (np.maximum(ax, bx) >= xlo)
+          & (np.minimum(ay, by) <= yhi) & (np.maximum(ay, by) >= ylo))
+    # n = (b - a).Ortho() = (-(by-ay), bx-ax)
+    nx = ay - by
+    ny = bx - ax
+    vx_hi = np.where(nx >= 0, xhi, xlo)
+    vy_hi = np.where(ny >= 0, yhi, ylo)
+    vx_lo = np.where(nx >= 0, xlo, xhi)
+    vy_lo = np.where(ny >= 0, ylo, yhi)
+    d_hi = nx * (vx_hi - ax) + ny * (vy_hi - ay)
+    d_lo = nx * (vx_lo - ax) + ny * (vy_lo - ay)
+    return ok & (d_hi >= 0) & (d_lo <= 0)
+
+
+class ClippedShape:
+    """S2ClippedShape (s2shape_index.h:123-180): one shape's edge ids
+    within an index cell + the contains-center bit."""
+
+    __slots__ = ("shape_id", "contains_center", "edges")
+
+    def __init__(self, shape_id: int, contains_center: bool, edges):
+        self.shape_id = shape_id
+        self.contains_center = bool(contains_center)
+        self.edges = tuple(int(e) for e in edges)
+
+    def num_edges(self) -> int:
+        return len(self.edges)
+
+    def contains_edge(self, edge_id: int) -> bool:
+        return edge_id in self.edges
+
+    def __repr__(self):  # pragma: no cover
+        return (f"ClippedShape({self.shape_id}, "
+                f"center={self.contains_center}, edges={self.edges})")
+
+
+class IndexCell:
+    """S2ShapeIndexCell: the clipped shapes of one index cell, in
+    shape-id order."""
+
+    __slots__ = ("clipped",)
+
+    def __init__(self, clipped: list[ClippedShape]):
+        self.clipped = clipped
+
+    def num_clipped(self) -> int:
+        return len(self.clipped)
+
+    def find_clipped(self, shape_id: int) -> ClippedShape | None:
+        for c in self.clipped:
+            if c.shape_id == shape_id:
+                return c
+        return None
+
+
+def _u64(cid: int) -> int:
+    return int(cid) & 0xFFFF_FFFF_FFFF_FFFF
+
+
+class MutableShapeIndex:
+    """See module docstring.  Shapes are VShape-compatible values
+    (``dim``, ``chains``, ``is_full``, ``edges()``) — everything
+    shapeutil's constructors and validation.parse_index produce."""
+
+    def __init__(self, shapes=(),
+                 max_edges_per_cell: int = MAX_EDGES_PER_CELL,
+                 cell_size_to_long_edge_ratio: float =
+                 CELL_SIZE_TO_LONG_EDGE_RATIO,
+                 min_short_edge_fraction: float =
+                 MIN_SHORT_EDGE_FRACTION):
+        self._shapes: list = []
+        self.max_edges_per_cell = int(max_edges_per_cell)
+        self.cell_size_to_long_edge_ratio = \
+            float(cell_size_to_long_edge_ratio)
+        self.min_short_edge_fraction = float(min_short_edge_fraction)
+        self._ids: np.ndarray | None = None
+        self._cells: list[IndexCell] | None = None
+        for s in shapes:
+            self.add(s)
+
+    # -- mutation (lazy rebuild, mutable_s2shape_index.h Add/Release)
+
+    def add(self, shape) -> int:
+        self._shapes.append(shape)
+        self._ids = None
+        return len(self._shapes) - 1
+
+    def release(self, shape_id: int):
+        """Remove the shape; its id slot stays (reference Release
+        leaves a nullptr slot so shape ids remain stable)."""
+        shape = self._shapes[shape_id]
+        self._shapes[shape_id] = None
+        self._ids = None
+        return shape
+
+    def num_shape_ids(self) -> int:
+        return len(self._shapes)
+
+    def shape(self, shape_id: int):
+        return self._shapes[shape_id]
+
+    # -- index access
+
+    def cell_ids(self) -> np.ndarray:
+        self._maybe_build()
+        return self._ids
+
+    def cells(self) -> list[IndexCell]:
+        self._maybe_build()
+        return self._cells
+
+    def range_iterator(self) -> CellRangeIterator:
+        return CellRangeIterator(self.cell_ids())
+
+    def cell_at(self, cid: int) -> IndexCell | None:
+        self._maybe_build()
+        i = int(np.searchsorted(self._ids, np.uint64(_u64(cid))))
+        if i < len(self._ids) and int(self._ids[i]) == _u64(cid):
+            return self._cells[i]
+        return None
+
+    # -- queries
+
+    def contains_point(self, p, shape_id: int | None = None):
+        """Index-accelerated point containment (the
+        S2ContainsPointQuery path, s2contains_point_query.h:133-160):
+        locate the index cell of the point's leaf, then combine the
+        cell's contains_center bit with the edge-or-vertex crossings
+        of the segment center→p against the cell's clipped edges of
+        each dim-2 shape.  Returns a bool (shape_id given) or the
+        per-shape bool list."""
+        from . import predicates
+        from .shapeutil import shape_edge
+        self._maybe_build()
+        p = np.asarray(p, dtype=np.float64).reshape(3)
+        out = [False] * len(self._shapes)
+        if len(self._ids):
+            leaf = int(cellid.from_xyz(
+                np.array([p[0]]), np.array([p[1]]), np.array([p[2]]))[0])
+            it = self.range_iterator()
+            if it.locate_point(leaf):
+                cell = self._cells[it.pos]
+                center = np.asarray(
+                    cellid.to_point(np.array([it.id()],
+                                             dtype=np.uint64))
+                ).reshape(3)
+                for c in cell.clipped:
+                    shape = self._shapes[c.shape_id]
+                    if shape is None or shape.dim != 2:
+                        continue
+                    inside = c.contains_center
+                    if c.edges:
+                        v = np.array([shape_edge(shape, e)
+                                      for e in c.edges])
+                        m = len(c.edges)
+                        signs = predicates.crossing_sign(
+                            np.broadcast_to(center, (m, 3)),
+                            np.broadcast_to(p, (m, 3)),
+                            v[:, 0], v[:, 1])
+                        toggles = int(np.count_nonzero(signs > 0))
+                        for k in np.nonzero(signs == 0)[0]:
+                            if bool(predicates.vertex_crossing(
+                                    tuple(center), tuple(p),
+                                    tuple(v[k, 0]), tuple(v[k, 1]))):
+                                toggles += 1
+                        inside ^= bool(toggles & 1)
+                    out[c.shape_id] = inside
+        if shape_id is not None:
+            return out[shape_id]
+        return out
+
+    # -- build
+
+    def _maybe_build(self):
+        if self._ids is None:
+            self._build()
+
+    def _edge_table(self):
+        """Flat arrays over every edge of every live shape."""
+        sid, eid, va, vb = [], [], [], []
+        for s, shape in enumerate(self._shapes):
+            if shape is None:
+                continue
+            for e, (_, _, v0, v1) in enumerate(shape.edges()):
+                sid.append(s)
+                eid.append(e)
+                va.append(v0)
+                vb.append(v1)
+        if not sid:
+            z = np.empty((0, 3))
+            return (np.empty(0, np.int64), np.empty(0, np.int64), z, z,
+                    np.empty(0, np.int64))
+        va = np.asarray(va, dtype=np.float64)
+        vb = np.asarray(vb, dtype=np.float64)
+        # GetEdgeMaxLevel (mutable_s2shape_index.cc:1167-1180)
+        norm = np.linalg.norm(va - vb, axis=1)
+        max_lev = np.array([AVG_EDGE.get_level_for_max_value(
+            n * self.cell_size_to_long_edge_ratio) for n in norm],
+            dtype=np.int64)
+        return (np.asarray(sid, np.int64), np.asarray(eid, np.int64),
+                va, vb, max_lev)
+
+    def _num_containing(self, pcell: PaddedCell) -> int:
+        """Upper bound on shapes containing the whole cell: dim-2
+        shapes containing the cell's entry vertex (the quantity the
+        reference's InteriorTracker supplies to MakeIndexCell)."""
+        from .shapeutil import contains_brute_force
+        v = np.asarray(pcell.get_entry_vertex(),
+                       dtype=np.float64).reshape(1, 3)
+        n = 0
+        for shape in self._shapes:
+            if shape is not None and shape.dim == 2:
+                n += int(contains_brute_force(shape, v)[0])
+        return n
+
+    def _build(self):
+        from .shapeutil import contains_brute_force
+        from .clipping import clip_to_padded_face
+        sid, eid, va, vb, max_lev = self._edge_table()
+        mepc = self.max_edges_per_cell
+        frac = self.min_short_edge_fraction
+
+        edge_cells: list[tuple[int, np.ndarray]] = []  # (cid, idxs)
+        interior_cand: list[int] = []
+
+        for face in range(6):
+            keep, auv, buv = [], [], []
+            for k in range(len(sid)):
+                seg = clip_to_padded_face(va[k], vb[k], face,
+                                          CELL_PADDING)
+                if seg is not None:
+                    keep.append(k)
+                    auv.append(seg[0])
+                    buv.append(seg[1])
+            face_cell = PaddedCell(
+                int(cellid.from_face(np.array([face]))[0]),
+                CELL_PADDING)
+            if not keep:
+                interior_cand.append(face_cell.id)
+                continue
+            keep = np.asarray(keep, np.int64)
+            auv = np.asarray(auv, np.float64).reshape(-1, 2)
+            buv = np.asarray(buv, np.float64).reshape(-1, 2)
+
+            def visit(pcell: PaddedCell, rows: np.ndarray):
+                if rows.size == 0:
+                    interior_cand.append(pcell.id)
+                    return
+                nE = int(rows.size)
+                subdivide = False
+                if pcell.level < cellid.MAX_LEVEL and nE > mepc:
+                    # MakeIndexCell linear-size rule (.cc:1785-1801)
+                    short = int(np.count_nonzero(
+                        pcell.level < max_lev[keep[rows]]))
+                    max_short = max(mepc, int(
+                        frac * (nE + self._num_containing(pcell))))
+                    subdivide = short > max_short
+                if not subdivide:
+                    edge_cells.append((pcell.id, keep[rows]))
+                    return
+                a, b = auv[rows], buv[rows]
+                for pos in range(4):
+                    i, j = pcell.get_child_ij(pos)
+                    child = PaddedCell.child(pcell, i, j)
+                    m = intersects_rect_batch(
+                        a, b, child.bound.x.lo, child.bound.x.hi,
+                        child.bound.y.lo, child.bound.y.hi)
+                    visit(child, rows[m])
+
+            # per-face ShrinkToFit jump (.cc:1265-1281): start at the
+            # smallest cell containing every edge's UV bound, and emit
+            # the skipped leaf ranges as interior candidates
+            bound = R2Rect.empty()
+            for k in range(len(auv)):
+                bound = bound.add_rect(
+                    R2Rect.from_point_pair(tuple(auv[k]),
+                                           tuple(buv[k])))
+            shrunk = face_cell.shrink_to_fit(bound)
+            all_rows = np.arange(len(keep), dtype=np.int64)
+            if shrunk != face_cell.id:
+                from .cellunion import from_begin_end
+                f_arr = np.array([face_cell.id], dtype=np.uint64)
+                s_arr = np.array([shrunk], dtype=np.uint64)
+                interior_cand.extend(int(c) for c in from_begin_end(
+                    int(cellid.range_min(f_arr)[0]),
+                    int(cellid.range_min(s_arr)[0])))
+                visit(PaddedCell(shrunk, CELL_PADDING), all_rows)
+                interior_cand.extend(int(c) for c in from_begin_end(
+                    int(cellid.range_max(s_arr)[0]) + 2,
+                    int(cellid.range_max(f_arr)[0]) + 2))
+            else:
+                visit(face_cell, all_rows)
+
+        # -- post-pass: contains_center bits for every candidate cell
+        all_ids = np.array([c for c, _ in edge_cells] + interior_cand,
+                           dtype=np.uint64)
+        if len(all_ids):
+            cx, cy, cz = cellid.to_point(all_ids)
+            centers = np.stack([cx, cy, cz], axis=1)
+        else:
+            centers = np.empty((0, 3))
+        inside = {}
+        for s, shape in enumerate(self._shapes):
+            if shape is not None and shape.dim == 2:
+                inside[s] = contains_brute_force(shape, centers)
+
+        cells: list[tuple[int, IndexCell]] = []
+        for n, (cid, rows) in enumerate(edge_cells):
+            per_shape: dict[int, list[int]] = {}
+            for k in rows:
+                per_shape.setdefault(int(sid[k]), []).append(
+                    int(eid[k]))
+            for s, bits in inside.items():
+                if bits[n] and s not in per_shape:
+                    per_shape[s] = []
+            clipped = [ClippedShape(
+                s, bool(inside[s][n]) if s in inside else False,
+                sorted(es))
+                for s, es in sorted(per_shape.items())]
+            cells.append((cid, IndexCell(clipped)))
+        base = len(edge_cells)
+        for n, cid in enumerate(interior_cand):
+            clipped = [ClippedShape(s, True, ())
+                       for s, bits in sorted(inside.items())
+                       if bits[base + n]]
+            if clipped:
+                cells.append((cid, IndexCell(clipped)))
+
+        cells.sort(key=lambda kv: _u64(kv[0]))
+        self._ids = np.array([c for c, _ in cells], dtype=np.uint64)
+        self._cells = [cell for _, cell in cells]
