@@ -414,3 +414,218 @@ class MutableShapeIndex:
         cells.sort(key=lambda kv: _u64(kv[0]))
         self._ids = np.array([c for c, _ in cells], dtype=np.uint64)
         self._cells = [cell for _, cell in cells]
+
+
+class IndexedShapeRegion:
+    """S2ShapeIndexRegion over a MutableShapeIndex
+    (s2shape_index_region.h:60-120 and the template implementation):
+    every decision is answered FROM THE INDEX CELLS — locate the
+    target, then test only the located cell's clipped edges
+    (AnyEdgeIntersects = padded UV clip × rect, kMaxError =
+    kFaceClipErrorUVCoord + kIntersectsRectErrorUVDist) and the
+    contains-center parity walk.  Duck-compatible with the greedy
+    RegionCoverer (contains_cell / may_intersect_cell /
+    contains_point / get_cell_union_bound), like the brute
+    shape_region.ShapeIndexRegion — same answers, O(cell) work per
+    probe instead of O(collection)."""
+
+    MAX_ERROR = FACE_CLIP_ERROR_UV_COORD + INTERSECTS_RECT_ERROR_UV_DIST
+
+    def __init__(self, index: MutableShapeIndex):
+        self.index = index
+        index._maybe_build()
+
+    # -- internals ----------------------------------------------------
+
+    def _any_edge_intersects(self, clipped: ClippedShape,
+                             target_cid: int) -> bool:
+        """AnyEdgeIntersects (s2shape_index_region.h tail)."""
+        from .clipping import clip_to_padded_face
+        from .shapeutil import shape_edge
+        if not clipped.edges:
+            return False
+        pc = PaddedCell(target_cid, 0.0)
+        bound = pc.bound.expanded(self.MAX_ERROR)
+        shape = self.index.shape(clipped.shape_id)
+        for e in clipped.edges:
+            v0, v1 = shape_edge(shape, e)
+            seg = clip_to_padded_face(v0, v1, pc.face, self.MAX_ERROR)
+            if seg is not None and bool(intersects_rect_batch(
+                    np.asarray([seg[0]]), np.asarray([seg[1]]),
+                    bound.x.lo, bound.x.hi,
+                    bound.y.lo, bound.y.hi)[0]):
+                return True
+        return False
+
+    def _clipped_contains(self, index_cid: int, clipped: ClippedShape,
+                          p: np.ndarray) -> bool:
+        """ShapeContains (s2contains_point_query.h): parity from the
+        index cell's center to p over the clipped edges."""
+        from . import predicates
+        from .shapeutil import shape_edge
+        shape = self.index.shape(clipped.shape_id)
+        if shape is None or shape.dim != 2:
+            return False
+        inside = clipped.contains_center
+        if clipped.edges:
+            center = _center_of(index_cid)
+            v = np.array([shape_edge(shape, e) for e in clipped.edges])
+            m = len(clipped.edges)
+            signs = predicates.crossing_sign(
+                np.broadcast_to(center, (m, 3)),
+                np.broadcast_to(p, (m, 3)), v[:, 0], v[:, 1])
+            toggles = int(np.count_nonzero(signs > 0))
+            for k in np.nonzero(signs == 0)[0]:
+                if bool(predicates.vertex_crossing(
+                        tuple(center), tuple(p),
+                        tuple(v[k, 0]), tuple(v[k, 1]))):
+                    toggles += 1
+            inside ^= bool(toggles & 1)
+        return inside
+
+    @staticmethod
+    def _cid_of(cell) -> int:
+        return int(getattr(cell, "id", cell))
+
+    # -- S2Region / coverer protocol ----------------------------------
+
+    def contains_cell(self, cell) -> bool:
+        """Contains(S2Cell): true iff ANY shape contains the whole
+        cell."""
+        target = self._cid_of(cell)
+        it = self.index.range_iterator()
+        if it.locate(target) != INDEXED:
+            return False
+        cell_ = self.index.cells()[it.pos]
+        for clipped in cell_.clipped:
+            if it.id() == target:
+                if not clipped.edges and clipped.contains_center:
+                    return True
+            else:
+                shape = self.index.shape(clipped.shape_id)
+                if (shape is not None and shape.dim == 2
+                        and not self._any_edge_intersects(clipped,
+                                                          target)
+                        and self._clipped_contains(
+                            it.id(), clipped, _center_of(target))):
+                    return True
+        return False
+
+    def may_intersect_cell(self, cell) -> bool:
+        target = self._cid_of(cell)
+        it = self.index.range_iterator()
+        rel = it.locate(target)
+        if rel == DISJOINT:
+            return False
+        if rel != INDEXED:   # SUBDIVIDED
+            return True
+        if it.id() == target:
+            return True
+        cell_ = self.index.cells()[it.pos]
+        for clipped in cell_.clipped:
+            if self._any_edge_intersects(clipped, target):
+                return True
+            if self._clipped_contains(it.id(), clipped,
+                                      _center_of(target)):
+                return True
+        return False
+
+    def contains_point(self, p) -> bool:
+        return any(self.index.contains_point(p))
+
+    def visit_intersecting_shape_ids(self, cell) -> dict[int, bool]:
+        """VisitIntersectingShapeIds: {shape_id: contains_target} for
+        every shape intersecting the target cell."""
+        target = self._cid_of(cell)
+        it = self.index.range_iterator()
+        rel = it.locate(target)
+        out: dict[int, bool] = {}
+        if rel == DISJOINT:
+            return out
+        if rel == INDEXED:
+            cell_ = self.index.cells()[it.pos]
+            for clipped in cell_.clipped:
+                if it.id() == target:
+                    contains = (not clipped.edges
+                                and clipped.contains_center)
+                else:
+                    if self._any_edge_intersects(clipped, target):
+                        contains = False
+                    elif self._clipped_contains(it.id(), clipped,
+                                                _center_of(target)):
+                        contains = True
+                    else:
+                        continue  # disjoint
+                out[clipped.shape_id] = contains
+            return out
+        # SUBDIVIDED: a shape contains the target iff it appears with
+        # contains_center and no edges in EVERY contained index cell
+        arr = np.array([target], dtype=np.uint64)
+        rmax = int(cellid.range_max(arr)[0])
+        not_contains: dict[int, bool] = {}
+        while not it.done() and it.id() <= rmax:
+            cell_ = self.index.cells()[it.pos]
+            for clipped in cell_.clipped:
+                not_contains[clipped.shape_id] = (
+                    not_contains.get(clipped.shape_id, False)
+                    or bool(clipped.edges)
+                    or not clipped.contains_center)
+            it.next()
+        return {s: not nc for s, nc in not_contains.items()}
+
+    def get_cell_union_bound(self) -> list[int]:
+        """GetCellUnionBound: ≤6 cells spanning the index (≤4 when it
+        fits one face) — per span chunk, the lowest common ancestor of
+        the first/last index cell in the chunk."""
+        ids = self.index.cell_ids()
+        if len(ids) == 0:
+            return []
+        first_id, last_id = int(ids[0]), int(ids[-1])
+        if first_id == last_id:
+            return [first_id]
+        lev = int(cellid.common_ancestor_level(
+            np.array([first_id], dtype=np.uint64),
+            np.array([last_id], dtype=np.uint64))[0]) + 1
+        out: list[int] = []
+        it = self.index.range_iterator()
+        it.begin()
+
+        def parent_at(cid, level):
+            if level == 0:
+                a = np.array([cid], dtype=np.uint64)
+                f = int(cellid.to_face_ij_orientation(a)[0][0])
+                return int(cellid.from_face(np.array([f]))[0])
+            return int(cellid.parent(
+                np.array([cid], dtype=np.uint64), level)[0])
+
+        def cover_range(first, last):
+            if first == last:
+                out.append(first)
+            else:
+                cal = int(cellid.common_ancestor_level(
+                    np.array([first], dtype=np.uint64),
+                    np.array([last], dtype=np.uint64))[0])
+                out.append(parent_at(first, cal))
+
+        last_chunk = parent_at(last_id, lev)
+        cid = parent_at(int(it.id()), lev)
+        while True:
+            arr = np.array([cid], dtype=np.uint64)
+            rmax = int(cellid.range_max(arr)[0])
+            if rmax >= int(it.id()):
+                first = int(it.id())
+                it.seek((rmax + 2) & 0xFFFF_FFFF_FFFF_FFFF)
+                it.prev()
+                cover_range(first, int(it.id()))
+                it.next()
+                if it.done():
+                    break
+            if cid == last_chunk:
+                break
+            cid = (cid + ((cid & -cid) << 1)) & 0xFFFF_FFFF_FFFF_FFFF
+        return out
+
+
+def _center_of(cid: int) -> np.ndarray:
+    x, y, z = cellid.to_point(np.array([cid], dtype=np.uint64))
+    return np.array([x[0], y[0], z[0]])

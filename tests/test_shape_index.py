@@ -285,3 +285,34 @@ class TestCellUnionFromBeginEnd:
         rmin = cellid.range_min(u)
         rmax = cellid.range_max(u)
         assert np.all(rmax[:-1] < rmin[1:])
+
+
+class TestEncodeDecode:
+    def _roundtrip(self, index):
+        """TestEncodeDecode (mutable_s2shape_index_test.cc:124-131):
+        the index survives the EncodedS2ShapeIndex wire format."""
+        from s2spark.kernels import codecs
+        cells = [(int(cid) & (2**64 - 1),
+                  [(c.shape_id, c.contains_center, list(c.edges))
+                   for c in cell.clipped])
+                 for cid, cell in zip(index.cell_ids(), index.cells())]
+        buf = codecs.encode_shape_index(cells, index.num_shape_ids())
+        max_edges, back = codecs.decode_shape_index(
+            buf, index.num_shape_ids())
+        assert max_edges == index.max_edges_per_cell
+        assert len(back) == len(cells)
+        for (cid, cl), (cid2, cl2) in zip(cells, back):
+            assert cid == cid2
+            assert [(s, bool(cc), list(es)) for s, cc, es in cl] == \
+                   [(s, bool(cc), list(es)) for s, cc, es in cl2]
+
+    def test_loops_roundtrip(self):
+        center = np.array([1.0, -1.0, -1.0]) / np.sqrt(3)
+        index = MutableShapeIndex(
+            [lax_loop_shape(lp)
+             for lp in _concentric_loops(center, 2, 32)])
+        self._roundtrip(index)
+
+    def test_mixed_roundtrip(self):
+        shapes = parse_index("1:1|2:2#0:0,4:4#10:10,10:20,20:20")
+        self._roundtrip(MutableShapeIndex(shapes))
