@@ -316,3 +316,51 @@ class TestEncodeDecode:
     def test_mixed_roundtrip(self):
         shapes = parse_index("1:1|2:2#0:0,4:4#10:10,10:20,20:20")
         self._roundtrip(MutableShapeIndex(shapes))
+
+
+class TestFromMinMaxReference:
+    """s2cell_union_test.cc FromMinMax/FromBeginEnd verbatim."""
+
+    @staticmethod
+    def _check(min_id, max_id):
+        # TestFromMinMax: normalized, covers exactly [min, max] leaves
+        u = cellunion.from_min_max(min_id, max_id)
+        assert len(u) > 0
+        assert cellunion.is_normalized(u)
+        assert int(cellid.range_min(u[:1])[0]) == min_id
+        assert int(cellid.range_max(u[-1:])[0]) == max_id
+        # contiguous: each cell starts right after the previous ends
+        rmin = cellid.range_min(u)
+        rmax = cellid.range_max(u)
+        assert np.all(rmin[1:] == rmax[:-1] + np.uint64(2))
+
+    def test_first_and_last_cells(self):
+        f0 = cellid.from_face(np.array([0]))
+        lo, hi = int(cellid.range_min(f0)[0]), int(cellid.range_max(f0)[0])
+        self._check(lo, lo)
+        self._check(lo, hi)
+        f5 = cellid.from_face(np.array([5]))
+        lo5, hi5 = int(cellid.range_min(f5)[0]), int(cellid.range_max(f5)[0])
+        self._check(lo5, hi5)
+        self._check(hi5, hi5)
+
+    def test_random_leaf_ranges(self):
+        rng = np.random.default_rng(20260821)
+        lo = int(cellid.range_min(cellid.from_face(np.array([0])))[0])
+        hi = int(cellid.range_max(cellid.from_face(np.array([5])))[0])
+        n_leaves = (hi - lo) // 2 + 1
+        for _ in range(100):
+            a, b = sorted(int(v) for v in
+                          rng.integers(0, n_leaves, size=2))
+            self._check(lo + 2 * a, lo + 2 * b)
+
+    def test_from_begin_end_empty_and_full(self):
+        begin = int(cellid.range_min(cellid.from_face(np.array([0])))[0])
+        end = (int(cellid.range_max(
+            cellid.from_face(np.array([5])))[0]) + 2) & (2**64 - 1)
+        assert len(cellunion.from_begin_end(begin, begin)) == 0
+        assert len(cellunion.from_begin_end(end, end)) == 0
+        full = cellunion.from_begin_end(begin, end)
+        assert len(full) == 6
+        assert all(bool(cellid.is_face(
+            np.array([c], dtype=np.uint64))[0]) for c in full)
