@@ -629,3 +629,43 @@ class IndexedShapeRegion:
 def _center_of(cid: int) -> np.ndarray:
     x, y, z = cellid.to_point(np.array([cid], dtype=np.uint64))
     return np.array([x[0], y[0], z[0]])
+
+
+def get_crossing_edge_pairs(index: MutableShapeIndex,
+                            crossing_type: str = "all"):
+    """GetCrossingEdgePairs (s2shapeutil_visit_crossing_edge_pairs.h:
+    40-76) over a MutableShapeIndex: candidate pairs are edges
+    CO-LOCATED IN AN INDEX CELL (the index guarantees every crossing
+    pair shares at least one cell, since each edge appears in every
+    cell it intersects), then the exact CrossingSign filter keeps
+    sign >= 0 ('all', touching included) or sign > 0 ('interior').
+
+    -> sorted list of ((shape_a, edge_a), (shape_b, edge_b)) with
+    a < b in (shape, edge) order.  The distributed twin is
+    ops/edges.crossing_edge_join (same candidates from the exploded
+    cell table, same exact filter)."""
+    from . import predicates
+    from .shapeutil import shape_edge
+    min_sign = 0 if crossing_type == "all" else 1
+    cand: set = set()
+    for cell in index.cells():
+        entries = [(c.shape_id, e) for c in cell.clipped
+                   for e in c.edges]
+        for i in range(len(entries)):
+            for j in range(i + 1, len(entries)):
+                a, b = entries[i], entries[j]
+                if a == b:
+                    continue
+                cand.add((a, b) if a < b else (b, a))
+    if not cand:
+        return []
+    pairs = sorted(cand)
+    av, bv = [], []
+    for (sa, ea), (sb, eb) in pairs:
+        av.append(shape_edge(index.shape(sa), ea))
+        bv.append(shape_edge(index.shape(sb), eb))
+    av = np.asarray(av)
+    bv = np.asarray(bv)
+    signs = predicates.crossing_sign(av[:, 0], av[:, 1],
+                                     bv[:, 0], bv[:, 1])
+    return [p for p, s in zip(pairs, signs) if s >= min_sign]
