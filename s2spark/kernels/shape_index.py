@@ -669,3 +669,56 @@ def get_crossing_edge_pairs(index: MutableShapeIndex,
     signs = predicates.crossing_sign(av[:, 0], av[:, 1],
                                      bv[:, 0], bv[:, 1])
     return [p for p, s in zip(pairs, signs) if s >= min_sign]
+
+
+def find_self_intersection(shape) -> str | None:
+    """FindSelfIntersection (s2shapeutil_visit_crossing_edge_pairs.cc:
+    395-470): first crossing error among the chains of ONE dim-2
+    shape, or None.  Interior crossings are loop-cross /
+    self-intersection errors; shared END vertices (checked once per
+    vertex via the a.v1 == b.v1 convention) classify as duplicate
+    vertex (same chain), shared/reversed duplicate edge, or a
+    vertex crossing via the two-wedge PROPERLY_OVERLAPS test —
+    adjacent edges of a chain are skipped."""
+    from . import predicates
+    from .shapeutil import chain_edge, chain_position, shape_edge
+    index = MutableShapeIndex([shape])
+    pairs = get_crossing_edge_pairs(index, "all")
+    chains = None
+    for (sa, ea), (sb, eb) in pairs:
+        ap = chain_position(shape, ea)
+        bp = chain_position(shape, eb)
+        if chains is None:
+            from .shapeutil import shape_chains
+            chains = shape_chains(shape)
+        if ap[0] == bp[0]:
+            ln = chains[ap[0]][1]
+            if ((ap[1] + 1) % ln == bp[1]) or ((bp[1] + 1) % ln == ap[1]):
+                continue  # adjacent edges in the chain
+        a0, a1 = shape_edge(shape, ea)
+        b0, b1 = shape_edge(shape, eb)
+        sign = int(predicates.crossing_sign(a0[None], a1[None],
+                                            b0[None], b1[None])[0])
+        if sign > 0:
+            return ("LOOP_SELF_INTERSECTION" if ap[0] == bp[0]
+                    else "POLYGON_LOOPS_CROSS")
+        # shared-vertex analysis, once per vertex: require a.v1 == b.v1
+        if not np.array_equal(a1, b1):
+            continue
+        if ap[0] == bp[0]:
+            return "DUPLICATE_VERTICES"
+        a_len = chains[ap[0]][1]
+        b_len = chains[bp[0]][1]
+        a2 = chain_edge(shape, ap[0], (ap[1] + 1) % a_len)[1]
+        b2 = chain_edge(shape, bp[0], (bp[1] + 1) % b_len)[1]
+        if np.array_equal(a0, b0) or np.array_equal(a0, b2):
+            return "POLYGON_LOOPS_SHARE_EDGE"
+        ta = tuple(a0), tuple(a1), tuple(a2)
+        if (predicates.get_wedge_relation(
+                ta[0], ta[1], ta[2], tuple(b0), tuple(b2))
+                == predicates.WEDGE_PROPERLY_OVERLAPS
+                and predicates.get_wedge_relation(
+                    ta[0], ta[1], ta[2], tuple(b2), tuple(b0))
+                == predicates.WEDGE_PROPERLY_OVERLAPS):
+            return "POLYGON_LOOPS_CROSS"
+    return None

@@ -83,3 +83,41 @@ def test_edge_grid_two_shapes():
         assert len(got) == count
         # every crossing pair straddles the two shapes
         assert all(a[0] != b[0] for a, b in got)
+
+
+class TestFindSelfIntersection:
+    """FindSelfIntersection Basic (test .cc:293-302): each fixture
+    checked over ALL cyclic permutations of every loop's vertices
+    (TestHasCrossingPermutations)."""
+
+    @staticmethod
+    def _loops(s):
+        from s2spark.kernels.validation import parse_index
+        [shape] = parse_index("##" + s.replace(", ", ","))
+        return [c for c in shape.chains]
+
+    def _check(self, s, has_crossing):
+        from itertools import product
+
+        from s2spark.kernels.shape_index import find_self_intersection
+        from s2spark.kernels.validation import VShape
+        loops = self._loops(s)
+        rotations = [range(len(lp)) for lp in loops]
+        for rots in product(*rotations):
+            chains = [np.roll(lp, -r, axis=0)
+                      for lp, r in zip(loops, rots)]
+            err = find_self_intersection(VShape(2, chains))
+            assert (err is not None) == has_crossing, (s, rots, err)
+
+    def test_basic(self):
+        self._check("0:0, 0:1, 0:2, 1:2, 1:1, 1:0", False)
+        # duplicate vertex
+        self._check("0:0, 0:1, 0:2, 1:2, 0:1, 1:0", True)
+        # edge crossing
+        self._check("0:0, 0:1, 1:0, 1:1", True)
+        # duplicate edge between loops
+        self._check("0:0, 1:1, 0:1; 0:0, 1:1, 1:0", True)
+        # reversed edge between loops
+        self._check("0:0, 1:1, 0:1; 1:1, 0:0, 1:0", True)
+        # vertex crossing
+        self._check("0:0, 0:2, 2:2, 2:0; 1:1, 0:2, 3:1, 2:0", True)
