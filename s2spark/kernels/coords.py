@@ -132,3 +132,34 @@ def xyz_to_latlng(x, y, z):
 def normalize_xyz(x, y, z):
     n = np.sqrt(x * x + y * y + z * z)
     return x / n, y / n, z / n
+
+
+# ---------------------------------------------------------------------------
+# Alternative ST<->UV projections (s2coords.h:285-320).  The engine is
+# compiled, like the reference default, with the QUADRATIC projection
+# (st_to_uv/uv_to_st above — every cell id in storage assumes it);
+# the LINEAR and TAN variants exist for parity and for converting data
+# indexed by builds of the reference that chose them.
+# ---------------------------------------------------------------------------
+
+def st_to_uv_linear(s: np.ndarray) -> np.ndarray:
+    """S2_LINEAR_PROJECTION s->u (s2coords.h:291-299)."""
+    return 2.0 * np.asarray(s, dtype=np.float64) - 1.0
+
+
+def uv_to_st_linear(u: np.ndarray) -> np.ndarray:
+    return 0.5 * (np.asarray(u, dtype=np.float64) + 1.0)
+
+
+def st_to_uv_tan(s: np.ndarray) -> np.ndarray:
+    """S2_TAN_PROJECTION s->u (s2coords.h:301-311): tan(pi/2·s −
+    pi/4), nudged by one 2^-53 ulp-scale term because tan(pi/4)
+    rounds slightly below 1.0 (the reference's correction)."""
+    s = np.asarray(s, dtype=np.float64)
+    t = np.tan((np.pi / 2.0) * s - (np.pi / 4.0))
+    return t + (1.0 / (1 << 53)) * t
+
+
+def uv_to_st_tan(u: np.ndarray) -> np.ndarray:
+    a = np.arctan(np.asarray(u, dtype=np.float64))
+    return (2.0 / np.pi) * (a + (np.pi / 4.0))

@@ -94,3 +94,41 @@ def test_project_and_tessellate_operators(spark):
         chain = np.stack([np.array(r["xs"]), np.array(r["ys"])], axis=1)
         want_chain = tessellate_projected(v[k], v[k + 1], proj, 1e-3)
         assert np.abs(chain - want_chain).max() < 1e-15
+
+
+class TestAlternativeSTUVProjections:
+    """s2coords.h:285-320 LINEAR/TAN projection variants: endpoint
+    and center fixed points, round-trip accuracy, monotonicity."""
+
+    def test_endpoints_and_center(self):
+        import numpy as np
+
+        from s2spark.kernels import coords
+        for f, g in ((coords.st_to_uv_linear, coords.uv_to_st_linear),
+                     (coords.st_to_uv_tan, coords.uv_to_st_tan)):
+            assert f(np.array([0.5]))[0] == 0.0
+            assert abs(f(np.array([0.0]))[0] + 1.0) < 1e-15
+            assert abs(f(np.array([1.0]))[0] - 1.0) < 1e-15
+            assert g(np.array([0.0]))[0] == 0.5
+
+    def test_round_trips(self):
+        import numpy as np
+
+        from s2spark.kernels import coords
+        s = np.linspace(0.0, 1.0, 20001)
+        for f, g, tol in (
+                (coords.st_to_uv_linear, coords.uv_to_st_linear, 1e-15),
+                (coords.st_to_uv_tan, coords.uv_to_st_tan, 1e-14)):
+            u = f(s)
+            assert np.all(np.diff(u) > 0)          # monotone
+            assert np.all(np.abs(g(u) - s) <= tol)  # round-trip
+            # uv in [-1, 1] with tight endpoints
+            assert u[0] >= -1.0 - 1e-15 and u[-1] <= 1.0 + 1e-15
+
+    def test_tan_one_is_exact_after_nudge(self):
+        import numpy as np
+
+        from s2spark.kernels import coords
+        # the 2^-53 correction makes STtoUV(1) land on exactly 1.0
+        assert coords.st_to_uv_tan(np.array([1.0]))[0] == 1.0
+        assert coords.st_to_uv_tan(np.array([0.0]))[0] == -1.0
