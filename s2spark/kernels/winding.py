@@ -231,3 +231,87 @@ def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
     if arrays:
         return arrays, "normal"
     return arrays, ("full" if want(w_ref) else "empty")
+
+
+def get_snapped_winding_delta(loops: list[np.ndarray],
+                              ref_point: np.ndarray, snap) -> int:
+    """GetSnappedWindingDelta (s2builderutil_get_snapped_winding_delta
+    .h:19-77): the change in winding number of the reference vertex
+    caused by snapping — ``w_snap(snapped ref) = ref_winding +
+    get_snapped_winding_delta(loops, ref, snap)``.
+
+    Decomposition (the same sweep quads winding_operation uses):
+    w_in(r0) - w_snap(r0) = Σ_quads winding_quad(r0) (each quad =
+    input sub-edge forward + its snapped edge reversed + connectors,
+    a closed contour), and moving the evaluation point along the
+    reference vertex's own snap path r0 -> r1 adds the signed
+    crossings of that path with the snapped edge multiset."""
+    r0 = np.asarray(ref_point, dtype=np.float64)
+    rk = snap.site_key(r0)
+    delta_collapsed = 0
+    loop_edge_lists = []
+    for v in loops:
+        v = np.asarray(v, dtype=np.float64)
+        if len(v) <= 1:
+            continue
+        keys = {snap.site_key(p) for p in v}
+        if keys == {rk}:
+            # category (1), s2builderutil_get_snapped_winding_delta.cc:
+            # 272-287 — a loop whose every vertex snaps to R' collapses
+            # to a point, so its snapped winding is zero everywhere;
+            # the delta is -winding(R) measured from a point Z outside
+            # the Voronoi region of R' (Ortho(R'), 90 deg away)
+            from .pointutil import ortho
+            from .validation import _svc_sum
+            r1c = np.asarray(snap.site_point(rk, r0), dtype=np.float64)
+            z = ortho(r1c[None])[0]
+            nxt = np.roll(v, -1, axis=0)
+            delta_collapsed -= _svc_sum(
+                tuple(z), tuple(r0), v, nxt,
+                [tuple(x) for x in v], [tuple(x) for x in nxt])
+            continue
+        loop_edge_lists.append(
+            [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))])
+    sub = subdivide_self(loop_edge_lists)
+    sub_edges = [e for lst in sub for segs in lst for e in segs]
+    if not sub_edges:
+        return delta_collapsed
+    seen, sites = _snap_edges(sub_edges, snap)
+    edges = [e for e in sorted(seen) for _ in range(seen[e])]
+    edges = _stabilize_crossings(edges, sites, snap)
+
+    # Σ_quads winding_quad(r0) — identical to winding_operation
+    quad_sum = 0
+    for (a, b) in sub_edges:
+        ka, kb = snap.site_key(a), snap.site_key(b)
+        a2 = sites.get(ka, snap.site_point(ka, a))
+        b2 = sites.get(kb, snap.site_point(kb, b))
+        quad = [(a, b), (b, b2), (b2, a2), (a2, a)]
+        segs = [(p, q, 1) for p, q in quad
+                if not np.array_equal(p, q)]
+        if len(segs) <= 1:
+            continue
+        c = a + b + a2 + b2
+        nc = float(np.linalg.norm(c))
+        f = -(c / nc) if nc > 0 else -a
+        quad_sum += _signed_crossings(f, r0, segs)
+
+    # crossings of the reference vertex's snap path with the snapped
+    # edges (w_snap(r1) - w_snap(r0))
+    r1 = np.asarray(sites.get(rk, snap.site_point(rk, r0)),
+                    dtype=np.float64)
+    x = 0
+    if not np.array_equal(r0, r1):
+        from .validation import _svc_sum
+        pq = [(np.asarray(sites[u]), np.asarray(sites[v]))
+              for (u, v) in edges
+              if not np.array_equal(sites[u], sites[v])]
+        if pq:
+            # edge-OR-vertex crossings: the path may land exactly on a
+            # chain vertex (the snapped ref vertex), where the engine's
+            # vertex-crossing convention decides containment
+            P = np.array([a for a, _ in pq])
+            Q = np.array([b for _, b in pq])
+            x = _svc_sum(tuple(r0), tuple(r1), P, Q,
+                         [tuple(a) for a in P], [tuple(b) for b in Q])
+    return delta_collapsed + x - quad_sum
