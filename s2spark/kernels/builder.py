@@ -600,7 +600,8 @@ DENSE_STABILIZE_LIMIT = 256
 
 
 def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
-                         max_rounds: int = 8) -> list[tuple]:
+                         max_rounds: int = 8,
+                         return_origins: bool = False):
     """Snap rounding can create NEW crossings between snapped edges
     (the reference iterates until the arrangement is stable —
     s2builder.h:30-61 'idempotent snapping' discussion).  Each round
@@ -608,12 +609,22 @@ def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
     CrossingSign ladder, splits both participants at the (snapped)
     intersection point, and repeats until crossing-free.  Shared-
     endpoint touches are legal output (CrossingSign <= 0) and don't
-    trigger splits."""
+    trigger splits.
+
+    return_origins=True additionally returns, per output edge, the
+    index of the INPUT edge it descends from (split provenance) — the
+    winding kernels build sweep contours against the final stabilized
+    chains instead of the pre-stabilization endpoints with it."""
     edges = list(edges)
+    origins = list(range(len(edges)))
+
+    def _ret():
+        return (edges, origins) if return_origins else edges
+
     for _ in range(max_rounds):
         n = len(edges)
         if n < 2:
-            return edges
+            return _ret()
         p0 = np.array([sites[u] for u, _ in edges])
         p1 = np.array([sites[v] for _, v in edges])
         if n <= DENSE_STABILIZE_LIMIT:
@@ -625,7 +636,7 @@ def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
             from .loops import soup_candidate_pairs
             cand = soup_candidate_pairs(p0, p1)
             if not cand:
-                return edges
+                return _ret()
             arr = np.array(sorted(cand), dtype=np.int64)
             ii, jj = arr[:, 0], arr[:, 1]
         cs = predicates.crossing_sign(p0[ii], p1[ii], p0[jj], p1[jj])
@@ -633,7 +644,7 @@ def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
         crossing = [(int(i), int(j)) for i, j in
                     zip(ii[sel], jj[sel])]
         if not crossing:
-            return edges
+            return _ret()
         splits: dict[int, list] = {}
         for i, j in crossing:
             x = edge_intersection(p0[i], p1[i], p0[j], p1[j])
@@ -643,21 +654,25 @@ def _stabilize_crossings(edges: list[tuple], sites: dict, snap,
             splits.setdefault(i, []).append(k)
             splits.setdefault(j, []).append(k)
         out = []
+        out_origins = []
         for idx, (u, v) in enumerate(edges):
             ks = [k for k in splits.get(idx, ())
                   if k != u and k != v]
             if not ks:
                 out.append((u, v))
+                out_origins.append(origins[idx])
                 continue
             ks = sorted(set(ks),
                         key=lambda k: _edge_param(sites[u], sites[v],
                                                   sites[k]))
             chain = [u, *ks, v]
-            out.extend((chain[t], chain[t + 1])
-                       for t in range(len(chain) - 1)
-                       if chain[t] != chain[t + 1])
+            for t in range(len(chain) - 1):
+                if chain[t] != chain[t + 1]:
+                    out.append((chain[t], chain[t + 1]))
+                    out_origins.append(origins[idx])
         edges = out
-    return edges
+        origins = out_origins
+    return _ret()
 
 
 def _cancel_siblings(seen: dict, protected: set | None = None

@@ -134,24 +134,47 @@ def winding_operation(loops: list[np.ndarray], ref_point: np.ndarray,
     sub_edges = [e for lst in sub for segs in lst for e in segs]
 
     seen, sites = _snap_edges(sub_edges, snap)
-    edges = [e for e in sorted(seen) for _ in range(seen[e])]
-    edges = _stabilize_crossings(edges, sites, snap)
+    base_edges = [e for e in sorted(seen) for _ in range(seen[e])]
+    edges, origins = _stabilize_crossings(base_edges, sites, snap,
+                                          return_origins=True)
+    first_pos: dict = {}
+    for pos, e in enumerate(base_edges):
+        first_pos.setdefault(e, pos)
+    chain_of: dict = {}
+    for seg, o in zip(edges, origins):
+        if o == first_pos.get(base_edges[o]):
+            chain_of.setdefault(base_edges[o], []).append(seg)
 
-    # snapped winding delta: sweep quads input-subedge -> snapped edge
+    # snapped winding delta: sweep contour input-subedge -> its FINAL
+    # stabilized chain (pre-stabilization endpoints would miss slivers
+    # swept when snap-induced crossings re-split edges near the ref)
     delta = 0
     for (a, b) in sub_edges:
         ka, kb = snap.site_key(a), snap.site_key(b)
         a2 = sites.get(ka, snap.site_point(ka, a))
         b2 = sites.get(kb, snap.site_point(kb, b))
-        quad = [(a, b), (b, b2), (b2, a2), (a2, a)]
-        segs = [(p, q, 1) for p, q in quad
+        if ka == kb:
+            contour = [(a, b), (b, b2), (a2, a)]
+        else:
+            chain = chain_of.get((ka, kb), [(ka, kb)])
+            contour = [(a, b), (b, b2)]
+            contour += [(np.asarray(sites[v2]), np.asarray(sites[u2]))
+                        for (u2, v2) in reversed(chain)]
+            contour += [(a2, a)]
+        segs = [(p, q) for p, q in contour
                 if not np.array_equal(p, q)]
         if len(segs) <= 1:
             continue  # identity snap: zero-area sweep
         c = a + b + a2 + b2
         nc = float(np.linalg.norm(c))
         f = -(c / nc) if nc > 0 else -a
-        delta += _signed_crossings(f, r, segs)
+        # edge-OR-vertex crossings (see get_snapped_winding_delta)
+        from .validation import _svc_sum
+        P = np.array([p for p, _ in segs])
+        Q = np.array([q for _, q in segs])
+        delta += _svc_sum(tuple(f), tuple(r), P, Q,
+                          [tuple(p) for p in P],
+                          [tuple(q) for q in Q])
     w_ref = int(ref_winding) - delta
 
     # bundles: coincident directed edges netted
@@ -277,24 +300,52 @@ def get_snapped_winding_delta(loops: list[np.ndarray],
     if not sub_edges:
         return delta_collapsed
     seen, sites = _snap_edges(sub_edges, snap)
-    edges = [e for e in sorted(seen) for _ in range(seen[e])]
-    edges = _stabilize_crossings(edges, sites, snap)
+    base_edges = [e for e in sorted(seen) for _ in range(seen[e])]
+    edges, origins = _stabilize_crossings(base_edges, sites, snap,
+                                          return_origins=True)
+    # final stabilized chain per snapped key pair (all multiplicity
+    # copies of a pair split identically — keep the first copy's)
+    first_pos: dict = {}
+    for pos, e in enumerate(base_edges):
+        first_pos.setdefault(e, pos)
+    chain_of: dict = {}
+    for seg, o in zip(edges, origins):
+        if o == first_pos.get(base_edges[o]):
+            chain_of.setdefault(base_edges[o], []).append(seg)
 
-    # Σ_quads winding_quad(r0) — identical to winding_operation
+    # Σ_quads winding_quad(r0): each contour is the input sub-edge
+    # forward + its FINAL stabilized chain reversed (+ connectors) —
+    # pre-stabilization endpoints would miss slivers swept when
+    # snap-induced crossings re-split edges near r0
     quad_sum = 0
     for (a, b) in sub_edges:
         ka, kb = snap.site_key(a), snap.site_key(b)
         a2 = sites.get(ka, snap.site_point(ka, a))
         b2 = sites.get(kb, snap.site_point(kb, b))
-        quad = [(a, b), (b, b2), (b2, a2), (a2, a)]
-        segs = [(p, q, 1) for p, q in quad
+        if ka == kb:
+            contour = [(a, b), (b, b2), (a2, a)]
+        else:
+            chain = chain_of.get((ka, kb), [(ka, kb)])
+            contour = [(a, b), (b, b2)]
+            contour += [(np.asarray(sites[v2]), np.asarray(sites[u2]))
+                        for (u2, v2) in reversed(chain)]
+            contour += [(a2, a)]
+        segs = [(p, q) for p, q in contour
                 if not np.array_equal(p, q)]
         if len(segs) <= 1:
             continue
         c = a + b + a2 + b2
         nc = float(np.linalg.norm(c))
         f = -(c / nc) if nc > 0 else -a
-        quad_sum += _signed_crossings(f, r0, segs)
+        # edge-OR-vertex crossings: the stabilized chain may pass
+        # exactly through r0 (a split at the reference site), where
+        # the vertex-crossing convention decides the sweep
+        from .validation import _svc_sum
+        P = np.array([p for p, _ in segs])
+        Q = np.array([q for _, q in segs])
+        quad_sum += _svc_sum(tuple(f), tuple(r0), P, Q,
+                             [tuple(p) for p in P],
+                             [tuple(q) for q in Q])
 
     # crossings of the reference vertex's snap path with the snapped
     # edges (w_snap(r1) - w_snap(r0))

@@ -100,3 +100,83 @@ CASES = [
     [c[1:] for c in CASES], ids=[c[0] for c in CASES])
 def test_get_snapped_winding_delta(loops, forced, radius, expected):
     expect_winding_delta(loops, forced, radius, expected)
+
+
+def test_random_loops_cross_validation():
+    """RandomLoops-style check (test .cc:428): for small geometries
+    far from a fixed probe point Z, the delta must equal
+    w_snap(R') - w_in(R), both computed independently as
+    edge-or-vertex crossing sums from Z (valid because no edge sweeps
+    across Z during snapping when all geometry stays inside a small
+    cap on the opposite side of the sphere)."""
+    from s2spark.kernels.validation import _svc_sum
+
+    rng = np.random.default_rng(42)
+    z = np.array([0.0, 0.0, -1.0])  # antipodal to the geometry cap
+
+    def winding(point, edge_list):
+        if not edge_list:
+            return 0
+        P = np.array([a for a, _ in edge_list])
+        Q = np.array([b for _, b in edge_list])
+        return _svc_sum(tuple(z), tuple(point), P, Q,
+                        [tuple(a) for a in P], [tuple(b) for b in Q])
+
+    n_checked = 0
+    for it in range(60):
+        n_loops = int(rng.integers(1, 4))
+        loops = []
+        for _ in range(n_loops):
+            nv = int(rng.integers(3, 7))
+            # loop vertices in a 10-degree cap around the north pole
+            lat = 90 - rng.uniform(0, 10, nv)
+            lng = rng.uniform(-180, 180, nv)
+            phi, lam = np.radians(lat), np.radians(lng)
+            loops.append(np.stack([np.cos(phi) * np.cos(lam),
+                                   np.cos(phi) * np.sin(lam),
+                                   np.sin(phi)], axis=1))
+        # the reference vertex is a STANDALONE forced site (generic
+        # position): the on-boundary vertex conventions exercised when
+        # input vertices snap onto the reference site are pinned by
+        # the 21 deterministic fixtures above; this stress validates
+        # the bulk sweep accumulation on generic configurations
+        lat0 = 90 - rng.uniform(0, 10)
+        lng0 = rng.uniform(-180, 180)
+        phi0, lam0 = np.radians(lat0), np.radians(lng0)
+        ref = np.array([np.cos(phi0) * np.cos(lam0),
+                        np.cos(phi0) * np.sin(lam0), np.sin(phi0)])
+        allv = [ref] + [v for lp in loops for v in lp]
+        sites = bld.select_sites(allv, np.radians(rng.uniform(0.5, 3)))
+        snap = bld.SelectedSitesSnap(sites)
+        rk0 = snap.site_key(ref)
+        if any(snap.site_key(v) == rk0
+               for lp in loops for v in lp):
+            continue  # covered by the deterministic fixtures
+
+        got = wd.get_snapped_winding_delta(loops, ref, snap)
+
+        # independent winding computation: subdivide + snap the same
+        # way, then count crossings from Z on each side
+        from s2spark.kernels.builder import (_snap_edges,
+                                             _stabilize_crossings,
+                                             subdivide_self)
+        edge_lists = []
+        for v in loops:
+            edge_lists.append(
+                [(v[i], v[(i + 1) % len(v)]) for i in range(len(v))])
+        sub = subdivide_self(edge_lists)
+        sub_edges = [e for lst in sub for segs in lst for e in segs]
+        seen, sites_map = _snap_edges(sub_edges, snap)
+        edges = [e for e in sorted(seen) for _ in range(seen[e])]
+        edges = _stabilize_crossings(edges, sites_map, snap)
+        rk = snap.site_key(ref)
+        r1 = np.asarray(sites_map.get(rk, snap.site_point(rk, ref)))
+        w_in = winding(ref, sub_edges)
+        w_out = winding(r1, [(np.asarray(sites_map[u]),
+                              np.asarray(sites_map[v]))
+                             for (u, v) in edges
+                             if not np.array_equal(sites_map[u],
+                                                   sites_map[v])])
+        assert got == w_out - w_in, (it, got, w_out, w_in)
+        n_checked += 1
+    assert n_checked >= 25  # the skip filter must not eat the stress
