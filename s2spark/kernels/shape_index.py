@@ -285,25 +285,47 @@ class MutableShapeIndex:
         return (np.asarray(sid, np.int64), np.asarray(eid, np.int64),
                 va, vb, max_lev)
 
-    def _num_containing(self, pcell: PaddedCell) -> int:
+    def _parity_evaluators(self):
+        """Per-dim-2-shape (loops, calibration) pairs, computed ONCE
+        per build — the parity calibration probe is O(shape edges) and
+        dominates the build if recomputed per subdivision cell."""
+        from .loops import Loop
+        from .builder import _parity_calibration
+        out = {}
+        for sid, shape in enumerate(self._shapes):
+            if shape is None or shape.dim != 2:
+                continue
+            if getattr(shape, "is_full", False) and not shape.chains:
+                out[sid] = (None, True)
+                continue
+            if not shape.chains:
+                continue
+            loops = [Loop(c) for c in shape.chains]
+            out[sid] = (loops, _parity_calibration(loops))
+        return out
+
+    def _num_containing(self, pcell: PaddedCell, parity) -> int:
         """Upper bound on shapes containing the whole cell: dim-2
         shapes containing the cell's entry vertex (the quantity the
         reference's InteriorTracker supplies to MakeIndexCell)."""
-        from .shapeutil import contains_brute_force
+        from .builder import _parity_contains
         v = np.asarray(pcell.get_entry_vertex(),
                        dtype=np.float64).reshape(1, 3)
         n = 0
-        for shape in self._shapes:
-            if shape is not None and shape.dim == 2:
-                n += int(contains_brute_force(shape, v)[0])
+        for _sid, (loops, calib) in parity.items():
+            if loops is None:
+                n += 1
+            else:
+                n += int(_parity_contains(loops, v, calib)[0])
         return n
 
     def _build(self):
-        from .shapeutil import contains_brute_force
         from .clipping import clip_to_padded_face
+        from .builder import _parity_contains
         sid, eid, va, vb, max_lev = self._edge_table()
         mepc = self.max_edges_per_cell
         frac = self.min_short_edge_fraction
+        parity = self._parity_evaluators()
 
         edge_cells: list[tuple[int, np.ndarray]] = []  # (cid, idxs)
         interior_cand: list[int] = []
@@ -338,7 +360,8 @@ class MutableShapeIndex:
                     short = int(np.count_nonzero(
                         pcell.level < max_lev[keep[rows]]))
                     max_short = max(mepc, int(
-                        frac * (nE + self._num_containing(pcell))))
+                        frac * (nE + self._num_containing(pcell,
+                                                          parity))))
                     subdivide = short > max_short
                 if not subdivide:
                     edge_cells.append((pcell.id, keep[rows]))
@@ -385,9 +408,13 @@ class MutableShapeIndex:
         else:
             centers = np.empty((0, 3))
         inside = {}
-        for s, shape in enumerate(self._shapes):
-            if shape is not None and shape.dim == 2:
-                inside[s] = contains_brute_force(shape, centers)
+        for s, (loops, calib) in parity.items():
+            if loops is None:
+                inside[s] = np.ones(len(centers), dtype=bool)
+            else:
+                inside[s] = (_parity_contains(loops, centers, calib)
+                             if len(centers) else
+                             np.zeros(0, dtype=bool))
 
         cells: list[tuple[int, IndexCell]] = []
         for n, (cid, rows) in enumerate(edge_cells):
