@@ -359,6 +359,21 @@ def q_shape_index_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec.shape_index_codec_roundtrip(spark, loops)
 
 
+def q_shape_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MutableS2ShapeIndex decomposition, distributed
+    (mutable_s2shape_index.cc:1240-1850 UpdateFaceEdges/MakeIndexCell;
+    kernels/shape_index.py): per synthetic polygon, the adaptive cell
+    subdivision — per-face ShrinkToFit jump, padded-UV membership,
+    short-edge subdivision rule, interior cells with contains-center
+    bits — emitted as one row per index cell.  QuadraticValidate
+    parity pinned in tests/test_shape_index.py.  Materialized
+    driver-kernel oracle."""
+    from s2spark.ops import pip
+    loops = pip.synth_loops(N_CODEC_POLYS, min_vertices=24,
+                            max_vertices=48)
+    return pip.mutable_index_cells(spark, loops)
+
+
 def q_polygon_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2Polygon compressed coder (v4) round-trip, distributed
     (s2polygon.cc:1475-1500, s2loop.cc:1360-1426, s2point_compression
@@ -1283,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_vector_codec": q_cell_vector_codec,
         "polygon_codec": q_polygon_codec,
         "shape_index_codec": q_shape_index_codec,
+        "shape_index_cells": q_shape_index_cells,
         "region_covering": q_region_covering,
         "region_overlap": q_region_overlap,
         "chain_midpoint": q_chain_midpoint,
@@ -2091,6 +2107,7 @@ def _geometry_oracles() -> dict[str, str]:
         "closest_cell": _closest_cell_oracle(),
         "polygon_codec": _polygon_codec_oracle(),
         "shape_index_codec": _shape_index_codec_oracle(),
+        "shape_index_cells": _shape_index_cells_oracle(),
         "convex_hull": hull_sql,
         "chain_interp": chain_interp,
         "density_tree": density_sql,
@@ -2463,6 +2480,26 @@ def _polygon_codec_oracle() -> str:
             "CAST(version AS INTEGER) AS version FROM (VALUES "
             + ", ".join(rows)
             + ") AS _p(poly_id, seq, site_cell, enc_len, version)")
+
+
+def _shape_index_cells_oracle() -> str:
+    """Driver-kernel materialized expected rows for shape_index_cells
+    (pip.mutable_index_rows shared verbatim; subdivision semantics
+    pinned by the QuadraticValidate battery)."""
+    from s2spark.ops import pip as _pip
+    rows = []
+    for pid, lp in _pip.synth_loops(N_CODEC_POLYS, min_vertices=24,
+                                    max_vertices=48).items():
+        rows.extend(
+            f"({p}, {c}, {n}, {str(bool(cc)).upper()})"
+            for p, c, n, cc in _pip.mutable_index_rows(
+                pid, lp.vertices))
+    return ("SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+            "CAST(icell AS BIGINT) AS icell, "
+            "CAST(n_edges AS INTEGER) AS n_edges, "
+            "CAST(contains_center AS BOOLEAN) AS contains_center "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") AS _s(poly_id, icell, n_edges, contains_center)")
 
 
 def _overlay_geom_oracle() -> str:

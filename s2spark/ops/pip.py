@@ -381,3 +381,48 @@ def synth_loops(n: int, min_vertices: int = 6, max_vertices: int = 12,
         pts /= np.linalg.norm(pts, axis=1, keepdims=True)
         out[pid] = Loop(pts)
     return out
+
+
+def mutable_index_rows(pid: int, verts: np.ndarray) -> list[tuple]:
+    """One loop's MutableShapeIndex decomposition (kernels/
+    shape_index.py — the reference's adaptive cell subdivision with
+    the ShrinkToFit jump, MakeIndexCell short-edge rule, and interior
+    cells): one row per index cell with its clipped edge count and
+    contains-center bit.  Any change to the subdivision rules, the
+    padded-UV membership test, or the parity post-pass changes these
+    rows."""
+    from ..kernels.shape_index import MutableShapeIndex
+    from ..kernels.shapeutil import lax_loop_shape
+    idx = MutableShapeIndex([lax_loop_shape(
+        np.asarray(verts, dtype=np.float64).reshape(-1, 3))])
+    out = []
+    for cid, cell in zip(idx.cell_ids(), idx.cells()):
+        c = cell.clipped[0]
+        out.append((pid, int(np.uint64(cid).astype(np.int64)),
+                    c.num_edges(), bool(c.contains_center)))
+    return out
+
+
+def mutable_index_cells(spark, loops) -> "DataFrame":
+    """Distributed MutableShapeIndex build: one applyInPandas group
+    per polygon (the same parallel axis as the distributed edge-cell
+    index build above — this emits the reference's per-cell clipped
+    structure, build_edge_index_distributed emits the join-ready edge
+    rows)."""
+    import pandas as pd
+    from pyspark.sql import DataFrame
+    df = loops if isinstance(loops, DataFrame) \
+        else loops_to_df(spark, loops)
+    schema = ("poly_id long, icell long, n_edges int, "
+              "contains_center boolean")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        v = np.asarray(pdf["vertices"].iloc[0],
+                       dtype=np.float64).reshape(-1, 3)
+        return pd.DataFrame(
+            mutable_index_rows(pid, v),
+            columns=["poly_id", "icell", "n_edges",
+                     "contains_center"])
+
+    return df.groupBy("poly_id").applyInPandas(run, schema)
