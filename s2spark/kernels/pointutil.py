@@ -122,3 +122,16 @@ def tangent_frame(z) -> tuple[np.ndarray, np.ndarray]:
     u /= np.linalg.norm(u, axis=1, keepdims=True)
     v = np.cross(z, u)
     return u, v
+
+
+def make_regular_loop(center, radius_rad: float, n: int) -> np.ndarray:
+    """S2Loop::MakeRegularLoop (s2loop.cc:216-233): n vertices at
+    angular distance `radius_rad` from `center`, CCW around it, laid
+    out in the GetFrame basis (vertex 0 on the frame's +x tangent
+    axis) — the construction the reference's test fixtures use."""
+    m = get_frame(np.asarray(center, dtype=np.float64).reshape(3))
+    ang = 2 * np.pi * np.arange(n) / n
+    s, c = np.sin(radius_rad), np.cos(radius_rad)
+    local = np.stack([s * np.cos(ang), s * np.sin(ang),
+                      np.full(n, c)], axis=1)
+    return from_frame(m, local)

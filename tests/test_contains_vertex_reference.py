@@ -78,11 +78,7 @@ def test_not_contained_with_duplicates():
 
 
 def _regular_points(center, radius_rad, n):
-    m = pointutil.get_frame(np.asarray(center, dtype=np.float64))
-    ang = 2 * np.pi * np.arange(n) / n
-    s, c = np.sin(radius_rad), np.cos(radius_rad)
-    return pointutil.from_frame(m, np.stack(
-        [s * np.cos(ang), s * np.sin(ang), np.full(n, c)], axis=1))
+    return pointutil.make_regular_loop(center, radius_rad, n)
 
 
 def test_compatible_with_angle_contains_vertex():

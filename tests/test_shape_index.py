@@ -106,13 +106,7 @@ def quadratic_validate(index: MutableShapeIndex):
 
 
 def _regular_loop(center, radius_rad, n):
-    """S2Loop::MakeRegularLoop via the reference frame kernels."""
-    m = pointutil.get_frame(np.asarray(center, dtype=np.float64))
-    ang = 2 * np.pi * np.arange(n) / n
-    s, c = np.sin(radius_rad), np.cos(radius_rad)
-    local = np.stack([s * np.cos(ang), s * np.sin(ang),
-                      np.full(n, c)], axis=1)
-    return pointutil.from_frame(m, local)
+    return pointutil.make_regular_loop(center, radius_rad, n)
 
 
 def _concentric_loops(center, num_loops, num_vertices):
