@@ -7,20 +7,22 @@ streaming face = s2spark/streaming/dedup.py).
         --input /data/documents.parquet --text-col text \
         --output /out/dedup --state-dir /out/state --n-buckets 8
 
-Documents are fingerprinted (same 64-bit key the streaming dedup and
-the `doc_fingerprint` oracle use) and bucketed BY FINGERPRINT HASH, so
-every duplicate group lands in one bucket and per-bucket
-deduplication is globally exact — no cross-bucket shuffle, and the
-lineage table makes a re-run skip completed buckets (a crash loses at
-most one bucket).  At 100 TB each bucket is an independent
-hash-pruned scan; n_buckets scales with the cluster, and the
-min(doc_id)-keeps-first rule is deterministic under retries.
+Documents are fingerprinted (the streaming dedup's normalized
+xxhash64 key) and bucketed BY FINGERPRINT HASH through
+lineage.run_partitioned's bucket_expr, so every duplicate group lands
+in one bucket and per-bucket deduplication is globally exact — no
+cross-bucket shuffle.  The default job id is a deterministic hash of
+(input, output), so a plain re-run of the same command RESUMES from
+the lineage table (a crash loses at most one bucket); pass --job-id
+to force a fresh pass.  The min(doc_id)-keeps-first rule is
+deterministic under retries.  At 100 TB each bucket is an independent
+hash-pruned scan and n_buckets scales with the cluster.
 """
 
 from __future__ import annotations
 
 import argparse
-import time
+import hashlib
 
 
 def main() -> None:
@@ -41,43 +43,30 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("s2spark-dedup-corpus") \
         .getOrCreate()
-    job_id = args.job_id or lineage.new_job_id()
+    # deterministic default job id -> re-running the same command
+    # resumes instead of silently starting over
+    job_id = args.job_id or "dedup-" + hashlib.md5(
+        f"{args.input}|{args.output}".encode()).hexdigest()[:12]
 
     docs = (spark.read.parquet(args.input)
-            .withColumn("fp", fingerprint_col(F.col(args.text_col)))
-            .withColumn("_bucket",
-                        F.pmod(F.xxhash64("fp"),
-                               F.lit(args.n_buckets)).cast("int")))
+            .withColumn("fp", fingerprint_col(F.col(args.text_col))))
 
-    done = lineage.completed_buckets(spark, args.state_dir, job_id)
-    ran, failed = [], []
-    for b in range(args.n_buckets):
-        if b in done:
-            continue
-        t0 = time.time()
-        try:
-            bucket = docs.where(F.col("_bucket") == b).drop("_bucket")
-            # keep the lowest doc id of each fingerprint group —
-            # deterministic winner, exact dedup within the bucket ==
-            # exact globally (fp-hash bucketing co-locates groups)
-            w = Window.partitionBy("fp").orderBy(F.col(args.id_col))
-            out = (bucket
-                   .withColumn("_rn", F.row_number().over(w))
-                   .where(F.col("_rn") == 1).drop("_rn"))
-            out.write.mode("overwrite").parquet(
-                f"{args.output}/bucket={b}")
-            n = lineage._written_rows(f"{args.output}/bucket={b}")
-            lineage.record(spark, args.state_dir, job_id, b, n,
-                           time.time() - t0, "ok")
-            ran.append(b)
-        except Exception as exc:  # noqa: BLE001 — lineage must record
-            lineage.record(spark, args.state_dir, job_id, b, -1,
-                           time.time() - t0,
-                           f"error: {type(exc).__name__}")
-            failed.append(b)
+    def process(bucket_df):
+        # keep the lowest doc id of each fingerprint group —
+        # deterministic winner; exact within the bucket == exact
+        # globally (fp-hash bucketing co-locates groups)
+        w = Window.partitionBy("fp").orderBy(F.col(args.id_col))
+        return (bucket_df
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
 
-    print({"job_id": job_id, "ran": ran, "skipped": sorted(done),
-           "failed": failed})
+    summary = lineage.run_partitioned(
+        spark, docs, process, job_id, args.state_dir, args.output,
+        n_buckets=args.n_buckets,
+        bucket_expr=F.pmod(F.xxhash64("fp"),
+                           F.lit(args.n_buckets)).cast("int"))
+
+    print({"job_id": job_id, **summary})
     spark.stop()
 
 

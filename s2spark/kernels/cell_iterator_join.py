@@ -191,11 +191,11 @@ class CellIteratorJoin:
 
         # leaves: pair A index cells (owned by range_min) with the B
         # index cells of each B probe cell within tolerance
-        matched: list[int] = []
+        matched: list[Cell] = []
         for cell_b in kept_b:
             self._scan_cell_range(
                 self.iter_b, cell_b.id,
-                lambda it: (matched.append(it.id()), True)[1])
+                lambda it: (matched.append(Cell(it.id())), True)[1])
 
         rmin_a = int(cellid.range_min(
             np.array([cell_a.id], dtype=np.uint64))[0])
@@ -212,7 +212,7 @@ class CellIteratorJoin:
 
             def scan_b(it_b):
                 near = (sub_cell_a.get_distance_cell(
-                    Cell(matched[idx[0]])) <= self.tolerance_rad)
+                    matched[idx[0]]) <= self.tolerance_rad)
                 idx[0] += 1
                 if near and not visitor(pos_a, it_b.pos):
                     return False

@@ -254,16 +254,7 @@ def from_begin_end(begin: int, end: int) -> np.ndarray:
     cursor that does not extend past `end`.  Both endpoints must be
     leaf ids (leaf ids step by 2; `end` may be the one-past-the-last
     sentinel range_max+2)."""
-    begin, end = int(begin), int(end)
-    out = []
-    cur = cellid.maximum_tile(begin, end)
-    while cur != end:
-        out.append(cur)
-        # next() = id + 2*lsb (S2CellId::next)
-        nxt = (int(cur) + ((int(cur) & -int(cur)) << 1)) \
-            & 0xFFFF_FFFF_FFFF_FFFF
-        cur = cellid.maximum_tile(nxt, end)
-    return np.asarray(out, dtype=np.uint64)
+    return cellid.range_to_cells(int(begin), int(end))
 
 
 def from_min_max(min_id: int, max_id: int) -> np.ndarray:

@@ -134,4 +134,6 @@ def make_regular_loop(center, radius_rad: float, n: int) -> np.ndarray:
     s, c = np.sin(radius_rad), np.cos(radius_rad)
     local = np.stack([s * np.cos(ang), s * np.sin(ang),
                       np.full(n, c)], axis=1)
-    return from_frame(m, local)
+    out = from_frame(m, local)
+    # the reference normalizes each vertex (s2loop.cc MakeRegularLoop)
+    return out / np.linalg.norm(out, axis=1, keepdims=True)

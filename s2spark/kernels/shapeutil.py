@@ -561,11 +561,15 @@ def chain_edge(shape, chain_id: int, offset: int) -> tuple:
     chain, in the chain numbering of shape_chains (dim-0 chains are
     single degenerate edges; dim-2 lax chains wrap)."""
     if shape.dim == 0:
-        # dim-0 chains are one-per-point across ALL vertex arrays
-        pts = np.concatenate(
-            [c for c in shape.chains] or [np.empty((0, 3))])
-        p = pts[chain_id]
-        return p.copy(), p.copy()
+        # dim-0 chains are one-per-point across ALL vertex arrays;
+        # walk the arrays instead of concatenating them per call
+        k = chain_id
+        for c in shape.chains:
+            if k < len(c):
+                p = c[k]
+                return p.copy(), p.copy()
+            k -= len(c)
+        raise IndexError(chain_id)
     v = shape.chains[chain_id]
     if shape.dim == 1:
         return v[offset].copy(), v[offset + 1].copy()

@@ -53,7 +53,7 @@ def record(spark: SparkSession, state_dir: str, job_id: str, bucket: int,
 def run_partitioned(spark: SparkSession, df: DataFrame, process,
                     job_id: str, state_dir: str, out_dir: str,
                     cell_col: str = "cell_id", level: int = 4,
-                    n_buckets: int = 8) -> dict:
+                    n_buckets: int = 8, bucket_expr=None) -> dict:
     """Process `df` bucket-by-bucket with resume.
 
     `process(bucket_df) -> DataFrame` is the per-bucket transformation;
@@ -65,9 +65,14 @@ def run_partitioned(spark: SparkSession, df: DataFrame, process,
     partition-pruned scan (with Hilbert-sorted storage the bucket
     predicate prunes row groups); the lineage write is tiny and
     per-bucket, so a crash loses at most one bucket of work.
+
+    `bucket_expr` overrides the cell-prefix bucketing with any int
+    Column in [0, n_buckets) — e.g. a fingerprint hash, so dedup
+    groups co-locate (jobs/dedup_corpus.py).
     """
-    work = df.withColumn("_bucket", bucket_col(F.col(cell_col), level,
-                                               n_buckets))
+    work = df.withColumn(
+        "_bucket", bucket_expr if bucket_expr is not None
+        else bucket_col(F.col(cell_col), level, n_buckets))
     done = completed_buckets(spark, state_dir, job_id)
     ran, failed = [], []
     for b in range(n_buckets):

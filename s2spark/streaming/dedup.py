@@ -10,10 +10,12 @@ the dedup horizon instead of the corpus (the property that makes this
 run forever on an unbounded crawl — a plain dropDuplicates would grow
 state without bound).
 
-The fingerprint is the same engine-wide 64-bit FNV-1a document
-fingerprint the batch oracle checks (`doc_fingerprint` query), so a
-document admitted by the stream and one admitted by a batch backfill
-dedupe identically.
+The fingerprint is xxhash64 of the whitespace-normalized lowercased
+body — a deliberately tolerant exact-dup key (re-crawls differing only
+in whitespace/case collapse).  NOTE: it is NOT the same key as the
+batch `dedup_exact` oracle (md5 of the RAW text) or the shingle-based
+`doc_fingerprint`; pipelines mixing streaming admission with batch
+backfills should pick ONE key (jobs/dedup_corpus.py uses this one).
 """
 
 from __future__ import annotations
@@ -55,7 +57,11 @@ def stream_dedup(spark: SparkSession, source_dir: str, out_dir: str,
                .dropDuplicatesWithinWatermark(["fp"]))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/data")
+        # idempotent per-batch path: foreachBatch is at-least-once —
+        # a replay after a crash overwrites the same directory instead
+        # of appending duplicate rows
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{out_dir}/data/batch={int(batch_id)}"))
 
     return (deduped.writeStream
             .foreachBatch(sink)
